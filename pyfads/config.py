@@ -1,0 +1,52 @@
+"""FADS algorithm configuration.
+
+Mirrors the reference constructor ``Generalizer(int k, long bufferConstraint,
+long reuseConstraint, int[] keys, int pidKey, TypeInformation[] types)``
+(reference Generalizer.java:76-89), with column *names* instead of positional
+indices (idiomatic Spark) and a logical (data-driven) clock instead of
+``System.currentTimeMillis()`` for determinism (SURVEY.md §2.5.9, §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FADSConfig:
+    """Parameters of the FADS k-anonymization algorithm.
+
+    Defaults match the reference job wiring
+    (TransactionGeneralizationJob.java:66-71): k=10, buffer of 30 rows,
+    cluster-reuse TTL of 60 000 ms.
+
+    - ``k``: anonymity parameter; released clusters contain >= k tuples.
+    - ``buffer_rows``: max rows held before the oldest is released.  The
+      reference documents this as a max residence *time* but uses it as a
+      *count* (Generalizer.java:78 vs :123); we implement the count.
+    - ``reuse_ms``: how long a cached cluster may be reused, measured on the
+      arrival clock (reference: wall clock, Generalizer.java:118).
+    - ``qid_cols``: quasi-identifier columns (numeric).  Replaced by
+      ``<col>_lo``/``<col>_hi`` interval pairs in the output (flattened form
+      of the reference's TUPLE(DOUBLE, DOUBLE), Generalizer.java:260-268).
+    - ``pid_col``: person/record id column, passed through (the reference's
+      PID-uniqueness check in knn is disabled in shipped code,
+      Generalizer.java:212-216; we keep it disabled for parity).
+    - ``arrival_col``: column holding arrival time in epoch millis (long).
+      Defines processing order and the TTL clock.
+    """
+
+    k: int = 10
+    buffer_rows: int = 30
+    reuse_ms: int = 60_000
+    qid_cols: tuple[str, ...] = ("user_id", "value", "ts_millis")
+    pid_col: str = "event_id"
+    arrival_col: str = "arrival_ms"
+
+    def __post_init__(self) -> None:
+        if self.k < 2:
+            raise ValueError("k must be >= 2")
+        if self.buffer_rows < 1:
+            raise ValueError("buffer_rows must be >= 1")
+        if not self.qid_cols:
+            raise ValueError("at least one QID column is required")

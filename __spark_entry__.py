@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -13,26 +12,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyfads import FADSConfig, fads_generalize
+from pyfads.io import events_with_arrival
+
+
+def _fads_cfg() -> FADSConfig:
+    # reference job wiring: k=10, buffer=30 rows, reuse TTL=60s
+    # (TransactionGeneralizationJob.java:66-71)
+    return FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full reference pipeline shape on sf0.001 events —
+    source → arrival enrichment → batch FADS generalization
+    (Generalizer.java:98-189 semantics; SURVEY.md §7.2 slice 0)."""
+    df = events_with_arrival(spark, "/root/testdata/sf0.001")
+    return fads_generalize(df, _fads_cfg())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pyfads.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI SQL oracles (DuckDB) for each SQL-expressible queries() entry."""
+    from pyfads.queries import ORACLES
+
+    return dict(ORACLES)

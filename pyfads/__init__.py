@@ -9,4 +9,12 @@ search, text analysis, multimodal plumbing).
 """
 
 from pyfads.config import FADSConfig
-from pyfads.fads_batch import fads_generalize
+from pyfads.fads_batch import fads_generalize, fads_generalize_partitioned
+from pyfads.fads_core import FADSState
+
+__all__ = [
+    "FADSConfig",
+    "FADSState",
+    "fads_generalize",
+    "fads_generalize_partitioned",
+]

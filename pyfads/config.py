@@ -48,5 +48,12 @@ class FADSConfig:
             raise ValueError("k must be >= 2")
         if self.buffer_rows < 1:
             raise ValueError("buffer_rows must be >= 1")
+        if self.reuse_ms < 0:
+            raise ValueError("reuse_ms must be >= 0 (negative disables reuse silently)")
         if not self.qid_cols:
             raise ValueError("at least one QID column is required")
+        if len(set(self.qid_cols)) != len(self.qid_cols):
+            raise ValueError("qid_cols must be distinct (duplicate names would "
+                             "collide in <col>_lo/<col>_hi output columns)")
+        if self.pid_col in self.qid_cols or self.arrival_col in self.qid_cols:
+            raise ValueError("pid_col/arrival_col must not be QID columns")

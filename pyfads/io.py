@@ -1,0 +1,194 @@
+"""Sources, parsing, arrival enrichment, sinks (P1/P2/P3/P4/P7).
+
+The reference's ingest is a hand-rolled gzipped-CSV source that busy-waits
+to cap throughput (NYCTaxiRideSource.java:124-158) and a generic CSV→tuple
+map (CSVParser.java:52-86).  Spark-first replacements:
+
+- batch reads: ``spark.read.csv`` (Spark decompresses ``.gz`` natively) /
+  ``spark.read.parquet`` — predicate pushdown and column pruning come free.
+- rate control is a *source* concern: Structured Streaming ``rate`` source
+  (``rowsPerSecond``) or file source with ``maxFilesPerTrigger`` — never a
+  busy-wait that burns a core (SURVEY.md §4.2).
+- arrival time (P4, TransactionGeneralizationJob.java:58-61): the
+  reference attaches ``System.currentTimeMillis()``; we default to a
+  *deterministic* arrival clock derived from the data so runs are
+  replayable (SURVEY.md §7.4.5), with a wall-clock variant for live streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyfads.schema import TAXI_CSV_TOKEN_ORDER, TAXI_RIDE_SCHEMA
+
+__all__ = [
+    "read_table",
+    "read_taxi_csv",
+    "parse_taxi_lines",
+    "parse_csv_with_pid",
+    "with_arrival",
+    "with_wallclock_arrival",
+    "write_parquet",
+    "rate_stream",
+    "csv_stream",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    The testdata writes TIMESTAMP(NANOS) parquet, which Spark only reads
+    with the legacy nanos-as-long conf; timestamp columns therefore arrive
+    as *epoch-nanosecond longs* here (``ts``, ``l_shipdate``, ``o_orderdate``).
+    Use ``col div 1_000_000`` for epoch millis — matches DuckDB
+    ``epoch_ms(col)`` floor semantics for the oracle comparisons.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table prepared for FADS: numeric QIDs + deterministic
+    arrival clock (event-time millis; ties broken by event_id inside the
+    generalizer's stable sort)."""
+    ev = read_table(spark, sf_dir, "events")
+    # integer div: ts is epoch *nanos* as long — float division would lose
+    # precision above 2^53
+    ms = F.expr("ts div 1000000")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("double").alias("user_id"),
+        "value",
+        ms.cast("double").alias("ts_millis"),
+        "event_type",
+        ms.alias("arrival_ms"),
+    )
+
+
+def parse_taxi_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """P2 — parse raw taxi-ride CSV lines into the 11-column record.
+
+    Semantics of NYCTaxiRideSource.fromString (:204-244): token order is
+    rideId, START|END, time, time, lon, lat, lon, lat, passengerCnt, taxiId,
+    driverId; START events put (time1, time2) into (startTime, endTime), END
+    events swap them; empty lon/lat parse as 0.0 (:231-234); times are
+    ``yyyy-MM-dd HH:mm:ss`` UTC strings → epoch millis (:219-225).
+    Pure built-in functions — stays inside whole-stage codegen.
+    """
+    tok = F.split(F.col(value_col), ",")
+    c = {name: tok.getItem(i) for i, name in enumerate(TAXI_CSV_TOKEN_ORDER)}
+    is_start = c["eventKind"] == F.lit("START")
+    to_ms = lambda s: F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss"))
+    dbl0 = lambda s: F.coalesce(s.cast("double"), F.lit(0.0))
+    return lines.select(
+        c["rideId"].cast("long").alias("rideId"),
+        c["taxiId"].cast("long").alias("taxiId"),
+        c["driverId"].cast("long").alias("driverId"),
+        is_start.alias("isStart"),
+        F.when(is_start, to_ms(c["time1"])).otherwise(to_ms(c["time2"])).alias("startTime"),
+        F.when(is_start, to_ms(c["time2"])).otherwise(to_ms(c["time1"])).alias("endTime"),
+        dbl0(c["startLon"]).alias("startLon"),
+        dbl0(c["startLat"]).alias("startLat"),
+        dbl0(c["endLon"]).alias("endLon"),
+        dbl0(c["endLat"]).alias("endLat"),
+        c["passengerCnt"].cast("short").alias("passengerCnt"),
+    )
+
+
+def read_taxi_csv(spark: SparkSession, path: str) -> DataFrame:
+    """P1+P2 — read (optionally gzipped) taxi-ride CSV; Spark handles .gz."""
+    return parse_taxi_lines(spark.read.text(path))
+
+
+def parse_csv_with_pid(
+    lines: DataFrame,
+    schema,
+    delimiter: str = ",",
+    add_pid: bool = True,
+    value_col: str = "value",
+    pid_col: str = "pid",
+) -> DataFrame:
+    """P3 — CSVParser analogue (CSVParser.java:52-86): delimited text →
+    typed columns via ``from_csv``, plus an auto-increment PID column
+    (CSVParser.java:61-64).
+
+    ``monotonically_increasing_id`` is partition-dependent; for a
+    *deterministic* PID use :func:`with_arrival`-style ``row_number`` over an
+    explicit ordering instead.  The reference's rows/s rate limit
+    (CSVParser.java:76-81) is a source concern in Spark — see
+    :func:`rate_stream`.
+    """
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    out = lines.select(
+        F.from_csv(F.col(value_col), ddl, {"sep": delimiter}).alias("r")
+    ).select("r.*")
+    if add_pid:
+        out = out.select(F.monotonically_increasing_id().alias(pid_col), "*")
+    return out
+
+
+def with_arrival(
+    df: DataFrame,
+    order_cols: list[str],
+    arrival_col: str = "arrival_ms",
+    from_ts_col: str | None = None,
+) -> DataFrame:
+    """P4 — deterministic arrival enrichment.
+
+    The reference attaches processing-time millis per record
+    (TransactionGeneralizationJob.java:58-61); for replayable batch runs we
+    derive the clock from the data: either ``unix_millis(from_ts_col)``
+    (event time as the logical clock) or a dense ``row_number`` sequence
+    over ``order_cols``.
+
+    NOTE (scale): the single ``Window.orderBy`` variant is a global sort into
+    one partition — acceptable for parity experiments only.  At scale prefer
+    ``from_ts_col`` (no shuffle at all) or a pre-sorted source.
+    """
+    if from_ts_col is not None:
+        return df.withColumn(arrival_col, F.unix_millis(F.col(from_ts_col)))
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(arrival_col, F.row_number().over(w).cast("long"))
+
+
+def with_wallclock_arrival(df: DataFrame, arrival_col: str = "arrival_ms") -> DataFrame:
+    """P4 — reference-faithful processing-time arrival (non-deterministic)."""
+    return df.withColumn(arrival_col, F.unix_millis(F.current_timestamp()))
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """P7 — parquet sink (the reference only prints to stdout; an AlertSink
+    is commented out at TransactionGeneralizationJob.java:74-76)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int) -> DataFrame:
+    """P1 (throttle) — Structured Streaming rate source: the idiomatic
+    replacement for the reference's busy-wait pacing
+    (NYCTaxiRideSource.java:143-150)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def csv_stream(
+    spark: SparkSession, directory: str, schema=TAXI_RIDE_SCHEMA, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """P1 (file stream) — stream a directory of CSV files with bounded
+    per-micro-batch intake."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(directory)
+    )

@@ -1,0 +1,140 @@
+"""Golden-oracle + property tests for batch FADS (SURVEY.md §5 items 2/4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyfads import FADSConfig, fads_generalize, fads_generalize_partitioned
+from pyfads.fads_batch import run_fads_pandas
+from pyfads.oracle import fads_oracle
+
+from tests.conftest import SF_DIR
+
+CFG = FADSConfig(
+    k=10,
+    buffer_rows=30,
+    reuse_ms=60_000,
+    qid_cols=("user_id", "value", "ts_millis"),
+    pid_col="event_id",
+    arrival_col="arrival_ms",
+)
+
+
+def _events_df(spark):
+    from pyfads.io import events_with_arrival
+    return events_with_arrival(spark, SF_DIR)
+
+
+def _events_pdf(spark, n=None):
+    pdf = _events_df(spark).toPandas().sort_values(["arrival_ms", "event_id"]).reset_index(drop=True)
+    return pdf if n is None else pdf.head(n)
+
+
+def _oracle_result(pdf, cfg):
+    rows = [
+        (i, tuple(pdf.loc[i, c] for c in cfg.qid_cols), int(pdf.loc[i, cfg.arrival_col]))
+        for i in range(len(pdf))
+    ]
+    return fads_oracle(rows, cfg)
+
+
+def test_core_matches_oracle_events(spark):
+    """Independent implementations (numpy core vs pure-Python oracle) agree
+    row-for-row on real sf0.001 events."""
+    pdf = _events_pdf(spark)
+    got = run_fads_pandas(pdf, CFG)
+    expected = _oracle_result(pdf, CFG)
+    assert len(got) == len(pdf) == len(expected)
+    got = got.set_index("event_id")
+    key = {int(pdf.loc[i, "event_id"]): i for i in range(len(pdf))}
+    for eid, row in got.iterrows():
+        lo, hi = expected[key[int(eid)]]
+        for j, q in enumerate(CFG.qid_cols):
+            assert row[f"{q}_lo"] == pytest.approx(lo[j])
+            assert row[f"{q}_hi"] == pytest.approx(hi[j])
+
+
+def test_core_matches_oracle_random_configs(spark):
+    """Sweep k/buffer/TTL on random data — both implementations agree."""
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 50, n).astype(float),
+            "value": rng.normal(100, 20, n).round(2),
+            "ts_millis": np.sort(rng.integers(0, 1_000_000, n)).astype(float),
+            "event_type": ["x"] * n,
+        }
+    )
+    pdf["arrival_ms"] = pdf["ts_millis"].astype(np.int64)
+    for k, b, ttl in [(3, 5, 10**9), (5, 12, 50_000), (10, 30, 0), (4, 4, 100_000)]:
+        cfg = FADSConfig(k=k, buffer_rows=b, reuse_ms=ttl,
+                         qid_cols=("user_id", "value", "ts_millis"),
+                         pid_col="event_id", arrival_col="arrival_ms")
+        got = run_fads_pandas(pdf, cfg).set_index("event_id")
+        expected = _oracle_result(pdf, cfg)
+        assert len(got) == n
+        for i, (lo, hi) in expected.items():
+            eid = int(pdf.loc[i, "event_id"])
+            for j, q in enumerate(cfg.qid_cols):
+                assert got.loc[eid, f"{q}_lo"] == pytest.approx(lo[j])
+                assert got.loc[eid, f"{q}_hi"] == pytest.approx(hi[j])
+
+
+def test_properties(spark):
+    """k-anonymity invariants: |out|==|in|, interval contains value OR is a
+    reused/suppress interval, lo<=hi always, infoLoss-style sanity."""
+    pdf = _events_pdf(spark)
+    out = run_fads_pandas(pdf, CFG)
+    assert len(out) == len(pdf)
+    # every released interval is well-formed
+    for q in CFG.qid_cols:
+        assert (out[f"{q}_lo"] <= out[f"{q}_hi"]).all()
+    # suppressed/generalized intervals lie within global bounds
+    for q in CFG.qid_cols:
+        gmin, gmax = pdf[q].min(), pdf[q].max()
+        assert (out[f"{q}_lo"] >= gmin - 1e-9).all()
+        assert (out[f"{q}_hi"] <= gmax + 1e-9).all()
+    # output ids are a permutation of input ids
+    assert sorted(out["event_id"]) == sorted(pdf["event_id"])
+
+
+def test_spark_parity_mode_matches_local(spark):
+    """groupBy(lit(1)).applyInPandas == direct pandas run."""
+    df = _events_df(spark)
+    got = fads_generalize(df, CFG).toPandas().sort_values("event_id").reset_index(drop=True)
+    local = run_fads_pandas(df.toPandas(), CFG).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, local, check_like=True)
+
+
+def test_partitioned_mode(spark):
+    """Scale-out mode: per-group FADS; invariants hold within each group."""
+    df = _events_df(spark)
+    cfg = FADSConfig(k=5, buffer_rows=15, reuse_ms=60_000,
+                     qid_cols=("user_id", "value", "ts_millis"),
+                     pid_col="event_id", arrival_col="arrival_ms")
+    out = fads_generalize_partitioned(df, cfg, "event_type")
+    out_pdf = out.toPandas()
+    assert len(out_pdf) == df.count()
+    # per-group row preservation + equality with a local per-group run
+    in_pdf = df.toPandas()
+    for et, g in in_pdf.groupby("event_type"):
+        local = run_fads_pandas(g.reset_index(drop=True), cfg)
+        got_g = out_pdf[out_pdf.event_type == et].sort_values("event_id").reset_index(drop=True)
+        local = local.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_g, local, check_like=True)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        FADSConfig(k=1)
+    with pytest.raises(ValueError):
+        FADSConfig(reuse_ms=-1)
+    with pytest.raises(ValueError):
+        FADSConfig(qid_cols=("a", "a"))
+    with pytest.raises(ValueError):
+        FADSConfig(qid_cols=("event_id", "value"), pid_col="event_id")

@@ -1,0 +1,242 @@
+"""The Generalizer's intra-operator relational primitives as pure DataFrame
+functions (SURVEY.md §2.2, G2-G11).
+
+These are the reference's "query capabilities" extracted from its stateful
+loop and re-expressed declaratively so Catalyst can optimize them (pushdown,
+pruning, broadcast selection).  Each function documents the reference
+file:line it mirrors and its 100 TB execution shape.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "global_bounds",
+    "running_bounds",
+    "cluster_box",
+    "fits_join",
+    "with_info_loss",
+    "best_fitting_cluster",
+    "knn_in_groups",
+    "generalize_projection",
+    "suppress_projection",
+]
+
+
+def global_bounds(df: DataFrame, qid_cols: list[str]) -> DataFrame:
+    """G2 — global per-QID min/max (Generalizer.java:107-115) as a 1-row
+    frame with ``<col>_lo``/``<col>_hi``.
+
+    Scale: a full partial-aggregated (map-side combined) agg; the 1-row
+    result is broadcast wherever it is joined downstream.
+    """
+    aggs = []
+    for c in qid_cols:
+        aggs.append(F.min(c).alias(f"{c}_lo"))
+        aggs.append(F.max(c).alias(f"{c}_hi"))
+    return df.agg(*aggs)
+
+
+def running_bounds(
+    df: DataFrame, qid_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """G2 (running form) — bounds *as of each arrival* (the state the
+    reference holds after Generalizer.java:107-115 for every element).
+
+    Scale: a single global ordering is inherently one-partition; use only on
+    streams that are already per-key partitioned (then Window.partitionBy
+    keeps it parallel).
+    """
+    w = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in qid_cols:
+        out = out.withColumn(f"{c}_running_lo", F.min(c).over(w))
+        out = out.withColumn(f"{c}_running_hi", F.max(c).over(w))
+    return out
+
+
+def cluster_box(df: DataFrame, group_cols: list[str], qid_cols: list[str]) -> DataFrame:
+    """G6 — per-group axis-aligned bounding box (Cluster.java:18-52).
+
+    Scale: hash-partitioned agg with map-side combine; no skew risk beyond
+    the group-key distribution.
+    """
+    aggs = []
+    for c in qid_cols:
+        aggs.append(F.min(c).alias(f"{c}_lo"))
+        aggs.append(F.max(c).alias(f"{c}_hi"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _fits_pred(tuples_alias: str, qid_cols: list[str]):
+    """Strict range containment (Cluster.java:55-62): lo < x < hi for ALL
+    QIDs — boundary values do NOT fit."""
+    return reduce(
+        and_,
+        [
+            (F.col(f"{tuples_alias}.{c}") > F.col(f"{c}_lo"))
+            & (F.col(f"{tuples_alias}.{c}") < F.col(f"{c}_hi"))
+            for c in qid_cols
+        ],
+    )
+
+
+def fits_join(tuples: DataFrame, clusters: DataFrame, qid_cols: list[str]) -> DataFrame:
+    """G7 — (tuple, cluster) pairs where the tuple strictly fits the
+    cluster's box (Cluster.java:55-62).
+
+    Scale: theta-join; the clusters side is the small one (bounded cluster
+    cache) → broadcast it so the probe is a map-side BroadcastNestedLoopJoin,
+    no shuffle of the big side.
+    """
+    return tuples.alias("t").join(
+        F.broadcast(clusters), on=_fits_pred("t", qid_cols), how="inner"
+    )
+
+
+def with_info_loss(
+    clusters: DataFrame, bounds: DataFrame, qid_cols: list[str], out_col: str = "info_loss"
+) -> DataFrame:
+    """G8 — infoLoss = mean over QIDs of (hi-lo)/(global_hi-global_lo)
+    (Cluster.java:79-85), guarding the zero-global-range division
+    (SURVEY.md §2.5.6: a zero global range contributes 0).
+
+    ``bounds`` is the 1-row global_bounds frame; it is broadcast.
+    """
+    joined = clusters.join(F.broadcast(bounds.select(
+        *[F.col(f"{c}_lo").alias(f"__g_{c}_lo") for c in qid_cols],
+        *[F.col(f"{c}_hi").alias(f"__g_{c}_hi") for c in qid_cols],
+    )))
+    terms = [
+        F.when(
+            F.col(f"__g_{c}_hi") > F.col(f"__g_{c}_lo"),
+            (F.col(f"{c}_hi") - F.col(f"{c}_lo"))
+            / (F.col(f"__g_{c}_hi") - F.col(f"__g_{c}_lo")),
+        ).otherwise(F.lit(0.0))
+        for c in qid_cols
+    ]
+    il = reduce(lambda a, b: a + b, terms) / F.lit(float(len(qid_cols)))
+    return joined.withColumn(out_col, il).drop(
+        *[f"__g_{c}_lo" for c in qid_cols], *[f"__g_{c}_hi" for c in qid_cols]
+    )
+
+
+def best_fitting_cluster(
+    tuples: DataFrame,
+    clusters_with_il: DataFrame,
+    qid_cols: list[str],
+    tuple_id_cols: list[str],
+    tiebreak_cols: list[str],
+    il_col: str = "info_loss",
+) -> DataFrame:
+    """G9 — per tuple, the fitting cluster with minimal infoLoss
+    (Generalizer.java:230-243); deterministic tie-break on ``tiebreak_cols``.
+
+    Scale: broadcast theta-join (cluster cache is small) + per-tuple
+    row_number — the window partitions by tuple id, so it parallelizes.
+    """
+    pairs = tuples.alias("t").join(
+        F.broadcast(clusters_with_il), on=_fits_pred("t", qid_cols), how="inner"
+    )
+    w = Window.partitionBy(*[F.col(f"t.{c}") for c in tuple_id_cols]).orderBy(
+        F.col(il_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def knn_in_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    qid_cols: list[str],
+    bounds: DataFrame,
+    k: int,
+) -> DataFrame:
+    """G5 — per-pivot top-k nearest neighbours by the FADS distance:
+    mean over QIDs of abs(x-pivot)/(global_hi-global_lo)
+    (Generalizer.java:193-227 + :342-365, *intended* formula per
+    SURVEY.md §2.5.1-2).  Neighbour search is blocked by ``group_cols`` —
+    the relational analogue of the reference's bounded (<=30-row) buffer.
+
+    Scale: the self-join shuffles both sides on the group key once and the
+    per-group fan-out is bounded by the group size (never an unbounded
+    crossJoin); the 1-row bounds frame is broadcast.  Ties break on
+    (distance, neighbour id) so ranking is deterministic.
+    """
+    gb = F.broadcast(bounds.select(
+        *[F.col(f"{c}_lo").alias(f"__g_{c}_lo") for c in qid_cols],
+        *[F.col(f"{c}_hi").alias(f"__g_{c}_hi") for c in qid_cols],
+    ))
+    pivots = df.select(
+        *group_cols, F.col(id_col).alias("pivot_id"),
+        *[F.col(c).alias(f"__p_{c}") for c in qid_cols],
+    )
+    others = df.select(
+        *group_cols, F.col(id_col).alias("neighbor_id"),
+        *[F.col(c).alias(f"__n_{c}") for c in qid_cols],
+    )
+    pairs = (
+        pivots.join(others, on=group_cols)
+        .filter(F.col("pivot_id") != F.col("neighbor_id"))
+        .join(gb)
+    )
+    terms = [
+        F.when(
+            F.col(f"__g_{c}_hi") > F.col(f"__g_{c}_lo"),
+            F.abs(F.col(f"__n_{c}") - F.col(f"__p_{c}"))
+            / (F.col(f"__g_{c}_hi") - F.col(f"__g_{c}_lo")),
+        ).otherwise(F.lit(0.0))
+        for c in qid_cols
+    ]
+    dist = reduce(lambda a, b: a + b, terms) / F.lit(float(len(qid_cols)))
+    pairs = pairs.withColumn("dist", dist)
+    w = Window.partitionBy(*group_cols, "pivot_id").orderBy("dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "pivot_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def generalize_projection(
+    df: DataFrame, clusters: DataFrame, join_cols: list[str], qid_cols: list[str]
+) -> DataFrame:
+    """G10 — replace each QID with its cluster's (lo, hi) interval, non-QIDs
+    pass through (Cluster.java:65-77; flattened struct per SURVEY.md §7.4.3).
+
+    Scale: equi-join on the cluster key — broadcastable when the cluster set
+    is small, otherwise a co-partitioned shuffle join.
+    """
+    out_cols = []
+    for c in df.columns:
+        if c in qid_cols:
+            out_cols += [F.col(f"{c}_lo"), F.col(f"{c}_hi")]
+        else:
+            out_cols.append(F.col(f"t.{c}"))
+    return df.alias("t").join(clusters, on=join_cols).select(*out_cols)
+
+
+def suppress_projection(df: DataFrame, bounds: DataFrame, qid_cols: list[str]) -> DataFrame:
+    """G11 — replace each QID with the *global* bounds snapshot
+    (Generalizer.java:246-257, snapshot semantics per SURVEY.md §2.5.5).
+
+    Scale: broadcast of the 1-row bounds; pure map-side projection.
+    """
+    out_cols = []
+    for c in df.columns:
+        if c in qid_cols:
+            out_cols += [F.col(f"{c}_lo"), F.col(f"{c}_hi")]
+        else:
+            out_cols.append(F.col(f"t.{c}"))
+    return df.alias("t").join(F.broadcast(bounds)).select(*out_cols)

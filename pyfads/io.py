@@ -83,7 +83,9 @@ def parse_taxi_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     c = {name: tok.getItem(i) for i, name in enumerate(TAXI_CSV_TOKEN_ORDER)}
     is_start = c["eventKind"] == F.lit("START")
     to_ms = lambda s: F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss"))
-    dbl0 = lambda s: F.coalesce(s.cast("double"), F.lit(0.0))
+    # try_cast: ANSI mode (Spark 4 default) hard-fails cast('' as double);
+    # the reference maps empty lon/lat to 0.0 (NYCTaxiRideSource.java:231-234)
+    dbl0 = lambda s: F.coalesce(s.try_cast("double"), F.lit(0.0))
     return lines.select(
         c["rideId"].cast("long").alias("rideId"),
         c["taxiId"].cast("long").alias("taxiId"),

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end wall seconds of the flagship FADS pipeline
+(source -> arrival enrichment -> generalize -> sink); ``rows_per_sec`` is
+reported alongside for the BASELINE.md target (>=500 rows/s sustained).
+Each query is forced with a noop-format write so the full plan executes
+(count() alone would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyfads.metrics import BatchThroughput, observe_count  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("pyfads-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    flagship_rows = 0
+    flagship_sec = 0.0
+
+    only = set(os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")) - {""}
+    for name, fn in queries().items():
+        if only and name not in only:
+            continue
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            if name == "fads_generalize_events":
+                df, obs = observe_count(df)
+                with BatchThroughput(name) as bt:
+                    force(df)
+                flagship_rows = int(obs.get["rows"])
+                flagship_sec = bt.seconds
+                timings[name] = round(bt.seconds, 3)
+            else:
+                force(df)
+                timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    rows_per_sec = flagship_rows / flagship_sec if flagship_sec > 0 else 0.0
+    out = {
+        "metric": "fads_pipeline_wall_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": flagship_rows,
+        "rows_per_sec": round(rows_per_sec, 1),
+        "total_sec": round(sum(t for t in timings.values() if t > 0), 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

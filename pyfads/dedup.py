@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: hash-groupBy on the text (one shuffle, map-side combined).
+- MinHash + LSH banding near-dup: shingle → per-permutation min-hash →
+  band keys → *bucketed* candidate join → exact n-gram Jaccard verify.
+  Never an all-pairs crossJoin: the only shuffle keys are the band hashes,
+  which is the textbook 100 TB-safe shape (candidates ∝ true dups).
+- SimHash: 32-bit per-document signature via per-bit majority vote over
+  token hashes — Hamming-adjacent signatures are near-dup candidates.
+- embedding near-dup reuses pyfads.similarity.
+
+Hashing is md5-based (``pyfads.text.md5_hash60``) so every step has a
+bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from pyfads.text import md5_hash60, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_band_pairs",
+    "jaccard_verify",
+    "minhash_near_dup_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text.
+
+    Scale: single hash-partitioned agg on text (consider hashing the text to
+    a 128-bit key first at petabyte scale so the shuffle carries 16 bytes,
+    not documents — the md5 here doubles as that key).
+    """
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(id_col, text_col, "n_copies")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> "F.Column":
+    """Word k-gram shingles (k=3 default) of a single-space-tokenized text."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature: mh_j = min over shingles of H(shingle, seed j).
+
+    Pure built-ins (transform + array_min over the shingle array) — per-row
+    projection, no shuffle, codegen-friendly.
+    """
+    sh = shingles(text_col, k)
+    cols = [
+        F.array_min(F.transform(sh, lambda s, j=j: md5_hash60(s, f"mh{j}"))).alias(f"mh{j}")
+        for j in range(n_perm)
+    ]
+    return df.select(id_col, sh.alias("shingles"), *cols)
+
+
+def _band_key(band: int, rows: int) -> "F.Column":
+    cols = [F.col(f"mh{band * rows + r}") for r in range(rows)]
+    return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
+
+def minhash_band_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band key are candidates.
+
+    Shape: explode signature into (band_idx, band_key), self-join on the
+    band bucket, distinct (a, b) pairs with a < b.  The join is an
+    equi-join on the band key — shuffled, bucketed, never all-pairs.
+    """
+    rows = n_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[_band_key(b, rows) for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard over distinct shingle sets for candidate pairs.
+
+    jac = |distinct(A) ∩ distinct(B)| / |distinct(A ∪ B)|; two equi-joins
+    to fetch the shingle arrays (candidate set is small, ∝ true dups).
+    """
+    sa = sigs.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sigs.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    j = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size(F.array_union("a_sh", "b_sh")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → bands → bucketed
+    candidate join → exact Jaccard verify."""
+    sigs = minhash_signature(df, text_col, id_col, n_perm).cache()
+    pairs = minhash_band_pairs(sigs, id_col, n_perm, bands)
+    return jaccard_verify(pairs, sigs, id_col, threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash signature: per-bit majority vote over (multiplicity-counted)
+    token hashes; bit b set iff vote > 0.
+
+    Shape: explode tokens → 60-bit hash → groupBy doc with ``bits`` CASE
+    sums (map-side combined) → reassemble the integer.  One shuffle on the
+    doc id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.select(id_col, md5_hash60(F.col("tok"), "sh").alias("hv"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    v = h.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
+    )
+    return v.select(id_col, sig.alias("simhash"))

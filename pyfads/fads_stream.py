@@ -1,0 +1,222 @@
+"""Streaming FADS generalization (P6 stream / G1 / G3 / G14).
+
+The reference is a Flink stateful ProcessFunction over an unbounded stream
+(Generalizer.java:48-96: open/processElement/close at parallelism 1).  The
+Structured-Streaming-native equivalents here:
+
+- :func:`fads_generalize_stream` — ``groupBy(...).applyInPandasWithState``:
+  the FADS state machine (:class:`pyfads.fads_core.FADSState`) plus the
+  pending-row store ride in the ``GroupState`` value across micro-batches.
+  Releases are emitted in append mode as buffer pressure triggers (G4); an
+  idle processing-time timeout drains the buffer — the stream analogue of the
+  reference's ``close()`` flush (G14, Generalizer.java:59-74).  TTL cluster
+  expiry (G3) runs on the logical arrival clock inside the state machine,
+  deterministic and replayable, never ``System.currentTimeMillis()``.
+- :class:`ForeachBatchFADS` — driver-side fallback per SURVEY.md §7.4.2 for
+  environments without ``applyInPandasWithState``: one shared state machine
+  fed by ``foreachBatch``; ``flush()`` gives the exact end-of-stream drain.
+  Parity/testing tool — the state lives on the driver, so it is NOT the
+  100 TB path; the stateful-operator variant is.
+
+Ordering contract (G1): arrival order *within* a micro-batch is restored by
+sorting on ``(arrival_col, pid_col)``; order *across* batches is the
+source's responsibility (file source with ``maxFilesPerTrigger`` over
+sequentially-named files, or a rate/Kafka source with monotone event time).
+
+Scale notes: state per group is O(buffer_rows + live clusters) — bytes, not
+gigabytes; with a partition column (:func:`fads_generalize_stream`'s
+``partition_cols``) groups spread across executors exactly like the batch
+scale-out mode, and shuffle happens once per micro-batch on the group key.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pyfads.config import FADSConfig
+from pyfads.fads_core import FADSState
+from pyfads.schema import fads_output_schema
+
+try:  # Spark >= 3.4
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    HAS_APPLY_IN_PANDAS_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    GroupStateTimeout = None
+    HAS_APPLY_IN_PANDAS_WITH_STATE = False
+
+__all__ = [
+    "fads_generalize_stream",
+    "ForeachBatchFADS",
+    "HAS_APPLY_IN_PANDAS_WITH_STATE",
+]
+
+# GroupState value: one pickled (FADSState, pending-rows DataFrame) blob.
+_STATE_SCHEMA = "blob binary"
+
+
+def _release_to_pdf(
+    released, pending: pd.DataFrame, cfg: FADSConfig, out_cols: list[str]
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Materialize a ReleasedBatch against the pending-row store.
+
+    Returns (output frame, remaining pending rows).  ``released.row_ids``
+    are ``cfg.pid_col`` values (globally unique), so releases may resolve
+    rows buffered many micro-batches ago.
+    """
+    if not released.row_ids:
+        return pd.DataFrame(columns=out_cols), pending
+    hit = pending.loc[released.row_ids]
+    out = {}
+    for col in pending.columns:
+        if col not in cfg.qid_cols:
+            out[col] = hit[col].to_numpy()
+    lo_m = np.vstack(released.lo)
+    hi_m = np.vstack(released.hi)
+    for j, q in enumerate(cfg.qid_cols):
+        out[f"{q}_lo"] = lo_m[:, j]
+        out[f"{q}_hi"] = hi_m[:, j]
+    remaining = pending.drop(index=released.row_ids)
+    return pd.DataFrame(out)[out_cols], remaining
+
+
+def _out_cols(input_cols: list[str], cfg: FADSConfig) -> list[str]:
+    cols: list[str] = []
+    for c in input_cols:
+        if c in cfg.qid_cols:
+            cols += [f"{c}_lo", f"{c}_hi"]
+        else:
+            cols.append(c)
+    return cols
+
+
+def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: int):
+    """The applyInPandasWithState handler (exposed for direct unit testing
+    with a fake GroupState)."""
+    out_cols = _out_cols(input_cols, cfg)
+
+    def handle(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # G14: idle timeout == end-of-stream flush (reference close())
+            if state.exists:
+                fads, pending = pickle.loads(state.get[0])
+                out, _ = _release_to_pdf(fads.flush(), pending, cfg, out_cols)
+                state.remove()
+                if len(out):
+                    yield out
+            return
+
+        if state.exists:
+            fads, pending = pickle.loads(state.get[0])
+        else:
+            fads = FADSState(cfg)
+            pending = None
+
+        # One micro-batch may arrive as several Arrow chunks in shuffle order;
+        # collect and sort the whole batch before the sequential loop (G1).
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [cfg.arrival_col, cfg.pid_col], kind="mergesort"
+            )
+            pdf.index = pdf[cfg.pid_col]
+            pending = pdf if pending is None else pd.concat([pending, pdf])
+            released = fads.process(
+                pdf[cfg.pid_col].to_numpy(),
+                pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
+                pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
+            )
+            out, pending = _release_to_pdf(released, pending, cfg, out_cols)
+            if len(out):
+                yield out
+
+        state.update((pickle.dumps((fads, pending)),))
+        state.setTimeoutDuration(flush_after_ms)
+
+    return handle
+
+
+def fads_generalize_stream(
+    df: DataFrame,
+    cfg: FADSConfig,
+    partition_cols: list[str] | None = None,
+    flush_after_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming FADS: stateful per-group generalization over a streaming
+    DataFrame; returns the stream of released (generalized) rows.
+
+    ``partition_cols=None`` is reference parity (one global group, one
+    stateful task); a real partition column is the scale-out mode.  The
+    group goes idle for ``flush_after_ms`` of processing time → buffer is
+    drained and state dropped (G14).
+    """
+    if not HAS_APPLY_IN_PANDAS_WITH_STATE:  # pragma: no cover
+        raise NotImplementedError(
+            "applyInPandasWithState unavailable; use ForeachBatchFADS"
+        )
+    if partition_cols:
+        src, keys = df, list(partition_cols)
+    else:
+        # the grouping key must be an input attribute: materialize the
+        # constant group column before grouping
+        src, keys = df.withColumn("__g", F.lit(1)), ["__g"]
+    grouped = src.groupBy(*keys)
+    handler = make_stream_handler(cfg, df.columns, flush_after_ms)
+    return grouped.applyInPandasWithState(
+        handler,
+        outputStructType=fads_output_schema(df.schema, cfg),
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+class ForeachBatchFADS:
+    """Driver-side streaming FADS via ``foreachBatch`` (SURVEY.md §7.4.2).
+
+    One shared sequential state machine across micro-batches; call
+    :meth:`flush` after ``query.stop()`` for the end-of-stream drain.
+
+    >>> fb = ForeachBatchFADS(cfg)
+    >>> q = stream.writeStream.foreachBatch(fb).start()
+    ... q.processAllAvailable(); q.stop()
+    >>> result = pd.concat([*fb.outputs, fb.flush()])
+    """
+
+    def __init__(self, cfg: FADSConfig):
+        self.cfg = cfg
+        self.fads = FADSState(cfg)
+        self.pending: pd.DataFrame | None = None
+        self.outputs: list[pd.DataFrame] = []
+        self._out_cols: list[str] | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        if self._out_cols is None:
+            self._out_cols = _out_cols(batch_df.columns, cfg)
+        pdf = batch_df.toPandas()
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values([cfg.arrival_col, cfg.pid_col], kind="mergesort")
+        pdf.index = pdf[cfg.pid_col]
+        self.pending = pdf if self.pending is None else pd.concat([self.pending, pdf])
+        released = self.fads.process(
+            pdf[cfg.pid_col].to_numpy(),
+            pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
+            pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
+        )
+        out, self.pending = _release_to_pdf(released, self.pending, cfg, self._out_cols)
+        if len(out):
+            self.outputs.append(out)
+
+    def flush(self) -> pd.DataFrame:
+        """G14 end-of-stream drain (reference close(), Generalizer.java:59-74)."""
+        out, self.pending = _release_to_pdf(
+            self.fads.flush(), self.pending, self.cfg, self._out_cols or []
+        )
+        return out

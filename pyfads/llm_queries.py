@@ -1,0 +1,348 @@
+"""Driver-checkable queries for the LLM-training-data pipeline operators:
+text analysis, deduplication, similarity search, multimodal plumbing.
+
+These extend the reference's capability surface (it has none of these) per
+the build brief; each operator is registered with a bit-identical DuckDB
+oracle except ``ann_lsh_topk`` (numpy random hyperplanes — rows-only check;
+``ann_cosine_topk`` is its fully-oracled exact twin).
+
+Oracle-parity rules used throughout:
+- shared hashing is ``md5_hash60`` (first 15 hex chars of md5, base-16) —
+  Spark ``conv(substring(md5(..)))`` == DuckDB ``CAST('0x'||substr(md5(..)))``.
+- float arithmetic is written with the same left-associated operation order
+  on both engines so doubles are bit-identical (no allclose fudge).
+- documents.text is ASCII and single-spaced (verified over the fixtures),
+  so byte-level oracles (ord/substr) equal the Python-side byte ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyfads import dedup as D
+from pyfads import multimodal as M
+from pyfads import similarity as S
+from pyfads import text as X
+from pyfads.io import read_table
+from pyfads.queries import query
+
+DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _h60(seed: str, expr: str) -> str:
+    """DuckDB twin of pyfads.text.md5_hash60."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat_ws(':', '{seed}', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents table)
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_STOPS = "[" + ", ".join(f"'{w}'" for w in X.EN_STOPWORDS) + "]"
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) AS mean_token_chars,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)
+           AS punct_ratio,
+       CAST(len(list_filter({_TOKS}, t -> list_contains({_STOPS}, t))) AS DOUBLE)
+           / len({_TOKS}) AS stopword_ratio
+FROM documents
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_SQL)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (all JVM built-ins, zero shuffles)."""
+    return X.text_stats(_docs(spark, sf_dir))
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS n_bpe_ish_tokens
+FROM documents
+"""
+
+
+@query("token_counts", oracle=_TOKEN_COUNTS_SQL)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    return X.token_counts(_docs(spark, sf_dir))
+
+
+def _lang_sql() -> str:
+    langs = sorted(X.LANG_MARKERS)
+    scores = ", ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+        + f"], t))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {cols}, {case} AS lang_pred
+FROM (SELECT doc_id, {scores} FROM t)
+"""
+
+
+@query("lang_id", oracle=_lang_sql())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax tie-break."""
+    return X.lang_id(_docs(spark, sf_dir))
+
+
+_FP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       list_min(list_transform(
+         generate_series(1, greatest(length(norm) - 7, 1)),
+         i -> {_h60("win", "substr(norm, i, 8)")}
+       )) AS fp_winnow
+FROM n
+"""
+
+
+@query("fingerprint", oracle=_FP_SQL)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + winnowing-style rolling 8-gram min-hash fingerprints."""
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Deduplication (documents table)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def _minhash_sql(n_perm: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = n_perm // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s2 -> {_h60(f'mh{j}', 's2')})) AS mh{j}"
+        for j in range(n_perm)
+    )
+    bk_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f")) AS bk{b}"
+        for b in range(bands)
+    )
+    bk_list = "[" + ", ".join(f"bk{b}" for b in range(bands)) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+  FROM t
+),
+m AS (SELECT doc_id, sh, {mh_cols} FROM s),
+banded AS (
+  SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band_idx,
+         unnest({bk_list}) AS band_key
+  FROM (SELECT doc_id, {bk_exprs} FROM m)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM pairs p
+JOIN m sa ON sa.doc_id = p.a_id
+JOIN m sb ON sb.doc_id = p.b_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql())
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16-perm) + LSH(4-band) near-dup pairs, exact-Jaccard verified
+    at 0.8.  Only shuffle keys are the band hashes — 100 TB-safe shape."""
+    return D.minhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_h60("sh", "tok")} AS hv FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM v
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (per-bit majority vote, map-side combined)."""
+    return D.simhash(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+_N_QUERIES = 8  # bounded query set for the brute-force baseline
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _norm_sql(a: str) -> str:
+    sq = " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE"
+        for i in range(1, DIM + 1)
+    )
+    return f"sqrt({sq})"
+
+
+_COSINE_SQL = f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ({_dot_sql('q', 'c')}) / ({_norm_sql('q')} * {_norm_sql('c')}) AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+
+@query("ann_cosine_topk", oracle=_COSINE_SQL)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a bounded query set (broadcast join)."""
+    embs = _embs(spark, sf_dir)
+    return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
+
+
+@query("ann_lsh_topk")  # numpy hyperplanes → no SQL twin; rows-only check
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 — the 100 TB scale path; recall is
+    checked against ann_cosine_topk in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_lsh_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
+
+
+_NORMS_SQL = f"""
+SELECT vec_id, {_norm_sql('embeddings')} AS l2_norm FROM embeddings
+"""
+
+
+@query("embedding_norms", oracle=_NORMS_SQL)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row L2 norm (embedding quality filter)."""
+    return S.embedding_norms(_embs(spark, sf_dir), DIM)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (documents.text bytes as the stand-in payload)
+# --------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return M.as_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "txt", "source")
+
+
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 16)) AS header_hash,
+       CAST(1 + ord(substr(text, 1, 1)) AS INTEGER) AS fake_width,
+       CAST(1 + ord(substr(text, least(length(text), 16), 1)) AS INTEGER) AS fake_height,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                    i -> ord(substr(text, i, 1)))) AS DOUBLE)
+         / length(text) AS byte_mean
+FROM documents
+"""
+
+
+@query("media_features", oracle=_MEDIA_FEATURES_SQL)
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary media (deterministic fake
+    decode — real decoders are stubbed per the environment constraints)."""
+    return M.extract_media_features(_media(spark, sf_dir))
+
+
+_MEDIA_FRAMES_SQL = """
+SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
+       CAST(length(substr(text, CAST(j AS INTEGER) * 64 + 1, 64)) AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(j AS INTEGER) * 64 + 1, 64)) AS frame_md5
+FROM (
+  SELECT doc_id AS media_id, text,
+         unnest(generate_series(0, least(8, greatest(1, length(text) // 64)) - 1)) AS j
+  FROM documents
+)
+"""
+
+
+@query("media_frames", oracle=_MEDIA_FRAMES_SQL)
+def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 64-byte window, ≤8 per media.
+    The registered result projects (len, md5) of each binary frame — raw
+    bytes stay executor-side; the comparator gets hashable columns."""
+    frames = M.sample_frames(_media(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force top-k for a bounded query set.  The dot
+  product / norms are generated as explicit left-associated arithmetic
+  chains over the (fixed, known) dimension so results are bit-identical to
+  the DuckDB oracle; Catalyst folds the chain into whole-stage codegen.
+- :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH bucketing
+  (sign bits of Gaussian projections) + within-bucket brute force via an
+  Arrow-vectorized pandas UDF.  Candidates come from bucket equi-joins
+  (multi-probe over ``n_tables`` independent tables), never all-pairs.
+- :func:`embedding_norms` — per-row L2 norms (quality filter for pipelines).
+
+Scale notes: brute-force is O(|Q| x N) — keep |Q| bounded or use LSH; the
+LSH join shuffles on (table, bucket) keys only.  For 100 TB, add an IVF
+coarse quantizer (k-means centroids broadcast, probe nearest cells) — same
+join shape, centroid assignment replaces the hash.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["dot_chain", "cosine_topk", "ann_lsh_topk", "embedding_norms"]
+
+
+def _elem(col: str, i: int) -> "F.Column":
+    # 1-indexed like SQL; cast float->double *before* arithmetic (oracle parity)
+    return F.element_at(F.col(col), i).cast("double")
+
+
+def dot_chain(a_col: str, b_col: str, dim: int) -> "F.Column":
+    """Explicit left-associated dot product over a fixed dimension."""
+    return reduce(
+        lambda acc, i: acc + _elem(a_col, i) * _elem(b_col, i),
+        range(2, dim + 1),
+        _elem(a_col, 1) * _elem(b_col, 1),
+    )
+
+
+def _norm_chain(col: str, dim: int) -> "F.Column":
+    return F.sqrt(
+        reduce(
+            lambda acc, i: acc + _elem(col, i) * _elem(col, i),
+            range(2, dim + 1),
+            _elem(col, 1) * _elem(col, 1),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row against every candidate row
+    (minus self).  The queries side is broadcast; ranking ties break on the
+    neighbour id so output is deterministic."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = q.join(c, F.col("q_id") != F.col("neighbor_id"))
+    cos = dot_chain("q_vec", "c_vec", dim) / (
+        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_norms(
+    embeddings: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2 norm per embedding (explicit chain; oracle-verifiable)."""
+    e = embeddings.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    return e.select(id_col, _norm_chain("__v", dim).alias("l2_norm"))
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing + within-bucket
+    brute force.
+
+    Both sides are bucketed by an Arrow-batched pandas UDF computing the
+    sign-bit code per (table, vector); the candidate join is an equi-join on
+    (table, bucket).  Exact cosine re-rank happens only inside buckets.
+    Recall grows with ``n_tables`` (multi-probe); tune (n_planes, n_tables)
+    for the recall/cost point you need.
+    """
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    bits = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_codes(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        out = []
+        codes = np.empty((len(m), planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            signs = (m @ planes[t].T) > 0  # (n, n_planes)
+            codes[:, t] = signs @ bits
+        return pd.Series(list(codes))
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                F.posexplode(bucket_codes(F.col(vec_col))).alias("table_idx", "bucket"),
+            )
+        )
+
+    qb = with_buckets(queries, "q")
+    cb = with_buckets(embeddings, "c")
+    cand = (
+        qb.join(cb, on=["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
+        .distinct()
+    )
+    cos = dot_chain("q_vec", "c_vec", dim) / (
+        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,145 @@
+"""Text analysis for large-scale training-data pipelines: statistics,
+quality signals, language ID, token counting, fingerprinting.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs.  Every function has an ANSI-SQL
+twin in ``pyfads.llm_queries`` so DuckDB can verify it; shared hashing is
+md5-based (identical across engines), never engine-specific xxhash.
+
+Scale: all operators are embarrassingly parallel per-row projections or
+map-side-combined aggregations — no shuffles except where noted.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "md5_hash60",
+    "tokens",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "fingerprint",
+    "LANG_MARKERS",
+    "EN_STOPWORDS",
+]
+
+EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "a"]
+
+# Real stopword markers per language; scoring = occurrence count (with
+# multiplicity) of marker tokens.  Deterministic tie-break: first language
+# in sorted key order reaching the max score.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "que", "los", "es", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我", "不"],
+}
+
+
+def md5_hash60(col: Column, seed: str) -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracles:
+    first 15 hex chars of md5(seed || ':' || value), base-16 parsed.
+
+    (Spark's native xxhash64 has no DuckDB twin; md5 exists in both with
+    identical output, so cross-engine-verifiable operators use this.)
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics: lengths, token counts, punctuation
+    and stopword ratios — the standard quality-scoring feature set."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("mean_token_chars"),
+        (n_punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex token counting: words, numbers, symbols, BPE-ish pieces
+    (alpha runs | digit runs | single symbols)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)).cast("long").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).cast("long").alias("n_num_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("long").alias("n_sym_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", markers: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Language ID via marker-token (stopword n-gram) counting.  Scores each
+    language by marker occurrences; argmax with first-in-sorted-order ties."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+    def _score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: F.filter treats 2-arg lambdas as (element, index)
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(markers[lang]) for lang in sorted(markers)}
+    m = F.greatest(*scores.values()) if len(scores) > 1 else list(scores.values())[0]
+    pred = None
+    for lang in sorted(markers):
+        cond = scores[lang] == m
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    out = df.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in sorted(markers)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text plus a
+    winnowing-style rolling fingerprint (min 60-bit hash over all char
+    8-grams — robust to local edits)."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), " +", " "))
+    # rolling 8-gram min-hash over the normalized text
+    n = F.greatest(F.length(norm) - F.lit(7), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("win"), norm.substr(i, F.lit(8)))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.array_min(grams).alias("fp_winnow"),
+    )

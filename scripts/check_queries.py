@@ -22,6 +22,10 @@ def compare(name, spark_df, duck_df):
     if sc != dc:
         problems.append(f"cols: spark={sc} duck={dc}")
         return problems
+    for df in (spark_df, duck_df):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+                df[c] = df[c].map(lambda v: bytes(v).hex() if v is not None else None)
     s = spark_df[sc].sort_values(sc).reset_index(drop=True)
     d = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(s) == len(d):

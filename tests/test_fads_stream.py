@@ -1,0 +1,210 @@
+"""Streaming FADS parity tests (P6 stream / G1 / G3 / G14).
+
+Strategy: chunk the sf0.001 events into ordered parquet files, stream them
+with ``maxFilesPerTrigger=1`` (3 micro-batches), and check that the
+state-carrying streaming operator releases exactly what the batch run
+releases before its end-of-stream flush — then that the timeout path and the
+foreachBatch fallback produce the flush tail too."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyfads import FADSConfig
+from pyfads.fads_batch import fads_generalize, run_fads_pandas
+from pyfads.fads_core import FADSState
+from pyfads.fads_stream import ForeachBatchFADS, fads_generalize_stream, make_stream_handler
+from pyfads.io import events_with_arrival
+
+SF_DIR = "/root/testdata/sf0.001"
+N_CHUNKS = 3
+
+
+def _cfg() -> FADSConfig:
+    return FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    return (
+        events_with_arrival(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["arrival_ms", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(events_pdf, tmp_path_factory):
+    """Events split into N ordered parquet files (mtime-ordered for the
+    file source's processing order)."""
+    d = tmp_path_factory.mktemp("event_chunks")
+    for i, part in enumerate(np.array_split(events_pdf, N_CHUNKS)):
+        p = d / f"chunk_{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+def _expected_released(events_pdf, cfg):
+    """Pure-Python expected: process-only releases (no flush) over the full
+    arrival-ordered input."""
+    st = FADSState(cfg)
+    rel = st.process(
+        events_pdf[cfg.pid_col].to_numpy(),
+        events_pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
+        events_pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
+    )
+    # exact floats: the state machine only copies/min/maxes values, never
+    # rounds — and np.round at epoch-millis magnitude introduces artifacts
+    return {
+        (int(pid), *map(float, lo), *map(float, hi))
+        for pid, lo, hi in zip(rel.row_ids, rel.lo, rel.hi)
+    }, st
+
+
+def _rows_to_set(rows, cfg):
+    qid = list(cfg.qid_cols)
+    return {
+        (
+            int(r["event_id"]),
+            *[float(r[f"{q}_lo"]) for q in qid],
+            *[float(r[f"{q}_hi"]) for q in qid],
+        )
+        for r in rows
+    }
+
+
+def test_stream_releases_match_batch_process(spark, events_pdf, chunk_dir):
+    cfg = _cfg()
+    src = (
+        spark.readStream.schema(
+            spark.createDataFrame(events_pdf.head(1)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    out = fads_generalize_stream(src, cfg, flush_after_ms=3_600_000)
+    # NB: with a processing-time timeout armed the query keeps scheduling
+    # state-cleanup batches, so processAllAvailable/availableNow never
+    # terminate — poll the sink for the expected release count instead
+    expected_n = len(events_pdf) - cfg.buffer_rows
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fads_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 240
+        while _t.time() < deadline:
+            if spark.table("fads_stream_out").count() >= expected_n:
+                break
+            _t.sleep(2)
+        got = spark.table("fads_stream_out").collect()
+    finally:
+        q.stop()
+    expected, _ = _expected_released(events_pdf, cfg)
+    assert _rows_to_set(got, cfg) == expected
+    # releases strictly precede the flush tail: buffer_rows stay pending
+    assert len(got) == len(events_pdf) - cfg.buffer_rows
+
+
+def test_timeout_flush_drains_buffer(events_pdf):
+    """G14: the idle-timeout path emits exactly the buffered tail with the
+    same intervals the batch flush assigns."""
+    cfg = _cfg()
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    handler = make_stream_handler(cfg, list(events_pdf.columns), 1000)
+    st = FakeState()
+    released = list(handler((1,), iter([events_pdf]), st))
+    assert st.exists  # buffer carried in state
+
+    st.hasTimedOut = True
+    flushed = list(handler((1,), iter([]), st))
+    assert st.removed
+    tail = pd.concat(flushed)
+    assert len(tail) == cfg.buffer_rows
+
+    # batch run == stream releases + stream flush, row for row
+    batch = run_fads_pandas(events_pdf, cfg)
+    stream_all = pd.concat([*released, tail])
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    s = stream_all[b.columns].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_foreach_batch_fallback_parity(spark, events_pdf, chunk_dir):
+    cfg = _cfg()
+    src = (
+        spark.readStream.schema(spark.createDataFrame(events_pdf.head(1)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    fb = ForeachBatchFADS(cfg)
+    q = src.writeStream.foreachBatch(fb).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    tail = fb.flush()
+    stream_all = pd.concat([*fb.outputs, tail])
+
+    batch = fads_generalize(
+        events_with_arrival(spark, SF_DIR), cfg
+    ).toPandas()
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    s = stream_all[b.columns].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_stream_state_pickle_roundtrip(events_pdf):
+    """State blob survives pickle (what GroupState actually stores)."""
+    cfg = _cfg()
+    st = FADSState(cfg)
+    st.process(
+        events_pdf[cfg.pid_col].to_numpy()[:100],
+        events_pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64)[:100],
+        events_pdf[cfg.arrival_col].to_numpy(dtype=np.int64)[:100],
+    )
+    blob = pickle.dumps((st, events_pdf.head(50)))
+    st2, pending2 = pickle.loads(blob)
+    assert len(st2.buffer) == len(st.buffer)
+    assert np.array_equal(st2.glo, st.glo)
+    assert len(pending2) == 50

@@ -24,11 +24,15 @@ from pyfads.text import md5_hash60, tokens
 __all__ = [
     "exact_dedup",
     "shingles",
+    "shingle_sets",
     "minhash_signature",
     "minhash_band_pairs",
     "jaccard_verify",
     "minhash_near_dup_pairs",
     "simhash",
+    "MINHASH_P",
+    "MINHASH_A",
+    "MINHASH_B",
 ]
 
 
@@ -50,28 +54,56 @@ def shingles(text_col: str = "text", k: int = 3) -> "F.Column":
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    # try_element_at: docs with < k tokens index past the end — ANSI mode
+    # hard-fails element_at there; NULLs are skipped by concat_ws, matching
+    # DuckDB's out-of-bounds toks[i] -> NULL oracle semantics
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(k)]
+            " ", *[F.try_element_at(toks, (i + F.lit(j)).cast("int")) for j in range(k)]
         ),
     )
+
+
+# Universal-hash permutation constants: mh_j = min((A[j]*h + B[j]) mod P)
+# over base hashes h = md5_hash60(shingle) mod P.  One md5 per shingle for
+# ALL permutations (vs one per shingle*permutation) — the constants are
+# seeded so the DuckDB oracle builder reproduces them exactly.
+MINHASH_P = 2_147_483_647  # 2^31 - 1: A*h + B stays well inside int64
+_rng = __import__("random").Random(0xFAD5)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+del _rng
 
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 16, k: int = 3
 ) -> DataFrame:
-    """MinHash signature: mh_j = min over shingles of H(shingle, seed j).
+    """MinHash signature: mh_j = min over shingles of ((A_j*h + B_j) mod P)
+    with h the 60-bit md5 base hash mod P.
 
-    Pure built-ins (transform + array_min over the shingle array) — per-row
-    projection, no shuffle, codegen-friendly.
+    Shape: explode shingles → hash once → groupBy doc with n_perm min aggs.
+    The min is map-side combined, so the shuffle carries one row of n_perm
+    longs per document — not the shingles.  (A flat ``array_min(transform(
+    ...))`` projection re-inlines the shingle array into every permutation
+    lambda: 16x recompute and a codegen blowup — measured 20x slower.)
     """
-    sh = shingles(text_col, k)
-    cols = [
-        F.array_min(F.transform(sh, lambda s, j=j: md5_hash60(s, f"mh{j}"))).alias(f"mh{j}")
+    h = (md5_hash60(F.col("__s"), "mh") % MINHASH_P).alias("__h")
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__s")
+    ).select(id_col, h)
+    mins = [
+        F.min((F.col("__h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"mh{j}")
         for j in range(n_perm)
     ]
-    return df.select(id_col, sh.alias("shingles"), *cols)
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles array) projection — the verify-join side."""
+    return df.select(F.col(id_col), shingles(text_col, k).alias("shingles"))
 
 
 def _band_key(band: int, rows: int) -> "F.Column":
@@ -110,15 +142,15 @@ def minhash_band_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+    pairs: DataFrame, sh_df: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
 ) -> DataFrame:
     """Exact n-gram Jaccard over distinct shingle sets for candidate pairs.
 
     jac = |distinct(A) ∩ distinct(B)| / |distinct(A ∪ B)|; two equi-joins
-    to fetch the shingle arrays (candidate set is small, ∝ true dups).
+    against :func:`shingle_sets` (candidate set is small, ∝ true dups).
     """
-    sa = sigs.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
-    sb = sigs.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    sa = sh_df.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sh_df.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
     j = (
         pairs.join(sa, "a_id")
         .join(sb, "b_id")
@@ -141,9 +173,9 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → bands → bucketed
     candidate join → exact Jaccard verify."""
-    sigs = minhash_signature(df, text_col, id_col, n_perm).cache()
+    sigs = minhash_signature(df, text_col, id_col, n_perm)
     pairs = minhash_band_pairs(sigs, id_col, n_perm, bands)
-    return jaccard_verify(pairs, sigs, id_col, threshold)
+    return jaccard_verify(pairs, shingle_sets(df, text_col, id_col), id_col, threshold)
 
 
 def simhash(

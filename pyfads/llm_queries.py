@@ -155,10 +155,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(n_perm: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    # mirror pyfads.dedup: one base hash per shingle, universal-hash perms
+    # mh_j = min((A_j*h + B_j) % P) — same seeded constants as the Spark side
+    P, A, B = D.MINHASH_P, D.MINHASH_A, D.MINHASH_B
     rows = n_perm // bands
     mh_cols = ", ".join(
-        f"list_min(list_transform(sh, s2 -> {_h60(f'mh{j}', 's2')})) AS mh{j}"
-        for j in range(n_perm)
+        f"min((h * {A[j]} + {B[j]}) % {P}) AS mh{j}" for j in range(n_perm)
     )
     bk_exprs = ", ".join(
         "md5(concat_ws(',', "
@@ -175,7 +177,9 @@ s AS (
                         i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
   FROM t
 ),
-m AS (SELECT doc_id, sh, {mh_cols} FROM s),
+e AS (SELECT doc_id, {_h60("mh", "s2")} % {P} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s2 FROM s)),
+m AS (SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id),
 banded AS (
   SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band_idx,
          unnest({bk_list}) AS band_key
@@ -190,8 +194,8 @@ SELECT p.a_id, p.b_id,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
 FROM pairs p
-JOIN m sa ON sa.doc_id = p.a_id
-JOIN m sb ON sb.doc_id = p.b_id
+JOIN s sa ON sa.doc_id = p.a_id
+JOIN s sb ON sb.doc_id = p.b_id
 WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
 """

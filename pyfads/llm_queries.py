@@ -277,6 +277,47 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
 
+def _near_dup_sql(threshold: float = 0.9) -> str:
+    """Exact all-pairs twin (DuckDB can afford |N|^2 at oracle scale).
+    Matches the Spark LSH result iff LSH recall is 1 on qualifying pairs —
+    guaranteed for the planted scaled copies (identical sign bits) and
+    vacuous otherwise (random Gaussians never reach cosine 0.9)."""
+    dot = " + ".join(f"a.embedding[{i}]::DOUBLE * b.embedding[{i}]::DOUBLE" for i in range(1, DIM + 1))
+    na = "sqrt(" + " + ".join(f"a.embedding[{i}]::DOUBLE * a.embedding[{i}]::DOUBLE" for i in range(1, DIM + 1)) + ")"
+    nb = "sqrt(" + " + ".join(f"b.embedding[{i}]::DOUBLE * b.embedding[{i}]::DOUBLE" for i in range(1, DIM + 1)) + ")"
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM base WHERE vec_id < 32
+),
+u AS (SELECT vec_id, embedding FROM base UNION ALL SELECT vec_id, embedding FROM planted)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ({dot}) / ({na} * {nb}) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE ({dot}) / ({na} * {nb}) >= {threshold}
+"""
+
+
+@query("embedding_near_dup", oracle=_near_dup_sql())
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
+    cosine verify — semantic dedup's scale shape (no |N|^2 cross product).
+
+    The random-Gaussian fixtures contain no true near-dups, so the query
+    plants exact duplicates (scaled copies: cosine is scale-invariant and
+    the sign bits — hence LSH buckets — are identical) for vec_id < 32 and
+    must recover precisely those pairs; recall on *perturbed* neighbours is
+    tested in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return S.embedding_near_dup_pairs(embs.unionByName(planted), DIM, threshold=0.9)
+
+
 @query("ann_lsh_topk")  # numpy hyperplanes → no SQL twin; rows-only check
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 — the 100 TB scale path; recall is

@@ -25,7 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dot_chain", "cosine_topk", "ann_lsh_topk", "embedding_norms"]
+__all__ = [
+    "dot_chain",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "embedding_norms",
+]
 
 
 def _elem(col: str, i: int) -> "F.Column":
@@ -93,6 +99,68 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def _bucketer(dim: int, n_planes: int, n_tables: int, seed: int, id_col: str, vec_col: str):
+    """Returns f(df, prefix) -> (prefix_id, prefix_vec, table_idx, bucket)
+    with one row per (vector, LSH table): sign-bit bucket codes from an
+    Arrow-batched pandas UDF over broadcast-size hyperplanes."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    bits = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_codes(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        codes = np.empty((len(m), planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            signs = (m @ planes[t].T) > 0  # (n, n_planes)
+            codes[:, t] = signs @ bits
+        return pd.Series(list(codes))
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(bucket_codes(F.col(vec_col))).alias("table_idx", "bucket"),
+        )
+
+    return with_buckets
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id < b_id, cosine >= threshold).
+
+    The scale path for semantic dedup: LSH self-join on (table, bucket) —
+    near-identical vectors collide with probability ~(1 - theta/pi)^n_planes
+    per table, ~1 for true dups — then exact cosine verify inside buckets.
+    Shuffle keys are bucket codes only; candidates ∝ true duplicates, never
+    the |N|^2 cross product."""
+    with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
+    a = with_buckets(embeddings, "a")
+    b = with_buckets(embeddings, "b")
+    cand = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_vec", "b_id", "b_vec")
+        .distinct()
+    )
+    cos = dot_chain("a_vec", "b_vec", dim) / (
+        _norm_chain("a_vec", dim) * _norm_chain("b_vec", dim)
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -113,28 +181,7 @@ def ann_lsh_topk(
     Recall grows with ``n_tables`` (multi-probe); tune (n_planes, n_tables)
     for the recall/cost point you need.
     """
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    bits = (1 << np.arange(n_planes)).astype(np.int64)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucket_codes(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())  # (n, dim)
-        out = []
-        codes = np.empty((len(m), planes.shape[0]), dtype=np.int64)
-        for t in range(planes.shape[0]):
-            signs = (m @ planes[t].T) > 0  # (n, n_planes)
-            codes[:, t] = signs @ bits
-        return pd.Series(list(codes))
-
-    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).alias(f"{prefix}_vec"),
-                F.posexplode(bucket_codes(F.col(vec_col))).alias("table_idx", "bucket"),
-            )
-        )
-
+    with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
     qb = with_buckets(queries, "q")
     cb = with_buckets(embeddings, "c")
     cand = (

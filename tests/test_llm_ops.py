@@ -88,6 +88,29 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
             assert r["cosine"] == exact_cos[key]
 
 
+def test_embedding_near_dup_planted(spark):
+    """Plant near-identical vector pairs among random Gaussians: LSH bucket
+    self-join must recover them (true dups collide with prob ~1), exact
+    cosine must match brute force, and random non-dup pairs must not appear."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 16))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(100)]
+    # plant 5 near-dups: ids 100+j is a tiny perturbation of j
+    for j in range(5):
+        v = base[j] + 1e-4 * rng.standard_normal(16)
+        rows.append(Row(vec_id=100 + j, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in S.embedding_near_dup_pairs(df, dim=16, threshold=0.95).collect()
+    }
+    assert {(j, 100 + j) for j in range(5)} <= got
+    # random 16-dim Gaussians essentially never reach cosine 0.95
+    assert got == {(j, 100 + j) for j in range(5)}
+
+
 def test_text_stats_known_values(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat, the hat! 99")])
     r = X.text_stats(df).collect()[0]

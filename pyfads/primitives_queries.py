@@ -303,6 +303,91 @@ def p3_pid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g1_arrival_buffer",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS buffer_pos
+FROM events
+""",
+)
+def g1_arrival_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — arrival-ordered buffer (Generalizer.java:50, 335-340): the
+    min-heap's deterministic pop order, keyed per user (the scale-out
+    partitioning), with event_id as the tie-break the reference leaves
+    arbitrary."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("buffer_pos")
+    )
+
+
+_G3_REUSE_MS = 15 * 24 * 3600 * 1000  # 15 days — splits the 30-day event span
+
+
+@query(
+    "g3_cluster_ttl",
+    oracle=f"""
+WITH now_t AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events)
+SELECT event_id, epoch_ms(ts) AS created_ms
+FROM events CROSS JOIN now_t
+WHERE epoch_ms(ts) + {_G3_REUSE_MS} >= now_ms
+""",
+)
+def g3_cluster_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — cluster TTL expiry (Generalizer.java:117-120): drop entries whose
+    creation time is more than reuse_ms behind the newest arrival.  The
+    one-row "now" aggregate is broadcast, so the filter is a map-side scan."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr("ts div 1000000").alias("created_ms")
+    )
+    now = ev.agg(F.max("created_ms").alias("now_ms"))
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .filter(F.col("created_ms") + F.lit(_G3_REUSE_MS) >= F.col("now_ms"))
+        .select("event_id", "created_ms")
+    )
+
+
+_G4_BUFFER_ROWS = 30
+
+
+@query(
+    "g4_buffer_trigger",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_id, user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS arrival_seq,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_id, user_id, arrival_seq
+FROM seq WHERE arrival_seq <= n - {_G4_BUFFER_ROWS}
+""",
+)
+def g4_buffer_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — buffer-pressure trigger (Generalizer.java:122-125, count
+    semantics per SURVEY.md §2.5.4): with a {_G4_BUFFER_ROWS}-row buffer per
+    user, the rows forced out by pressure are all but the {_G4_BUFFER_ROWS}
+    newest — one window over the per-user arrival order, no self-join."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("arrival_seq"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("arrival_seq") <= F.col("n") - _G4_BUFFER_ROWS)
+        .select("event_id", "user_id", "arrival_seq")
+    )
+
+
+@query(
     "p4_arrival_enrich",
     oracle="""
 SELECT event_id, epoch_ms(ts) AS arrival_ms,

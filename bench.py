@@ -27,6 +27,10 @@ from pyfads.metrics import BatchThroughput, observe_count  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# best-of-N per query: rep 1 pays JIT/python-worker warmup and host noise
+# (observed 3-20x swings on an otherwise idle box); the min is the
+# reproducible steady-state number
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def build_spark() -> SparkSession:
@@ -63,19 +67,24 @@ def main() -> None:
         if only and name not in only:
             continue
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, SF_DIR)
-            if name == "fads_generalize_events":
-                df, obs = observe_count(df)
-                with BatchThroughput(name) as bt:
+            best = float("inf")
+            for _ in range(max(REPS, 1)):
+                df = fn(spark, SF_DIR)
+                if name == "fads_generalize_events":
+                    df, obs = observe_count(df)
+                    with BatchThroughput(name) as bt:
+                        force(df)
+                    sec = bt.seconds
+                    if sec < best:
+                        flagship_rows = int(obs.get["rows"])
+                        flagship_sec = sec
+                else:
+                    t0 = time.perf_counter()
                     force(df)
-                flagship_rows = int(obs.get["rows"])
-                flagship_sec = bt.seconds
-                timings[name] = round(bt.seconds, 3)
-            else:
-                force(df)
-                timings[name] = round(time.perf_counter() - t0, 3)
+                    sec = time.perf_counter() - t0
+                best = min(best, sec)
+            timings[name] = round(best, 3)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -91,6 +100,7 @@ def main() -> None:
         "rows": flagship_rows,
         "rows_per_sec": round(rows_per_sec, 1),
         "total_sec": round(sum(t for t in timings.values() if t > 0), 3),
+        "reps": REPS,
     }
     print(json.dumps(out))
     spark.stop()

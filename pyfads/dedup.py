@@ -29,6 +29,8 @@ __all__ = [
     "minhash_band_pairs",
     "jaccard_verify",
     "minhash_near_dup_pairs",
+    "char_ngrams",
+    "jaccard_ngram_pairs",
     "simhash",
     "MINHASH_P",
     "MINHASH_A",
@@ -176,6 +178,49 @@ def minhash_near_dup_pairs(
     sigs = minhash_signature(df, text_col, id_col, n_perm)
     pairs = minhash_band_pairs(sigs, id_col, n_perm, bands)
     return jaccard_verify(pairs, shingle_sets(df, text_col, id_col), id_col, threshold)
+
+
+def char_ngrams(text_col: str = "text", n: int = 4) -> "F.Column":
+    """Distinct character n-grams of the text (ASCII corpus: byte == char)."""
+    t = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def jaccard_ngram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Char n-gram Jaccard near-dup pairs with min-wise blocking.
+
+    Blocking key = the min 60-bit hash over a doc's distinct n-grams (a
+    1-permutation MinHash): docs with Jaccard j collide with probability j,
+    so recall at threshold 0.6+ is >= 0.6 per pass while the only shuffle
+    key is one 8-byte hash per document — never the |N|^2 cross product.
+    Candidates are then verified with exact Jaccard over the distinct-gram
+    sets.
+    """
+    grams = df.select(F.col(id_col), char_ngrams(text_col, n).alias("__g"))
+    keyed = grams.select(
+        id_col,
+        "__g",
+        F.array_min(F.transform("__g", lambda g: md5_hash60(g, "jg"))).alias("__bk"),
+    )
+    a = keyed.select(F.col(id_col).alias("a_id"), F.col("__g").alias("a_g"), "__bk")
+    b = keyed.select(F.col(id_col).alias("b_id"), F.col("__g").alias("b_g"), "__bk")
+    j = (
+        a.join(b, "__bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a_g", "b_g")).cast("double")
+            / F.size(F.array_union("a_g", "b_g")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
 
 
 def simhash(

@@ -23,6 +23,7 @@ from pyfads.schema import TAXI_CSV_TOKEN_ORDER, TAXI_RIDE_SCHEMA
 
 __all__ = [
     "read_table",
+    "spread",
     "read_taxi_csv",
     "parse_taxi_lines",
     "parse_csv_with_pid",
@@ -49,6 +50,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer partitions than
+    cores — a small input file otherwise pins CPU-heavy per-row work (md5
+    fingerprints, minhash signatures) to one task.  On a real cluster the
+    scan already has >= cores partitions and this is a no-op, so the 100 TB
+    path never pays the shuffle."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:

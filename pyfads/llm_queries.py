@@ -23,17 +23,22 @@ from pyfads import dedup as D
 from pyfads import multimodal as M
 from pyfads import similarity as S
 from pyfads import text as X
-from pyfads.io import read_table
+from pyfads.io import read_table, spread
 from pyfads.queries import query
 
 DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    # one small parquet file at test SFs — spread the CPU-heavy per-row
+    # hashing across cores (no-op once the scan itself is wide)
+    return spread(read_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: every embedding op joins/aggregates (its own shuffle);
+    # a pre-shuffle here was measured to re-execute per join branch and
+    # tripled embedding_near_dup's wall time
     return read_table(spark, sf_dir, "embeddings")
 
 
@@ -69,6 +74,36 @@ FROM documents
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics (all JVM built-ins, zero shuffles)."""
     return X.text_stats(_docs(spark, sf_dir))
+
+
+_QUALITY_SQL = f"""
+WITH s AS ({_TEXT_STATS_SQL}),
+f AS (
+  SELECT doc_id,
+         n_tokens < 10 AS flag_short,
+         (mean_token_chars < 3.0) OR (mean_token_chars > 10.0) AS flag_token_len,
+         punct_ratio > 0.2 AS flag_punct,
+         stopword_ratio < 0.03 AS flag_stop,
+         (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) < 0.3 AS flag_repeat
+  FROM s
+),
+n AS (
+  SELECT *, CAST(CAST(flag_short AS INT) + CAST(flag_token_len AS INT)
+                 + CAST(flag_punct AS INT) + CAST(flag_stop AS INT)
+                 + CAST(flag_repeat AS INT) AS BIGINT) AS n_flags
+  FROM f
+)
+SELECT doc_id, flag_short, flag_token_len, flag_punct, flag_stop, flag_repeat,
+       n_flags, 1.0 - CAST(n_flags AS DOUBLE) / 5.0 AS quality_score,
+       n_flags = 0 AS quality_pass
+FROM n
+"""
+
+
+@query("quality_score", oracle=_QUALITY_SQL)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule flags + composite quality score/verdict."""
+    return X.quality_score(_docs(spark, sf_dir))
 
 
 _TOKEN_COUNTS_SQL = r"""
@@ -225,6 +260,33 @@ SELECT doc_id, ({sig}) AS simhash FROM v
 """
 
 
+def _jaccard_ngram_sql(n: int = 4, threshold: float = 0.6) -> str:
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 1)),"
+        f" i -> substr(text, i, {n})))"
+    )
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.grams, b.grams)))"
+    )
+    return f"""
+WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),
+k AS (SELECT doc_id, grams,
+             list_min(list_transform(grams, s -> {_h60("jg", "s")})) AS bk
+      FROM g)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, {jac} AS jaccard
+FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+"""
+
+
+@query("dedup_jaccard_ngram", oracle=_jaccard_ngram_sql())
+def dedup_jaccard_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char 4-gram Jaccard near-dup with min-wise blocking (1-perm MinHash):
+    shuffle key is one 8-byte hash per doc, verify is exact Jaccard."""
+    return D.jaccard_ngram_pairs(_docs(spark, sf_dir))
+
+
 @query("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (per-bit majority vote, map-side combined)."""
@@ -316,6 +378,14 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     return S.embedding_near_dup_pairs(embs.unionByName(planted), DIM, threshold=0.9)
+
+
+@query("ann_ivf_topk")  # numpy codebook → no SQL twin; rows-only check
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized approximate top-10 (FAISS-style cells, n_probe=4);
+    recall vs brute force is asserted in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
 
 @query("ann_lsh_topk")  # numpy hyperplanes → no SQL twin; rows-only check

@@ -29,6 +29,7 @@ __all__ = [
     "dot_chain",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -196,6 +197,73 @@ def ann_lsh_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Seeded unit-norm coarse centroids (fixed random codebook — the IVF
+    plumbing; swap in k-means-trained centroids without touching the plan)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to its nearest
+    centroid cell; queries probe their ``n_probe`` nearest cells; exact
+    cosine re-rank runs only inside probed cells.
+
+    The scale shape of FAISS-style IVF on Spark: the codebook is tiny and
+    broadcast inside the Arrow-batched assignment UDF; the candidate join is
+    an equi-join on the cell id (shuffle key = one int per vector), never
+    all-pairs.  Recall grows with ``n_probe``; cost ∝ n_probe/n_centroids of
+    brute force."""
+    cents = _centroids(dim, n_centroids, seed)
+
+    def _cells(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy())  # (n, dim)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents.T  # (n, n_centroids)
+            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(list(top))
+
+        return assign
+
+    cb = embeddings.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(_cells(1)(F.col(vec_col))).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_cells(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cos = dot_chain("q_vec", "c_vec", dim) / (
+        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        qb.join(cb, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
+        .distinct()
+        .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")

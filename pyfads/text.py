@@ -20,6 +20,7 @@ __all__ = [
     "md5_hash60",
     "tokens",
     "text_stats",
+    "quality_score",
     "token_counts",
     "lang_id",
     "fingerprint",
@@ -81,6 +82,35 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score: Gopher-style rule flags over the
+    :func:`text_stats` features, a [0,1] score (1 − flagged/5), and a
+    keep/drop verdict.  Pure column arithmetic on top of the stats
+    projection — per-row, no shuffle."""
+    s = text_stats(df, text_col)
+    flags = {
+        "flag_short": F.col("n_tokens") < 10,
+        "flag_token_len": (F.col("mean_token_chars") < 3.0)
+        | (F.col("mean_token_chars") > 10.0),
+        "flag_punct": F.col("punct_ratio") > 0.2,
+        "flag_stop": F.col("stopword_ratio") < 0.03,
+        "flag_repeat": (
+            F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+        )
+        < 0.3,
+    }
+    n_flags = reduce(
+        lambda a, b: a + b, [f.cast("int") for f in flags.values()]
+    ).cast("long")
+    return s.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in flags.items()],
+        n_flags.alias("n_flags"),
+        (F.lit(1.0) - n_flags.cast("double") / F.lit(5.0)).alias("quality_score"),
+        (n_flags == 0).alias("quality_pass"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Regex token counting: words, numbers, symbols, BPE-ish pieces
     (alpha runs | digit runs | single symbols)."""
@@ -127,32 +157,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     winnowing-style rolling fingerprint (min 60-bit hash over all char
     8-grams — robust to local edits).
 
-    Shape: normalize once per document, explode the gram positions, hash,
-    groupBy-min (map-side combined).  A ``transform`` lambda over positions
-    would re-inline the whole-document normalization per element — O(len^2)
-    regex work per document (measured ~25x slower)."""
+    Shape: normalize once per document, then per-row ``transform`` over the
+    gram positions + ``array_min`` — zero shuffles, zero row blow-up (the
+    earlier explode + groupBy-min shipped every gram through a shuffle and
+    was ~4x slower even single-threaded).  The normalization is projected
+    into its own column first; it is referenced twice (length + lambda), so
+    CollapseProject keeps it materialized once per document instead of
+    re-inlining the regex per gram."""
     t = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.lower(t), " +", " "))
     n_df = df.select("doc_id", norm.alias("__norm"))
-    pos = n_df.select(
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(7), F.lit(1)))
+
+    def gram_hash(i: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("win"), F.col("__norm").substr(i, F.lit(8)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return n_df.select(
         "doc_id",
-        "__norm",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(7), F.lit(1)))
-        ).alias("__i"),
-    )
-    gram_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit("win"), F.col("__norm").substr(F.col("__i"), F.lit(8)))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        pos.select("doc_id", F.md5("__norm").alias("fp_md5"), gram_hash.alias("__g"))
-        .groupBy("doc_id", "fp_md5")
-        .agg(F.min("__g").alias("fp_winnow"))
-        .select("doc_id", "fp_md5", "fp_winnow")
+        F.md5("__norm").alias("fp_md5"),
+        F.array_min(F.transform(idx, gram_hash)).alias("fp_winnow"),
     )

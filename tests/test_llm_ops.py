@@ -111,6 +111,48 @@ def test_embedding_near_dup_planted(spark):
     assert got == {(j, 100 + j) for j in range(5)}
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    embs = read_table(spark, SF_DIR, "embeddings")
+    q = embs.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(embs, q, dim=64, k=10).collect()
+    approx = S.ann_ivf_topk(embs, q, dim=64, k=10, n_centroids=16, n_probe=4).collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 cells scans ~25% of vectors; near neighbours concentrate
+    # in the query's cells, measured recall well above the floor
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    exact_cos = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def test_jaccard_ngram_pairs(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.jaccard_ngram_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical texts: same min-gram, jaccard 1
+    # docs 1 and 3 share all but the final word; char-4-gram jaccard is high
+    # but blocking only finds them if the min-hashed gram is shared — accept
+    # either, but doc 4 must never pair with anything
+    assert all(a < 4 and b < 4 for a, b in pairs)
+
+
+def test_quality_score_flags(spark):
+    rows = [
+        Row(doc_id=1, text="the cat sat on the mat and then the dog sat too"),
+        Row(doc_id=2, text="a b"),  # too short -> flag_short + flag_token_len
+    ]
+    out = {r["doc_id"]: r for r in X.quality_score(spark.createDataFrame(rows)).collect()}
+    assert out[1]["quality_pass"] and out[1]["n_flags"] == 0
+    assert out[1]["quality_score"] == pytest.approx(1.0)
+    assert out[2]["flag_short"] and not out[2]["quality_pass"]
+    assert out[2]["quality_score"] == pytest.approx(1.0 - out[2]["n_flags"] / 5.0)
+
+
 def test_text_stats_known_values(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat, the hat! 99")])
     r = X.text_stats(df).collect()[0]

@@ -146,17 +146,25 @@ def embedding_near_dup_pairs(
     with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
     a = with_buckets(embeddings, "a")
     b = with_buckets(embeddings, "b")
+    # id-only distinct: the multi-table self-join duplicates each candidate
+    # pair up to n_tables times — dedup 16-byte id pairs, then join the
+    # vectors back once (vs shuffling both vectors per duplicate)
     cand = (
-        a.join(b, on=["table_idx", "bucket"])
+        a.select("a_id", "table_idx", "bucket")
+        .join(b.select("b_id", "table_idx", "bucket"), on=["table_idx", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "a_vec", "b_id", "b_vec")
+        .select("a_id", "b_id")
         .distinct()
     )
+    va = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     cos = dot_chain("a_vec", "b_vec", dim) / (
         _norm_chain("a_vec", dim) * _norm_chain("b_vec", dim)
     )
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
@@ -185,18 +193,27 @@ def ann_lsh_topk(
     with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
     qb = with_buckets(queries, "q")
     cb = with_buckets(embeddings, "c")
+    # dedup multi-table duplicates on 16-byte id pairs, then join vectors
+    # back once (query vectors broadcast — the query set is bounded)
     cand = (
-        qb.join(cb, on=["table_idx", "bucket"])
+        qb.select("q_id", "table_idx", "bucket")
+        .join(cb.select("c_id", "table_idx", "bucket"), on=["table_idx", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
+        .select("q_id", F.col("c_id").alias("neighbor_id"))
         .distinct()
     )
+    vq = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    vc = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     cos = dot_chain("q_vec", "c_vec", dim) / (
         _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(vq, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
@@ -254,15 +271,24 @@ def ann_ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(_cells(n_probe)(F.col(vec_col))).alias("cell"),
     )
+    cand = (
+        qb.select("q_id", "cell")
+        .join(cb.select("c_id", "cell"), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", F.col("c_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vq = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    vc = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     cos = dot_chain("q_vec", "c_vec", dim) / (
         _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        qb.join(cb, "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
-        .distinct()
+        cand.join(vq, "q_id")
+        .join(vc, "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

@@ -461,3 +461,32 @@ def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("long").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+_MEDIA_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS target_w, CAST(8 AS INTEGER) AS target_h,
+       CAST(len(resampled) AS BIGINT) AS n_bytes,
+       md5(array_to_string(resampled, '')) AS resized_md5
+FROM (
+  SELECT doc_id,
+         list_slice(list_transform(
+             generate_series(1, length(text), greatest(length(text) // 64, 1)),
+             i -> substr(text, i, 1)), 1, 64) AS resampled
+  FROM documents
+)
+"""
+
+
+@query("media_resize", oracle=_MEDIA_RESIZE_SQL)
+def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (deterministic fake resample to an 8x8 'pixel'
+    budget); the comparator gets (len, md5) of the resampled bytes."""
+    out = M.resize_media(_media(spark, sf_dir), target_w=8, target_h=8)
+    return out.select(
+        "media_id",
+        "target_w",
+        "target_h",
+        "n_bytes",
+        F.md5("content").alias("resized_md5"),
+    )

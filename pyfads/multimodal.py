@@ -29,6 +29,7 @@ __all__ = [
     "decode_image",
     "fake_decode_features",
     "extract_media_features",
+    "resize_media",
     "sample_frames",
 ]
 
@@ -124,6 +125,46 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, MEDIA_FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """'Resize' plumbing: deterministic fake resample (a real decoder would
+    decode → resample → re-encode; the Spark shape — mapInPandas over the
+    canonical media schema, binary out, typed target dims — is identical).
+
+    The fake keeps every ``stride``-th byte so output size tracks the
+    target-pixel-count ratio, making size assertions meaningful in tests."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("target_w", T.IntegerType(), False),
+            T.StructField("target_h", T.IntegerType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+    target = max(target_w * target_h, 1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for content in pdf["content"]:
+                if content is None or len(content) == 0:
+                    out_bytes.append(b"")
+                    continue
+                stride = max(len(content) // target, 1)
+                out_bytes.append(bytes(content[::stride][:target]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_bytes,
+                    "target_w": pd.array([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.array([target_h] * len(pdf), dtype="int32"),
+                    "n_bytes": [len(b) for b in out_bytes],
+                }
+            )
+
+    return media.mapInPandas(fn, schema)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -153,6 +153,18 @@ def test_quality_score_flags(spark):
     assert out[2]["quality_score"] == pytest.approx(1.0 - out[2]["n_flags"] / 5.0)
 
 
+def test_resize_media_plumbing(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 300, source="s"), Row(doc_id=2, text="", source="s")]
+    )
+    media = M.as_media(df, "doc_id", F.encode(F.col("text"), "UTF-8"), "txt", "source")
+    out = {r["media_id"]: r for r in M.resize_media(media, 8, 8).collect()}
+    # 300 bytes at stride 300//64=4 -> ceil(300/4)=75 kept, capped at 64
+    assert out[1]["n_bytes"] == 64 and len(out[1]["content"]) == 64
+    assert out[1]["target_w"] == 8 and out[1]["target_h"] == 8
+    assert out[2]["n_bytes"] == 0  # empty payload stays empty
+
+
 def test_text_stats_known_values(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat, the hat! 99")])
     r = X.text_stats(df).collect()[0]

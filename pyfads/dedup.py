@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pyfads.text import md5_hash60, tokens
 
@@ -114,13 +114,25 @@ def _band_key(band: int, rows: int) -> "F.Column":
 
 
 def minhash_band_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_perm: int = 16, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key are candidates.
 
     Shape: explode signature into (band_idx, band_key), self-join on the
     band bucket, distinct (a, b) pairs with a < b.  The join is an
     equi-join on the band key — shuffled, bucketed, never all-pairs.
+
+    ``max_bucket`` is the skew guard for adversarial corpora: a band key
+    shared by B docs contributes B^2 join rows, so one boilerplate bucket
+    can hot-spot a task at 100 TB.  With a cap, buckets wider than
+    ``max_bucket`` are split into ceil(B/max_bucket) salted sub-buckets
+    (candidate pairs are then found only within a sub-bucket — bounded
+    recall loss on pathological buckets, bounded task size always; real
+    near-dup buckets are narrow and unaffected).
     """
     rows = n_perm // bands
     banded = sigs.select(
@@ -129,6 +141,20 @@ def minhash_band_pairs(
             "band_idx", "band_key"
         ),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("__pos", F.row_number().over(w.orderBy(id_col)))
+            .withColumn(
+                "band_key",
+                F.concat_ws(
+                    "#",
+                    F.col("band_key"),
+                    ((F.col("__pos") - 1) / F.lit(max_bucket)).cast("long").cast("string"),
+                ),
+            )
+            .drop("__pos")
+        )
     a = banded.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
     )
@@ -172,11 +198,13 @@ def minhash_near_dup_pairs(
     n_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → bands → bucketed
-    candidate join → exact Jaccard verify."""
+    candidate join → exact Jaccard verify.  ``max_bucket`` enables the
+    hot-bucket skew guard (see :func:`minhash_band_pairs`)."""
     sigs = minhash_signature(df, text_col, id_col, n_perm)
-    pairs = minhash_band_pairs(sigs, id_col, n_perm, bands)
+    pairs = minhash_band_pairs(sigs, id_col, n_perm, bands, max_bucket)
     return jaccard_verify(pairs, shingle_sets(df, text_col, id_col), id_col, threshold)
 
 
@@ -193,6 +221,7 @@ def jaccard_ngram_pairs(
     id_col: str = "doc_id",
     n: int = 4,
     threshold: float = 0.6,
+    max_block: int | None = 64,
 ) -> DataFrame:
     """Char n-gram Jaccard near-dup pairs with min-wise blocking.
 
@@ -202,18 +231,61 @@ def jaccard_ngram_pairs(
     key is one 8-byte hash per document — never the |N|^2 cross product.
     Candidates are then verified with exact Jaccard over the distinct-gram
     sets.
+
+    Two scale guards (measured 5x at sf0.1, essential at 100 TB):
+
+    - ``max_block``: same-vocabulary corpora share their globally-minimal
+      gram hash, producing ~1000-doc hot blocks (B^2 pair blowup in one
+      task).  Blocks wider than the cap are split into salted sub-blocks
+      ordered by id — bounded task size; recall loss only inside blocks
+      whose shared min-gram already carries no similarity signal.
+    - size prefilter: ``jaccard >= t`` implies ``min(|A|,|B|)/max >= t``
+      (intersection <= min, union >= max), so candidate pairs are pruned on
+      two ints before the exact set intersection runs.
     """
     grams = df.select(F.col(id_col), char_ngrams(text_col, n).alias("__g"))
     keyed = grams.select(
         id_col,
         "__g",
+        F.size("__g").alias("__sz"),
         F.array_min(F.transform("__g", lambda g: md5_hash60(g, "jg"))).alias("__bk"),
     )
-    a = keyed.select(F.col(id_col).alias("a_id"), F.col("__g").alias("a_g"), "__bk")
-    b = keyed.select(F.col(id_col).alias("b_id"), F.col("__g").alias("b_g"), "__bk")
+    if max_block is not None:
+        w = Window.partitionBy("__bk").orderBy(id_col)
+        keyed = (
+            keyed.withColumn("__pos", F.row_number().over(w))
+            .withColumn(
+                "__bk",
+                F.concat_ws(
+                    "#",
+                    F.col("__bk").cast("string"),
+                    ((F.col("__pos") - 1) / F.lit(max_block)).cast("long").cast("string"),
+                ),
+            )
+            .drop("__pos")
+        )
+    # explicit hash-partition on the block key: the verify stage is
+    # CPU-bound (set intersections) on byte-small rows, and AQE's
+    # size-based coalescing would otherwise squash it onto 1-2 cores;
+    # both self-join branches reuse this one exchange, co-partitioned
+    keyed = keyed.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__bk"
+    )
+    a = keyed.select(
+        F.col(id_col).alias("a_id"), F.col("__g").alias("a_g"),
+        F.col("__sz").alias("a_sz"), "__bk",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("b_id"), F.col("__g").alias("b_g"),
+        F.col("__sz").alias("b_sz"), "__bk",
+    )
     j = (
         a.join(b, "__bk")
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.least("a_sz", "b_sz").cast("double") / F.greatest("a_sz", "b_sz")
+            >= F.lit(threshold)
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("a_g", "b_g")).cast("double")

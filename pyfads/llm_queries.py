@@ -260,7 +260,7 @@ SELECT doc_id, ({sig}) AS simhash FROM v
 """
 
 
-def _jaccard_ngram_sql(n: int = 4, threshold: float = 0.6) -> str:
+def _jaccard_ngram_sql(n: int = 4, threshold: float = 0.6, max_block: int = 64) -> str:
     grams = (
         f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 1)),"
         f" i -> substr(text, i, {n})))"
@@ -271,19 +271,27 @@ def _jaccard_ngram_sql(n: int = 4, threshold: float = 0.6) -> str:
     )
     return f"""
 WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),
-k AS (SELECT doc_id, grams,
-             list_min(list_transform(grams, s -> {_h60("jg", "s")})) AS bk
-      FROM g)
+k0 AS (SELECT doc_id, grams, len(grams) AS sz,
+              list_min(list_transform(grams, s -> {_h60("jg", "s")})) AS bk0
+       FROM g),
+k AS (SELECT doc_id, grams, sz,
+             concat_ws('#', CAST(bk0 AS VARCHAR),
+                       CAST((row_number() OVER (PARTITION BY bk0 ORDER BY doc_id) - 1)
+                            // {max_block} AS VARCHAR)) AS bk
+      FROM k0)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, {jac} AS jaccard
 FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
-WHERE {jac} >= {threshold}
+WHERE CAST(least(a.sz, b.sz) AS DOUBLE) / greatest(a.sz, b.sz) >= {threshold}
+  AND {jac} >= {threshold}
 """
 
 
 @query("dedup_jaccard_ngram", oracle=_jaccard_ngram_sql())
 def dedup_jaccard_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char 4-gram Jaccard near-dup with min-wise blocking (1-perm MinHash):
-    shuffle key is one 8-byte hash per doc, verify is exact Jaccard."""
+    shuffle key is one 8-byte hash per doc, verify is exact Jaccard; hot
+    blocks are salt-capped and pairs are size-ratio prefiltered (the two
+    skew/cost guards documented in SCALE.md)."""
     return D.jaccard_ngram_pairs(_docs(spark, sf_dir))
 
 

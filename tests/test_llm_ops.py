@@ -46,6 +46,21 @@ def test_minhash_near_dup(docs):
     assert all(a < 4 and b < 4 for a, b in pairs)  # doc 4 never pairs
 
 
+def test_minhash_bucket_cap_bounds_fanout(spark):
+    """30 identical docs share every band key: uncapped C(30,2)=435 pairs;
+    a cap of 10 splits each band bucket into 3 salted sub-buckets, so the
+    join fan-out per bucket is bounded at C(10,2)."""
+    rows = [Row(doc_id=i, text="same boilerplate text repeated again and again") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    sigs = D.minhash_signature(df)
+    assert D.minhash_band_pairs(sigs).count() == 435
+    capped = D.minhash_band_pairs(sigs, max_bucket=10).collect()
+    # sub-buckets are salted identically per band (ordered by id): ids
+    # [0..9], [10..19], [20..29] -> 3 * C(10,2) pairs, none crossing groups
+    assert len(capped) == 3 * 45
+    assert all(r["a_id"] // 10 == r["b_id"] // 10 for r in capped)
+
+
 def test_simhash_identical_texts_equal(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
     assert sigs[1] == sigs[2]

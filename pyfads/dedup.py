@@ -32,6 +32,7 @@ __all__ = [
     "char_ngrams",
     "jaccard_ngram_pairs",
     "simhash",
+    "simhash_near_dup_pairs",
     "MINHASH_P",
     "MINHASH_A",
     "MINHASH_B",
@@ -113,6 +114,30 @@ def _band_key(band: int, rows: int) -> "F.Column":
     return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
 
 
+def _salt_cap(df: DataFrame, id_col: str, key: str, cap: int, *parts: str) -> DataFrame:
+    """Split buckets wider than ``cap`` into salted sub-buckets (ordered by id).
+
+    The skew guard for every LSH-style candidate join here: a bucket shared
+    by B rows contributes B^2 join rows, so one boilerplate key can hot-spot
+    a task at 100 TB.  With the cap, task size is bounded at cap^2 always;
+    recall loss is confined to pathological buckets whose shared key already
+    carries no similarity signal (real near-dup buckets are narrow).
+    """
+    w = Window.partitionBy(*parts, key).orderBy(id_col)
+    return (
+        df.withColumn("__pos", F.row_number().over(w))
+        .withColumn(
+            key,
+            F.concat_ws(
+                "#",
+                F.col(key).cast("string"),
+                ((F.col("__pos") - 1) / F.lit(cap)).cast("long").cast("string"),
+            ),
+        )
+        .drop("__pos")
+    )
+
+
 def minhash_band_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -142,19 +167,7 @@ def minhash_band_pairs(
         ),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("__pos", F.row_number().over(w.orderBy(id_col)))
-            .withColumn(
-                "band_key",
-                F.concat_ws(
-                    "#",
-                    F.col("band_key"),
-                    ((F.col("__pos") - 1) / F.lit(max_bucket)).cast("long").cast("string"),
-                ),
-            )
-            .drop("__pos")
-        )
+        banded = _salt_cap(banded, id_col, "band_key", max_bucket, "band_idx")
     a = banded.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
     )
@@ -251,19 +264,7 @@ def jaccard_ngram_pairs(
         F.array_min(F.transform("__g", lambda g: md5_hash60(g, "jg"))).alias("__bk"),
     )
     if max_block is not None:
-        w = Window.partitionBy("__bk").orderBy(id_col)
-        keyed = (
-            keyed.withColumn("__pos", F.row_number().over(w))
-            .withColumn(
-                "__bk",
-                F.concat_ws(
-                    "#",
-                    F.col("__bk").cast("string"),
-                    ((F.col("__pos") - 1) / F.lit(max_block)).cast("long").cast("string"),
-                ),
-            )
-            .drop("__pos")
-        )
+        keyed = _salt_cap(keyed, id_col, "__bk", max_block)
     # explicit hash-partition on the block key: the verify stage is
     # CPU-bound (set intersections) on byte-small rows, and AQE's
     # size-based coalescing would otherwise squash it onto 1-2 cores;
@@ -322,3 +323,64 @@ def simhash(
         ],
     )
     return v.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature, bucket-join, verify Hamming.
+
+    By pigeonhole, two signatures within Hamming distance ``max_hamming``
+    < ``bands`` must agree exactly on at least one band, so banding gives
+    perfect recall at ``max_hamming <= bands - 1`` while the join stays an
+    equi-join on (band_idx, band_value) — never all-pairs.  The verify step
+    is ``bit_count(a XOR b) <= max_hamming`` on the two 64-bit signatures.
+    ``max_bucket`` enables the hot-bucket salt guard (see :func:`_salt_cap`).
+    """
+    if max_hamming >= bands:
+        raise ValueError("banding guarantees recall only for max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "simhash", "__b.band_idx", "__b.band_key")
+    if max_bucket is not None:
+        banded = _salt_cap(banded, id_col, "band_key", max_bucket, "band_idx")
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("__a_sig"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("__b_sig"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("__a_sig").bitwiseXOR(F.col("__b_sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -143,7 +143,7 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     n_perm: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key are candidates.
 
@@ -157,7 +157,9 @@ def minhash_band_pairs(
     ``max_bucket`` are split into ceil(B/max_bucket) salted sub-buckets
     (candidate pairs are then found only within a sub-bucket — bounded
     recall loss on pathological buckets, bounded task size always; real
-    near-dup buckets are narrow and unaffected).
+    near-dup buckets are narrow and unaffected).  **On by default** (64,
+    matching :func:`jaccard_ngram_pairs`); pass ``None`` for uncapped
+    perfect-recall banding on trusted corpora.
     """
     rows = n_perm // bands
     banded = sigs.select(
@@ -211,11 +213,12 @@ def minhash_near_dup_pairs(
     n_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → bands → bucketed
-    candidate join → exact Jaccard verify.  ``max_bucket`` enables the
-    hot-bucket skew guard (see :func:`minhash_band_pairs`)."""
+    candidate join → exact Jaccard verify.  ``max_bucket`` (default 64,
+    aligned with :func:`jaccard_ngram_pairs`) enables the hot-bucket skew
+    guard — see :func:`minhash_band_pairs` for the recall trade-off."""
     sigs = minhash_signature(df, text_col, id_col, n_perm)
     pairs = minhash_band_pairs(sigs, id_col, n_perm, bands, max_bucket)
     return jaccard_verify(pairs, shingle_sets(df, text_col, id_col), id_col, threshold)
@@ -251,7 +254,10 @@ def jaccard_ngram_pairs(
       gram hash, producing ~1000-doc hot blocks (B^2 pair blowup in one
       task).  Blocks wider than the cap are split into salted sub-blocks
       ordered by id — bounded task size; recall loss only inside blocks
-      whose shared min-gram already carries no similarity signal.
+      whose shared min-gram already carries no similarity signal.  **On by
+      default** (64, aligned with :func:`minhash_near_dup_pairs`): pairs
+      that straddle two sub-blocks of a >64-doc block are missed — pass
+      ``max_block=None`` for uncapped blocking on trusted corpora.
     - size prefilter: ``jaccard >= t`` implies ``min(|A|,|B|)/max >= t``
       (intersection <= min, union >= max), so candidate pairs are pruned on
       two ints before the exact set intersection runs.

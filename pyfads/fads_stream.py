@@ -60,6 +60,20 @@ __all__ = [
 _STATE_SCHEMA = "blob binary"
 
 
+def _check_pid_unique(pending: pd.DataFrame, cfg: FADSConfig) -> None:
+    """The pending-row store is keyed by ``cfg.pid_col``; duplicates would
+    silently drop sibling rows on release (or crash deep in the release
+    path), so fail fast with a usable message."""
+    if not pending.index.is_unique:
+        dupes = pending.index[pending.index.duplicated()].unique().tolist()[:5]
+        raise ValueError(
+            f"streaming FADS requires a globally unique pid_col "
+            f"({cfg.pid_col!r}); duplicate values seen: {dupes} — "
+            "use a unique row-id column (e.g. monotonically_increasing_id) "
+            "as pid_col and carry the person id as a passthrough column"
+        )
+
+
 def _release_to_pdf(
     released, pending: pd.DataFrame, cfg: FADSConfig, out_cols: list[str]
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -126,6 +140,7 @@ def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: 
             )
             pdf.index = pdf[cfg.pid_col]
             pending = pdf if pending is None else pd.concat([pending, pdf])
+            _check_pid_unique(pending, cfg)
             released = fads.process(
                 pdf[cfg.pid_col].to_numpy(),
                 pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
@@ -205,6 +220,7 @@ class ForeachBatchFADS:
         pdf = pdf.sort_values([cfg.arrival_col, cfg.pid_col], kind="mergesort")
         pdf.index = pdf[cfg.pid_col]
         self.pending = pdf if self.pending is None else pd.concat([self.pending, pdf])
+        _check_pid_unique(self.pending, cfg)
         released = self.fads.process(
             pdf[cfg.pid_col].to_numpy(),
             pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),

@@ -47,8 +47,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as *epoch-nanosecond longs* here (``ts``, ``l_shipdate``, ``o_orderdate``).
     Use ``col div 1_000_000`` for epoch millis — matches DuckDB
     ``epoch_ms(col)`` floor semantics for the oracle comparisons.
+
+    NOTE: this sets ``spark.sql.legacy.parquet.nanosAsLong`` on the shared
+    session (once, if not already set) — every timestamp-nanos parquet read
+    through this session then yields long columns.  Set the conf at
+    session-build time (as bench.py does) to make the behavior explicit.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -189,9 +189,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
-def _minhash_sql(n_perm: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+def _minhash_sql(
+    n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
+) -> str:
     # mirror pyfads.dedup: one base hash per shingle, universal-hash perms
-    # mh_j = min((A_j*h + B_j) % P) — same seeded constants as the Spark side
+    # mh_j = min((A_j*h + B_j) % P) — same seeded constants as the Spark side,
+    # and the same default hot-bucket salt cap (_salt_cap, max_bucket=64)
     P, A, B = D.MINHASH_P, D.MINHASH_A, D.MINHASH_B
     rows = n_perm // bands
     mh_cols = ", ".join(
@@ -215,10 +218,18 @@ s AS (
 e AS (SELECT doc_id, {_h60("mh", "s2")} % {P} AS h
       FROM (SELECT doc_id, unnest(sh) AS s2 FROM s)),
 m AS (SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id),
-banded AS (
+banded0 AS (
   SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band_idx,
          unnest({bk_list}) AS band_key
   FROM (SELECT doc_id, {bk_exprs} FROM m)
+),
+banded AS (
+  SELECT doc_id, band_idx,
+         concat_ws('#', band_key,
+                   CAST((row_number() OVER (PARTITION BY band_idx, band_key
+                                            ORDER BY doc_id) - 1)
+                        // {max_bucket} AS VARCHAR)) AS band_key
+  FROM banded0
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -324,11 +335,12 @@ def _norm_sql(a: str) -> str:
 
 
 _COSINE_SQL = f"""
-WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0')} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
 pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
          ({_dot_sql('q', 'c')}) / ({_norm_sql('q')} * {_norm_sql('c')}) AS cosine
-  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
 )
 SELECT q_id, neighbor_id, cosine, rank
 FROM (
@@ -362,7 +374,8 @@ planted AS (
          list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
   FROM base WHERE vec_id < 32
 ),
-u AS (SELECT vec_id, embedding FROM base UNION ALL SELECT vec_id, embedding FROM planted)
+u0 AS (SELECT vec_id, embedding FROM base UNION ALL SELECT vec_id, embedding FROM planted),
+u AS (SELECT * FROM u0 AS a WHERE {na} > 0)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        ({dot}) / ({na} * {nb}) AS cosine
 FROM u a JOIN u b ON a.vec_id < b.vec_id

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "dot_chain",
+    "drop_zero_norm",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -59,6 +60,17 @@ def _norm_chain(col: str, dim: int) -> "F.Column":
     )
 
 
+def drop_zero_norm(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector has zero L2 norm.
+
+    A zero vector makes the cosine NaN, and Spark orders NaN *above* every
+    number — it would rank first in every top-k window and pass
+    ``cosine >= threshold`` filters.  Every ranking/near-dup entry point
+    filters through this first (the oracle SQLs carry the same predicate).
+    """
+    return df.filter(_norm_chain(vec_col, dim) > 0)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -70,6 +82,8 @@ def cosine_topk(
     """Brute-force cosine top-k: every query row against every candidate row
     (minus self).  The queries side is broadcast; ranking ties break on the
     neighbour id so output is deterministic."""
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     )
@@ -143,6 +157,7 @@ def embedding_near_dup_pairs(
     per table, ~1 for true dups — then exact cosine verify inside buckets.
     Shuffle keys are bucket codes only; candidates ∝ true duplicates, never
     the |N|^2 cross product."""
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
     with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
     a = with_buckets(embeddings, "a")
     b = with_buckets(embeddings, "b")
@@ -190,6 +205,8 @@ def ann_lsh_topk(
     Recall grows with ``n_tables`` (multi-probe); tune (n_planes, n_tables)
     for the recall/cost point you need.
     """
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
     with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
     qb = with_buckets(queries, "q")
     cb = with_buckets(embeddings, "c")
@@ -248,6 +265,8 @@ def ann_ivf_topk(
     an equi-join on the cell id (shuffle key = one int per vector), never
     all-pairs.  Recall grows with ``n_probe``; cost ∝ n_probe/n_centroids of
     brute force."""
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
     cents = _centroids(dim, n_centroids, seed)
 
     def _cells(n_top: int):

@@ -41,8 +41,6 @@ def compare(name, spark_df, duck_df):
                 if not (sv.astype(object) == dv.astype(object)).all():
                     mism = int((sv.astype(object) != dv.astype(object)).sum())
                     problems.append(f"col {c}: {mism} value mismatches")
-    if spark_df.dtypes.to_dict() != {c: spark_df.dtypes[c] for c in spark_df.columns}:
-        pass
     return problems
 
 

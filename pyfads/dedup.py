@@ -338,7 +338,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature, bucket-join, verify Hamming.
 
@@ -347,7 +347,10 @@ def simhash_near_dup_pairs(
     perfect recall at ``max_hamming <= bands - 1`` while the join stays an
     equi-join on (band_idx, band_value) — never all-pairs.  The verify step
     is ``bit_count(a XOR b) <= max_hamming`` on the two 64-bit signatures.
-    ``max_bucket`` enables the hot-bucket salt guard (see :func:`_salt_cap`).
+    ``max_bucket`` (default 64, aligned with the other near-dup pipelines)
+    enables the hot-bucket salt guard (see :func:`_salt_cap`) — essential
+    here at scale: a band is only ``bits/bands`` wide, so band values
+    collide far more often than md5 band keys do.
     """
     if max_hamming >= bands:
         raise ValueError("banding guarantees recall only for max_hamming < bands")

@@ -312,6 +312,46 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
 
+def _simhash_pairs_sql(
+    bits: int = 32, bands: int = 4, max_hamming: int = 3, max_bucket: int = 64
+) -> str:
+    # mirror pyfads.dedup.simhash_near_dup_pairs: band extraction by shifts,
+    # default salt cap, xor + bit_count Hamming verify
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sig AS ({_simhash_sql(bits)}),
+banded0 AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * {width})) & {mask} AS band_key
+  FROM (SELECT doc_id, simhash,
+               unnest(generate_series(0, {bands - 1})) AS band_idx
+        FROM sig)
+),
+banded AS (
+  SELECT doc_id, simhash, band_idx,
+         concat_ws('#', CAST(band_key AS VARCHAR),
+                   CAST((row_number() OVER (PARTITION BY band_idx, band_key
+                                            ORDER BY doc_id) - 1)
+                        // {max_bucket} AS VARCHAR)) AS band_key
+  FROM banded0
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b USING (band_idx, band_key)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql())
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded bucket equi-join (pigeonhole-perfect
+    recall for Hamming <= bands-1) + XOR/bit_count verify — never all-pairs;
+    hot band-value buckets are salt-capped (bands are only bits/bands wide)."""
+    return D.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # --------------------------------------------------------------------------

@@ -10,10 +10,14 @@
   (multi-probe over ``n_tables`` independent tables), never all-pairs.
 - :func:`embedding_norms` — per-row L2 norms (quality filter for pipelines).
 
-Scale notes: brute-force is O(|Q| x N) — keep |Q| bounded or use LSH; the
-LSH join shuffles on (table, bucket) keys only.  For 100 TB, add an IVF
-coarse quantizer (k-means centroids broadcast, probe nearest cells) — same
-join shape, centroid assignment replaces the hash.
+- :func:`ann_ivf_topk` — FAISS-style IVF: a k-means-trained coarse codebook
+  (:func:`train_ivf_centroids`, spherical k-means over a bounded sample)
+  broadcast into the assignment UDF; candidates come from equi-joins on the
+  cell id, with optional corpus multi-assignment for recall.
+
+Scale notes: brute-force is O(|Q| x N) — keep |Q| bounded or use LSH/IVF;
+the LSH join shuffles on (table, bucket) keys only, the IVF join on one int
+cell id per (replicated) vector.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "train_ivf_centroids",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -237,12 +242,71 @@ def ann_lsh_topk(
     )
 
 
-def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
-    """Seeded unit-norm coarse centroids (fixed random codebook — the IVF
-    plumbing; swap in k-means-trained centroids without touching the plan)."""
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 25,
+) -> np.ndarray:
+    """Train the IVF coarse codebook: spherical k-means (k-means++ init,
+    Lloyd's iterations on the unit sphere) over a bounded deterministic
+    sample of the corpus.
+
+    Scale shape: the sample is picked by ``orderBy(md5(id)).limit(n)`` — a
+    distributed top-N (no global sort materialization), one driver collect
+    bounded at ``sample_rows`` vectors regardless of corpus size.  The
+    returned (n_centroids, dim) array is tiny and rides into the assignment
+    UDF closure as a broadcast, exactly like FAISS ships its quantizer.
+    Deterministic: same data + seed => same codebook, so runs replay.
+    """
+    sample = (
+        embeddings.select(
+            F.col(vec_col).alias("v"), F.md5(F.col(id_col).cast("string")).alias("__o")
+        )
+        .orderBy("__o")
+        .limit(sample_rows)
+        .select("v")
+        .collect()
+    )
+    m = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n = len(m)
+    k = min(n_centroids, n)
     rng = np.random.default_rng(seed)
-    c = rng.standard_normal((n_centroids, dim))
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    # k-means++ on cosine distance (1 - dot on the unit sphere)
+    cents = [m[int(rng.integers(n))]]
+    d = np.maximum(1.0 - m @ cents[0], 0.0)
+    for _ in range(1, k):
+        total = d.sum()
+        probs = d / total if total > 0 else np.full(n, 1.0 / n)
+        nxt = int(rng.choice(n, p=probs))
+        cents.append(m[nxt])
+        d = np.minimum(d, np.maximum(1.0 - m @ m[nxt], 0.0))
+    C = np.stack(cents)
+
+    for _ in range(iters):
+        sims = m @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = m[assign == j]
+            if len(members) == 0:
+                # reseed an empty cell at the worst-covered point
+                newC[j] = m[int(np.argmin(sims.max(axis=1)))]
+                continue
+            v = members.sum(axis=0)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                newC[j] = v / norm
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
 
 
 def ann_ivf_topk(
@@ -255,10 +319,25 @@ def ann_ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize every vector to its nearest
     centroid cell; queries probe their ``n_probe`` nearest cells; exact
     cosine re-rank runs only inside probed cells.
+
+    The codebook is k-means-trained on a bounded sample of ``embeddings``
+    (:func:`train_ivf_centroids`) unless ``centroids`` is supplied — pass a
+    pre-trained array to reuse one codebook across queries/runs.
+
+    ``corpus_assign`` > 1 replicates each corpus vector into its top-A
+    cells (FAISS's multi-assignment): storage/shuffle grow A×, but at equal
+    scan fraction recall beats widening ``n_probe`` alone — a neighbour is
+    found if *any* of its A cells is probed.  Recall at a given (A,
+    n_probe) is data-dependent: clustered real-world embeddings
+    concentrate neighbours in few cells (high recall at ~10% scan);
+    structureless Gaussian fixtures need far wider probing for the same
+    recall (see tests/test_llm_ops.py for measured points).
 
     The scale shape of FAISS-style IVF on Spark: the codebook is tiny and
     broadcast inside the Arrow-batched assignment UDF; the candidate join is
@@ -267,7 +346,11 @@ def ann_ivf_topk(
     brute force."""
     embeddings = drop_zero_norm(embeddings, dim, vec_col)
     queries = drop_zero_norm(queries, dim, vec_col)
-    cents = _centroids(dim, n_centroids, seed)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
+    )
 
     def _cells(n_top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -283,7 +366,7 @@ def ann_ivf_topk(
     cb = embeddings.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(_cells(1)(F.col(vec_col))).alias("cell"),
+        F.explode(_cells(corpus_assign)(F.col(vec_col))).alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("q_id"),

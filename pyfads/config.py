@@ -31,7 +31,12 @@ class FADSConfig:
       of the reference's TUPLE(DOUBLE, DOUBLE), Generalizer.java:260-268).
     - ``pid_col``: person/record id column, passed through (the reference's
       PID-uniqueness check in knn is disabled in shipped code,
-      Generalizer.java:212-216; we keep it disabled for parity).
+      Generalizer.java:212-216; default ``distinct_pids=False`` keeps parity).
+    - ``distinct_pids``: opt-in intended semantics of the reference's
+      commented-out uniqueness check (Generalizer.java:205-216): the k-1
+      nearest neighbours must carry pairwise-distinct ``pid_col`` values;
+      when fewer than k-1 unique-PID neighbours exist the tuple falls back
+      to old-cluster reuse / suppression and the buffer is left untouched.
     - ``arrival_col``: column holding arrival time in epoch millis (long).
       Defines processing order and the TTL clock.
     """
@@ -42,6 +47,7 @@ class FADSConfig:
     qid_cols: tuple[str, ...] = ("user_id", "value", "ts_millis")
     pid_col: str = "event_id"
     arrival_col: str = "arrival_ms"
+    distinct_pids: bool = False
 
     def __post_init__(self) -> None:
         if self.k < 2:

@@ -76,7 +76,9 @@ def run_fads_pandas(pdf: pd.DataFrame, cfg: FADSConfig) -> pd.DataFrame:
     qids = pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64)
     arrivals = pdf[cfg.arrival_col].to_numpy(dtype=np.int64)
     state = FADSState(cfg)
-    released = state.process(np.arange(len(pdf)), qids, arrivals)
+    released = state.process(
+        np.arange(len(pdf)), qids, arrivals, pids=pdf[cfg.pid_col].to_numpy()
+    )
     tail = state.flush()
     return _assemble(pdf, (released, tail), cfg)
 

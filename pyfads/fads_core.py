@@ -110,21 +110,26 @@ class FADSState:
 
     # -- release decision (G12, Generalizer.java:136-189) ------------------
 
+    def _release_without_cluster(self, out: ReleasedBatch, row_id, q) -> None:
+        """Reuse the best fitting old cluster, else suppress (the shared
+        fallback of Generalizer.java:140-149 and :177-188)."""
+        c = self._best_fitting_cluster(q)
+        if c is not None:
+            out.row_ids.append(row_id)
+            out.lo.append(c.lo)
+            out.hi.append(c.hi)
+        else:
+            # G11 suppress with a *snapshot* of the global bounds
+            out.row_ids.append(row_id)
+            out.lo.append(self.glo.copy())
+            out.hi.append(self.ghi.copy())
+
     def _release_oldest(self, out: ReleasedBatch, now: int) -> None:
-        row_id, q, _arr = self.buffer.popleft()
+        row_id, q, _arr, _pid = self.buffer.popleft()
         k1 = self.cfg.k - 1
         if len(self.buffer) < k1:
             # cannot form a new cluster: reuse best old cluster or suppress
-            c = self._best_fitting_cluster(q)
-            if c is not None:
-                out.row_ids.append(row_id)
-                out.lo.append(c.lo)
-                out.hi.append(c.hi)
-            else:
-                # G11 suppress with a *snapshot* of the global bounds
-                out.row_ids.append(row_id)
-                out.lo.append(self.glo.copy())
-                out.hi.append(self.ghi.copy())
+            self._release_without_cluster(out, row_id, q)
             return
 
         # G5: k-1 nearest by mean over dims of abs(delta)/(ghi-glo)
@@ -133,7 +138,32 @@ class FADSState:
         with np.errstate(invalid="ignore", divide="ignore"):
             per_dim = np.where(grange > 0, np.abs(buf_q - q) / grange, 0.0)
         dists = per_dim.mean(axis=1)
-        order = np.argsort(dists, kind="stable")[:k1]
+        if self.cfg.distinct_pids:
+            # Intended PID-uniqueness filter (Generalizer.java:205-216, the
+            # commented-out check): walk the stable distance order, greedily
+            # taking the nearest neighbour whose PID is not already among the
+            # chosen neighbours.  The pivot's own PID is NOT pre-excluded
+            # (the reference's uniqueKeys map starts empty).  If fewer than
+            # k-1 unique-PID neighbours exist, knn() returns null and the
+            # caller reuses an old cluster / suppresses; the buffer is
+            # untouched (Generalizer.java:177-188).
+            buf = list(self.buffer)
+            chosen: list[int] = []
+            seen: set = set()
+            for j in np.argsort(dists, kind="stable"):
+                pid = buf[j][3]
+                if pid in seen:
+                    continue
+                seen.add(pid)
+                chosen.append(int(j))
+                if len(chosen) == k1:
+                    break
+            if len(chosen) < k1:
+                self._release_without_cluster(out, row_id, q)
+                return
+            order = np.asarray(chosen)
+        else:
+            order = np.argsort(dists, kind="stable")[:k1]
 
         # G6: cluster box over the k-1 *neighbours only* (the pivot is
         # generalized with the neighbours' box even if it lies outside —
@@ -172,19 +202,27 @@ class FADSState:
     # -- public API --------------------------------------------------------
 
     def process(
-        self, row_ids, qids: np.ndarray, arrivals
+        self, row_ids, qids: np.ndarray, arrivals, pids=None
     ) -> ReleasedBatch:
         """Consume rows (already in arrival order); return released rows.
 
         Per-element loop of Generalizer.java:98-133: buffer -> update global
         bounds -> expire clusters -> release oldest on buffer overflow.
+
+        ``pids`` (optional) carries the PID value per row for the
+        ``distinct_pids`` kNN filter; when omitted, ``row_ids`` double as
+        PIDs (true for the streaming wrappers, which key rows by pid_col).
         """
         out = ReleasedBatch()
         B = self.cfg.buffer_rows
-        for rid, q, arr in zip(row_ids, np.asarray(qids, dtype=np.float64), arrivals):
+        if pids is None:
+            pids = row_ids
+        for rid, q, arr, pid in zip(
+            row_ids, np.asarray(qids, dtype=np.float64), arrivals, pids
+        ):
             arr = int(arr)
             self.last_arrival = arr
-            self.buffer.append((rid, q, arr))
+            self.buffer.append((rid, q, arr, pid))
             self._update_bounds(q)
             self._expire_clusters(arr)
             if len(self.buffer) > B:

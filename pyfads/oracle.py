@@ -39,25 +39,30 @@ def _best_cluster(q, clusters, glo, ghi):
 
 
 def fads_oracle(rows, cfg: FADSConfig):
-    """rows: iterable of (row_id, qid_tuple, arrival_int) in arrival order.
+    """rows: iterable of (row_id, qid_tuple, arrival_int) or
+    (row_id, qid_tuple, arrival_int, pid) in arrival order; when pid is
+    omitted the row_id doubles as the PID.
 
     Returns dict row_id -> (lo_tuple, hi_tuple).
     """
     d = len(cfg.qid_cols)
     glo = [float("inf")] * d
     ghi = [float("-inf")] * d
-    buffer = []  # (row_id, q, arrival)
+    buffer = []  # (row_id, q, arrival, pid)
     clusters = []  # (lo, hi, created)
     released = {}
 
+    def release_without_cluster(rid, q):
+        c = _best_cluster(q, clusters, glo, ghi)
+        if c is not None:
+            released[rid] = (tuple(c[0]), tuple(c[1]))
+        else:
+            released[rid] = (tuple(glo), tuple(ghi))  # suppress snapshot
+
     def release_oldest(now):
-        rid, q, _arr = buffer.pop(0)
+        rid, q, _arr, _pid = buffer.pop(0)
         if len(buffer) < cfg.k - 1:
-            c = _best_cluster(q, clusters, glo, ghi)
-            if c is not None:
-                released[rid] = (tuple(c[0]), tuple(c[1]))
-            else:
-                released[rid] = (tuple(glo), tuple(ghi))  # suppress snapshot
+            release_without_cluster(rid, q)
             return
         # k-1 nearest by mean normalized-L1; stable ties on buffer order
         def dist(item):
@@ -68,7 +73,23 @@ def fads_oracle(rows, cfg: FADSConfig):
             return s / d
 
         order = sorted(range(len(buffer)), key=lambda j: (dist(buffer[j]), j))
-        nb_idx = order[: cfg.k - 1]
+        if cfg.distinct_pids:
+            # greedy nearest-first with pairwise-distinct neighbour PIDs
+            # (reference Generalizer.java:205-216, intended semantics)
+            nb_idx, seen = [], set()
+            for j in order:
+                pid = buffer[j][3]
+                if pid in seen:
+                    continue
+                seen.add(pid)
+                nb_idx.append(j)
+                if len(nb_idx) == cfg.k - 1:
+                    break
+            if len(nb_idx) < cfg.k - 1:
+                release_without_cluster(rid, q)
+                return
+        else:
+            nb_idx = order[: cfg.k - 1]
         nb = [buffer[j] for j in nb_idx]
         lo = tuple(min(t[1][i] for t in nb) for i in range(d))
         hi = tuple(max(t[1][i] for t in nb) for i in range(d))
@@ -86,9 +107,11 @@ def fads_oracle(rows, cfg: FADSConfig):
         clusters.append((list(lo), list(hi), now))
 
     last = 0
-    for rid, q, arr in rows:
+    for row in rows:
+        rid, q, arr = row[0], row[1], row[2]
+        pid = row[3] if len(row) > 3 else rid
         last = arr
-        buffer.append((rid, tuple(float(x) for x in q), int(arr)))
+        buffer.append((rid, tuple(float(x) for x in q), int(arr), pid))
         for i in range(d):
             glo[i] = min(glo[i], float(q[i]))
             ghi[i] = max(ghi[i], float(q[i]))

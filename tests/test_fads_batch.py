@@ -138,3 +138,100 @@ def test_config_validation():
         FADSConfig(qid_cols=("a", "a"))
     with pytest.raises(ValueError):
         FADSConfig(qid_cols=("event_id", "value"), pid_col="event_id")
+
+
+# -- distinct_pids option (reference Generalizer.java:205-216, intended) ----
+
+
+def test_distinct_pids_noop_when_pids_unique(spark):
+    """With globally unique PIDs, greedy unique-PID selection degenerates to
+    plain top-(k-1): both modes must produce identical output."""
+    pdf = _events_pdf(spark)
+    base = run_fads_pandas(pdf, CFG)
+    strict = run_fads_pandas(
+        pdf, FADSConfig(**{**CFG.__dict__, "distinct_pids": True})
+    )
+    pd.testing.assert_frame_equal(
+        base.sort_values("event_id").reset_index(drop=True),
+        strict.sort_values("event_id").reset_index(drop=True),
+        check_like=True,
+    )
+
+
+def _dup_pid_pdf(seed=11, n=300, n_pids=20):
+    """Data where PIDs repeat heavily, so the uniqueness filter bites."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "row_uid": np.arange(n),
+            "person": rng.integers(0, n_pids, n),
+            "user_id": rng.integers(0, 50, n).astype(float),
+            "value": rng.normal(100, 20, n).round(2),
+            "ts_millis": np.sort(rng.integers(0, 1_000_000, n)).astype(float),
+        }
+    )
+    pdf["arrival_ms"] = pdf["ts_millis"].astype(np.int64)
+    return pdf
+
+
+def test_distinct_pids_core_matches_oracle():
+    """Dual-implementation agreement on duplicate-PID data, both modes."""
+    pdf = _dup_pid_pdf()
+    for strict in (False, True):
+        cfg = FADSConfig(
+            k=5, buffer_rows=12, reuse_ms=100_000,
+            qid_cols=("user_id", "value", "ts_millis"),
+            pid_col="person", arrival_col="arrival_ms",
+            distinct_pids=strict,
+        )
+        # pid_col is non-unique: sort exactly like run_fads_pandas does and
+        # feed the oracle positional ids + pid values
+        s = pdf.sort_values(["arrival_ms", "person"], kind="mergesort").reset_index(drop=True)
+        rows = [
+            (i, tuple(s.loc[i, c] for c in cfg.qid_cols), int(s.loc[i, "arrival_ms"]),
+             int(s.loc[i, "person"]))
+            for i in range(len(s))
+        ]
+        expected = fads_oracle(rows, cfg)
+        got = run_fads_pandas(pdf, cfg)
+        assert len(got) == len(pdf)
+        got = got.set_index("row_uid")
+        for i, (lo, hi) in expected.items():
+            uid = int(s.loc[i, "row_uid"])
+            for j, q in enumerate(cfg.qid_cols):
+                assert got.loc[uid, f"{q}_lo"] == pytest.approx(lo[j])
+                assert got.loc[uid, f"{q}_hi"] == pytest.approx(hi[j])
+
+
+def test_distinct_pids_forces_fallback():
+    """All rows share one PID: no k-1 unique-PID neighbour set ever exists,
+    so every overflow release must suppress (no cluster is ever cached) —
+    intervals equal the running global-bounds snapshot, never a kNN box."""
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "row_uid": np.arange(n),
+            "person": np.zeros(n, dtype=np.int64),
+            "user_id": np.linspace(0.0, 39.0, n),
+            "value": np.linspace(100.0, 139.0, n),
+            "ts_millis": np.arange(n, dtype=float),
+        }
+    )
+    pdf["arrival_ms"] = np.arange(n, dtype=np.int64)
+    cfg = FADSConfig(
+        k=4, buffer_rows=8, reuse_ms=10**9,
+        qid_cols=("user_id", "value"),
+        pid_col="person", arrival_col="arrival_ms",
+        distinct_pids=True,
+    )
+    out = run_fads_pandas(pdf, cfg).sort_values("row_uid").reset_index(drop=True)
+    assert len(out) == n
+    # row released at overflow i (buffer holds rows 0..8 -> row 0 released
+    # when row 8 arrives): bounds snapshot covers rows seen so far
+    first = out.iloc[0]
+    assert first["user_id_lo"] == 0.0 and first["user_id_hi"] == 8.0
+    assert first["value_lo"] == 100.0 and first["value_hi"] == 108.0
+    # strict mode must differ from parity mode on this data
+    base = run_fads_pandas(pdf, FADSConfig(**{**cfg.__dict__, "distinct_pids": False}))
+    base = base.sort_values("row_uid").reset_index(drop=True)
+    assert not out[["user_id_lo", "user_id_hi"]].equals(base[["user_id_lo", "user_id_hi"]])

@@ -50,6 +50,63 @@ def fads_case(draw):
     return pdf, _cfg(k, buffer_rows, reuse_ms)
 
 
+@st.composite
+def dup_pid_case(draw):
+    """Random data with a heavily-duplicated PID column, both kNN modes."""
+    n = draw(st.integers(min_value=1, max_value=100))
+    k = draw(st.integers(min_value=2, max_value=8))
+    buffer_rows = draw(st.integers(min_value=k, max_value=30))
+    n_pids = draw(st.integers(min_value=1, max_value=max(n // 3, 1)))
+    strict = draw(st.booleans())
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "row_uid": np.arange(n),
+            "person": rng.integers(0, n_pids, n),
+            "user_id": rng.integers(0, max(n // 4, 2), n).astype(float),
+            "value": rng.integers(-3, 4, n).astype(float),
+            "ts_millis": np.sort(rng.integers(0, 5_000, n)).astype(float),
+        }
+    )
+    pdf["arrival_ms"] = pdf["ts_millis"].astype(np.int64)
+    cfg = FADSConfig(
+        k=k,
+        buffer_rows=buffer_rows,
+        reuse_ms=draw(st.sampled_from([0, 1_000, 10**9])),
+        qid_cols=QIDS,
+        pid_col="person",
+        arrival_col="arrival_ms",
+        distinct_pids=strict,
+    )
+    return pdf, cfg
+
+
+@settings(max_examples=40, deadline=None)
+@given(dup_pid_case())
+def test_fads_fuzz_distinct_pids_oracle_parity(case):
+    pdf, cfg = case
+    out = run_fads_pandas(pdf, cfg)
+    assert sorted(out["row_uid"]) == sorted(pdf["row_uid"])
+    for q in cfg.qid_cols:
+        assert (out[f"{q}_lo"] <= out[f"{q}_hi"]).all()
+
+    # oracle consumes rows in the exact order run_fads_pandas sorts them
+    s = pdf.sort_values(["arrival_ms", "person"], kind="mergesort").reset_index(drop=True)
+    rows = [
+        (i, tuple(s.loc[i, c] for c in cfg.qid_cols), int(s.loc[i, "arrival_ms"]),
+         int(s.loc[i, "person"]))
+        for i in range(len(s))
+    ]
+    expected = fads_oracle(rows, cfg)
+    got = out.set_index("row_uid")
+    for i, (lo, hi) in expected.items():
+        uid = int(s.loc[i, "row_uid"])
+        for j, q in enumerate(cfg.qid_cols):
+            assert got.loc[uid, f"{q}_lo"] == pytest.approx(lo[j])
+            assert got.loc[uid, f"{q}_hi"] == pytest.approx(hi[j])
+
+
 @settings(max_examples=40, deadline=None)
 @given(fads_case())
 def test_fads_fuzz_invariants_and_oracle_parity(case):

@@ -551,3 +551,69 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.md5("content").alias("resized_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# High-dimension similarity (wide model embeddings: 768/1024/1536)
+# --------------------------------------------------------------------------
+
+_DIM_WIDE = 1024
+_TILE = _DIM_WIDE // DIM  # deterministic widening: tile the 64-dim fixture
+
+
+def _wide_dot_sql(a: str, b: str) -> str:
+    # list_reduce over a 0.0-seeded list IS the left fold — bit-identical to
+    # Spark's F.aggregate and safely under DuckDB's expression-depth cap
+    # (a 1024-term `+` chain exceeds max_expression_depth=1000)
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {_DIM_WIDE + 1}),"
+        f" i -> {a}.emb[i]::DOUBLE * {b}.emb[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _wide_norm_sql(a: str) -> str:
+    sq = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {_DIM_WIDE + 1}),"
+        f" i -> {a}.emb[i]::DOUBLE * {a}.emb[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+    return f"sqrt({sq})"
+
+
+_COSINE_WIDE_SQL = f"""
+WITH t AS (
+  SELECT vec_id, {" || ".join(["embedding"] * _TILE)} AS emb FROM embeddings
+),
+e AS (SELECT * FROM t e0 WHERE {_wide_norm_sql('e0')} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ({_wide_dot_sql('q', 'c')}) / ({_wide_norm_sql('q')} * {_wide_norm_sql('c')}) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+
+@query("ann_cosine_dim1024", oracle=_COSINE_WIDE_SQL)
+def ann_cosine_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 at dim 1024 — exercises the high-dimension
+    dot/norm path (F.aggregate/zip_with fold, similarity.dot_expr): past
+    ~128 dims the explicit term chain blows whole-stage codegen past the
+    JVM 64KB method limit, so wide vectors switch to a single higher-order
+    fold expression with a JVM-side per-element loop.
+
+    The fixture is 64-dim, so vectors are deterministically widened by
+    tiling 16x (pure JVM: flatten(array_repeat(...)); the oracle tiles with
+    list concat).  The fold's left-associated double sum is bit-identical
+    to the oracle's explicit 1024-term chain.
+    """
+    embs = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), _TILE)).alias("embedding")
+    )
+    return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)

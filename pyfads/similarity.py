@@ -31,6 +31,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "dot_chain",
+    "dot_expr",
+    "norm_expr",
     "drop_zero_norm",
     "cosine_topk",
     "ann_lsh_topk",
@@ -39,6 +41,16 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
+
+# Above this dimension the explicit term chain stops being the right plan:
+# the generated expression tree has ~6*dim nodes and whole-stage codegen
+# emits one Java expression per term — past the JVM's 64KB-per-method limit
+# Catalyst silently falls back to interpreted Projection per *node*.  The
+# F.aggregate/zip_with fold is a single higher-order expression whose
+# per-element loop runs JVM-side regardless of dim, so it wins for wide
+# embeddings (768/1024/1536-dim model outputs).  Both produce bit-identical
+# left-associated double sums (fold seed 0.0 + t1 == t1 in IEEE754).
+CHAIN_MAX_DIM = 128
 
 
 def _elem(col: str, i: int) -> "F.Column":
@@ -65,6 +77,37 @@ def _norm_chain(col: str, dim: int) -> "F.Column":
     )
 
 
+def _dot_fold(a_col: str, b_col: str) -> "F.Column":
+    """Left fold: 0.0 + a1*b1 + a2*b2 + ... — same rounding as the chain."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a_col), F.col(b_col), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_expr(a_col: str, b_col: str, dim: int) -> "F.Column":
+    """Dot product, codegen chain below CHAIN_MAX_DIM, aggregate fold above."""
+    if dim <= CHAIN_MAX_DIM:
+        return dot_chain(a_col, b_col, dim)
+    return _dot_fold(a_col, b_col)
+
+
+def norm_expr(col: str, dim: int) -> "F.Column":
+    """L2 norm, dim-switched like :func:`dot_expr`."""
+    if dim <= CHAIN_MAX_DIM:
+        return _norm_chain(col, dim)
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def drop_zero_norm(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
     """Drop rows whose vector has zero L2 norm.
 
@@ -73,7 +116,7 @@ def drop_zero_norm(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataF
     ``cosine >= threshold`` filters.  Every ranking/near-dup entry point
     filters through this first (the oracle SQLs carry the same predicate).
     """
-    return df.filter(_norm_chain(vec_col, dim) > 0)
+    return df.filter(norm_expr(vec_col, dim) > 0)
 
 
 def cosine_topk(
@@ -87,16 +130,20 @@ def cosine_topk(
     """Brute-force cosine top-k: every query row against every candidate row
     (minus self).  The queries side is broadcast; ranking ties break on the
     neighbour id so output is deterministic."""
-    embeddings = drop_zero_norm(embeddings, dim, vec_col)
-    queries = drop_zero_norm(queries, dim, vec_col)
+    # norms are computed ONCE per side before the join (bit-identical to a
+    # per-pair recompute, |Q|x cheaper on the candidate side)
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+        .filter(F.col("q_norm") > 0)
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("c_norm", norm_expr("c_vec", dim))
+        .filter(F.col("c_norm") > 0)
+    )
     pairs = q.join(c, F.col("q_id") != F.col("neighbor_id"))
-    cos = dot_chain("q_vec", "c_vec", dim) / (
-        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
-    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         pairs.withColumn("cosine", cos)
@@ -111,7 +158,7 @@ def embedding_norms(
 ) -> DataFrame:
     """L2 norm per embedding (explicit chain; oracle-verifiable)."""
     e = embeddings.select(F.col(id_col), F.col(vec_col).alias("__v"))
-    return e.select(id_col, _norm_chain("__v", dim).alias("l2_norm"))
+    return e.select(id_col, norm_expr("__v", dim).alias("l2_norm"))
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
@@ -176,11 +223,17 @@ def embedding_near_dup_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    va = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    cos = dot_chain("a_vec", "b_vec", dim) / (
-        _norm_chain("a_vec", dim) * _norm_chain("b_vec", dim)
+    va = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm_expr(vec_col, dim).alias("a_norm"),
     )
+    vb = embeddings.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm_expr(vec_col, dim).alias("b_norm"),
+    )
+    cos = dot_expr("a_vec", "b_vec", dim) / (F.col("a_norm") * F.col("b_norm"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
@@ -226,11 +279,14 @@ def ann_lsh_topk(
     )
     vq = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
     )
-    vc = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    cos = dot_chain("q_vec", "c_vec", dim) / (
-        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
     )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cand.join(vq, "q_id")
@@ -382,11 +438,14 @@ def ann_ivf_topk(
     )
     vq = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
     )
-    vc = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    cos = dot_chain("q_vec", "c_vec", dim) / (
-        _norm_chain("q_vec", dim) * _norm_chain("c_vec", dim)
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
     )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cand.join(vq, "q_id")

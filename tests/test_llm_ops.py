@@ -273,3 +273,29 @@ def test_sample_frames_windows(spark):
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
     assert bytes(frames[0]["frame_bytes"]) == b"a" * 64
     assert bytes(frames[2]["frame_bytes"]) == b"a" * 64
+
+
+def test_dim_switched_dot_norm_parity(spark):
+    """dot_expr/norm_expr switch to the higher-order fold above
+    CHAIN_MAX_DIM; the fold's left-associated double sum is bit-identical
+    to the codegen chain (same rounding sequence, 0.0 seed is exact)."""
+    embs = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    chain = {
+        r["vec_id"]: (r["d"], r["n"])
+        for r in embs.select(
+            "vec_id",
+            S.dot_chain("v", "v", 64).alias("d"),
+            S._norm_chain("v", 64).alias("n"),
+        ).collect()
+    }
+    fold = embs.select(
+        "vec_id",
+        S._dot_fold("v", "v").alias("d"),
+        S.norm_expr("v", 1024).alias("n"),  # dim arg > CHAIN_MAX_DIM -> fold
+    ).collect()
+    for r in fold:
+        assert chain[r["vec_id"]] == (r["d"], r["n"])
+    # the switch itself
+    assert S.CHAIN_MAX_DIM < 1024

@@ -208,3 +208,88 @@ def test_stream_state_pickle_roundtrip(events_pdf):
     assert len(st2.buffer) == len(st.buffer)
     assert np.array_equal(st2.glo, st.glo)
     assert len(pending2) == 50
+
+
+def test_stream_multibatch_ttl_flush_parity(spark, tmp_path_factory):
+    """End-to-end multi-micro-batch parity against the pure-Python golden
+    oracle, including the REAL ProcessingTimeTimeout flush (not a fake
+    state handle) and cluster-TTL expiry crossing micro-batch boundaries:
+    arrival jumps of 10000 between chunks with reuse_ms=5000 mean every
+    cluster cached in batch i must expire on the first row of batch i+1,
+    after a pickle round-trip through the state store."""
+    from pyfads.oracle import fads_oracle
+
+    cfg = FADSConfig(
+        k=3,
+        buffer_rows=6,
+        reuse_ms=5_000,
+        qid_cols=("user_id", "value"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    # continuous uniforms: strict box containment (cluster reuse) actually
+    # occurs, so expiring vs not expiring clusters changes released
+    # intervals for 27 post-boundary rows at this seed (verified offline)
+    rng = np.random.default_rng(0)
+    n_chunks, per_chunk = 3, 20
+    frames = []
+    for i in range(n_chunks):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(i * per_chunk, (i + 1) * per_chunk),
+                    "user_id": rng.uniform(0, 100, per_chunk).round(3),
+                    "value": rng.uniform(0, 100, per_chunk).round(3),
+                    "arrival_ms": (i * 10_000 + np.arange(per_chunk) * 50).astype(
+                        np.int64
+                    ),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    d = tmp_path_factory.mktemp("ttl_chunks")
+    for i, part in enumerate(frames):
+        p = d / f"chunk_{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    src = (
+        spark.readStream.schema(spark.createDataFrame(pdf.head(1)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = fads_generalize_stream(src, cfg, flush_after_ms=3_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fads_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 180
+        while _t.time() < deadline:
+            if spark.table("fads_ttl_out").count() >= len(pdf):
+                break
+            _t.sleep(2)
+        got = spark.table("fads_ttl_out").collect()
+    finally:
+        q.stop()
+    assert len(got) == len(pdf), "timeout flush did not drain the buffer"
+
+    rows = [
+        (int(r.event_id), (float(r.user_id), float(r.value)), int(r.arrival_ms))
+        for r in pdf.itertuples()
+    ]
+    expected = fads_oracle(rows, cfg)
+    exp_set = {
+        (rid, *map(float, lo), *map(float, hi)) for rid, (lo, hi) in expected.items()
+    }
+    assert _rows_to_set(got, cfg) == exp_set
+
+    # sanity that the scenario really exercises the TTL boundary: without
+    # expiry the oracle must assign different intervals to rows AFTER the
+    # first chunk boundary (i.e. expiry-on-restore is observable)
+    no_ttl = fads_oracle(rows, FADSConfig(**{**cfg.__dict__, "reuse_ms": 10**9}))
+    assert any(expected[r] != no_ttl[r] for r in expected if r >= per_chunk)

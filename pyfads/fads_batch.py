@@ -26,7 +26,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pyfads.config import FADSConfig
 from pyfads.fads_core import FADSState, ReleasedBatch
@@ -110,19 +110,43 @@ def fads_generalize(df: DataFrame, cfg: FADSConfig) -> DataFrame:
 
 
 def fads_generalize_partitioned(
-    df: DataFrame, cfg: FADSConfig, partition_col: str
+    df: DataFrame,
+    cfg: FADSConfig,
+    partition_col: str,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Scale-out batch FADS: independent FADS per ``partition_col`` group.
 
     One shuffle on the partition key, then embarrassingly parallel; each
     group's rows are k-anonymized against that group's own global bounds.
+
+    ``max_group_rows`` is the hot-key guard (same discipline as the dedup
+    side's ``_salt_cap``): the sequential per-group state machine makes one
+    10x-hot key a 10x-long straggler task at 100 TB.  When set, each group
+    is sub-split into arrival-contiguous runs of at most ``max_group_rows``
+    rows (row_number over the group's arrival order), and FADS runs
+    independently per run — so max task size is bounded at
+    ``max_group_rows`` regardless of key skew.  Semantics: k-anonymity and
+    global bounds hold *within each run* (each run behaves like its own
+    bounded stream); releases never mix rows across runs.
     """
     _check_cols(df, cfg)
     if partition_col in cfg.qid_cols:
         raise ValueError("partition_col cannot be a QID column")
+    if max_group_rows is not None and max_group_rows < cfg.buffer_rows + 1:
+        raise ValueError("max_group_rows must exceed buffer_rows (a run smaller "
+                         "than the buffer never overflows and only ever flushes)")
     out_schema = fads_output_schema(df.schema, cfg)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return run_fads_pandas(pdf, cfg)
+        return run_fads_pandas(pdf.drop(columns="__fads_run", errors="ignore"), cfg)
 
-    return df.groupBy(partition_col).applyInPandas(fn, out_schema)
+    if max_group_rows is None:
+        return df.groupBy(partition_col).applyInPandas(fn, out_schema)
+
+    w = Window.partitionBy(partition_col).orderBy(cfg.arrival_col, cfg.pid_col)
+    salted = df.withColumn(
+        "__fads_run",
+        ((F.row_number().over(w) - 1) / F.lit(max_group_rows)).cast("long"),
+    )
+    return salted.groupBy(partition_col, "__fads_run").applyInPandas(fn, out_schema)

@@ -235,3 +235,56 @@ def test_distinct_pids_forces_fallback():
     base = run_fads_pandas(pdf, FADSConfig(**{**cfg.__dict__, "distinct_pids": False}))
     base = base.sort_values("row_uid").reset_index(drop=True)
     assert not out[["user_id_lo", "user_id_hi"]].equals(base[["user_id_lo", "user_id_hi"]])
+
+
+# -- hot-key salting in scale-out mode (dedup _salt_cap discipline) ---------
+
+
+def test_partitioned_hot_key_salting(spark):
+    """One 10x-hot key: max_group_rows sub-splits it into arrival-contiguous
+    runs; the output equals an independent local FADS over each run (proving
+    every task is bounded at max_group_rows rows) and cold keys are
+    untouched (single run)."""
+    rng = np.random.default_rng(3)
+
+    def mk(grp, n, base):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(base, base + n),
+                "grp": grp,
+                "user_id": rng.uniform(0, 50, n).round(2),
+                "value": rng.uniform(0, 100, n).round(2),
+                "arrival_ms": np.sort(rng.integers(0, 10**6, n)).astype(np.int64),
+            }
+        )
+
+    hot = mk("hot", 1000, 0)
+    colds = [mk(f"cold{i}", 100, 10_000 * (i + 1)) for i in range(4)]
+    pdf = pd.concat([hot, *colds], ignore_index=True)
+    cfg = FADSConfig(
+        k=5, buffer_rows=15, reuse_ms=60_000,
+        qid_cols=("user_id", "value"),
+        pid_col="event_id", arrival_col="arrival_ms",
+    )
+    cap = 250
+    df = spark.createDataFrame(pdf)
+    out = fads_generalize_partitioned(df, cfg, "grp", max_group_rows=cap).toPandas()
+    assert len(out) == len(pdf)
+    assert "__fads_run" not in out.columns
+
+    # expected: chunk each group's arrival-ordered rows into runs of <= cap,
+    # run FADS independently per run
+    expect_frames = []
+    for _, g in pdf.groupby("grp"):
+        s = g.sort_values(["arrival_ms", "event_id"], kind="mergesort").reset_index(drop=True)
+        for start in range(0, len(s), cap):
+            expect_frames.append(run_fads_pandas(s.iloc[start : start + cap], cfg))
+    expected = pd.concat(expect_frames, ignore_index=True)
+    o = out.sort_values("event_id").reset_index(drop=True)
+    e = expected[o.columns].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o, e, check_dtype=False)
+
+    # the hot group really was split (4 runs of 250), colds were not
+    assert len(hot) / cap == 4
+    with pytest.raises(ValueError):
+        fads_generalize_partitioned(df, cfg, "grp", max_group_rows=cfg.buffer_rows)

@@ -39,6 +39,19 @@ class FADSConfig:
       to old-cluster reuse / suppression and the buffer is left untouched.
     - ``arrival_col``: column holding arrival time in epoch millis (long).
       Defines processing order and the TTL clock.
+    - ``legacy_distance``: opt-in byte-parity with the reference's *shipped*
+      kNN distance (Generalizer.java:356), which has a precedence bug —
+      ``(abs(delta) / hi_i) - lo_i`` instead of ``abs(delta) / (hi_i -
+      lo_i)`` — and reads tuple fields 0..d-1 raw instead of through
+      ``keys[]``.  Default False uses the paper-intended formula
+      (SURVEY.md §2.5.3).  With the flag on, distances come from
+      ``legacy_distance_cols`` (the columns standing in for the
+      reference's raw fields 0..d-1; defaults to ``qid_cols``) against the
+      QID global bounds, faithfully reproducing both bugs.  No zero-range
+      guard applies (the reference has none); ties/NaN order by the stable
+      buffer rule (the reference's inconsistent comparator leaves them
+      undefined).
+    - ``legacy_distance_cols``: see above; must match ``qid_cols`` length.
     """
 
     k: int = 10
@@ -48,6 +61,8 @@ class FADSConfig:
     pid_col: str = "event_id"
     arrival_col: str = "arrival_ms"
     distinct_pids: bool = False
+    legacy_distance: bool = False
+    legacy_distance_cols: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         if self.k < 2:
@@ -63,3 +78,10 @@ class FADSConfig:
                              "collide in <col>_lo/<col>_hi output columns)")
         if self.pid_col in self.qid_cols or self.arrival_col in self.qid_cols:
             raise ValueError("pid_col/arrival_col must not be QID columns")
+        if self.legacy_distance_cols is not None and len(
+            self.legacy_distance_cols
+        ) != len(self.qid_cols):
+            raise ValueError(
+                "legacy_distance_cols must match qid_cols length (the reference "
+                "reads one raw field per QID dimension)"
+            )

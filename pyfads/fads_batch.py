@@ -76,8 +76,16 @@ def run_fads_pandas(pdf: pd.DataFrame, cfg: FADSConfig) -> pd.DataFrame:
     qids = pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64)
     arrivals = pdf[cfg.arrival_col].to_numpy(dtype=np.int64)
     state = FADSState(cfg)
+    legacy = None
+    if cfg.legacy_distance:
+        lcols = list(cfg.legacy_distance_cols or cfg.qid_cols)
+        legacy = pdf[lcols].to_numpy(dtype=np.float64)
     released = state.process(
-        np.arange(len(pdf)), qids, arrivals, pids=pdf[cfg.pid_col].to_numpy()
+        np.arange(len(pdf)),
+        qids,
+        arrivals,
+        pids=pdf[cfg.pid_col].to_numpy(),
+        legacy_vals=legacy,
     )
     tail = state.flush()
     return _assemble(pdf, (released, tail), cfg)
@@ -86,7 +94,12 @@ def run_fads_pandas(pdf: pd.DataFrame, cfg: FADSConfig) -> pd.DataFrame:
 def _check_cols(df: DataFrame, cfg: FADSConfig) -> None:
     missing = [
         c
-        for c in (*cfg.qid_cols, cfg.pid_col, cfg.arrival_col)
+        for c in (
+            *cfg.qid_cols,
+            cfg.pid_col,
+            cfg.arrival_col,
+            *(cfg.legacy_distance_cols or () if cfg.legacy_distance else ()),
+        )
         if c not in df.columns
     ]
     if missing:

@@ -125,19 +125,28 @@ class FADSState:
             out.hi.append(self.ghi.copy())
 
     def _release_oldest(self, out: ReleasedBatch, now: int) -> None:
-        row_id, q, _arr, _pid = self.buffer.popleft()
+        row_id, q, _arr, _pid, lq = self.buffer.popleft()
         k1 = self.cfg.k - 1
         if len(self.buffer) < k1:
             # cannot form a new cluster: reuse best old cluster or suppress
             self._release_without_cluster(out, row_id, q)
             return
 
-        # G5: k-1 nearest by mean over dims of abs(delta)/(ghi-glo)
         buf_q = np.stack([b[1] for b in self.buffer])  # (B, d)
-        grange = self.ghi - self.glo
-        with np.errstate(invalid="ignore", divide="ignore"):
-            per_dim = np.where(grange > 0, np.abs(buf_q - q) / grange, 0.0)
-        dists = per_dim.mean(axis=1)
+        if self.cfg.legacy_distance:
+            # shipped-bug parity (Generalizer.java:356): (abs(delta)/hi)-lo
+            # over the raw legacy fields, no zero guard; NaN/Inf flow
+            # through the stable argsort (NaN ordered last)
+            l_buf = np.stack([b[4] for b in self.buffer])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                per_dim = np.abs(l_buf - lq) / self.ghi - self.glo
+            dists = per_dim.mean(axis=1)
+        else:
+            # G5 intended: k-1 nearest by mean over dims of abs(delta)/(ghi-glo)
+            grange = self.ghi - self.glo
+            with np.errstate(invalid="ignore", divide="ignore"):
+                per_dim = np.where(grange > 0, np.abs(buf_q - q) / grange, 0.0)
+            dists = per_dim.mean(axis=1)
         if self.cfg.distinct_pids:
             # Intended PID-uniqueness filter (Generalizer.java:205-216, the
             # commented-out check): walk the stable distance order, greedily
@@ -202,7 +211,7 @@ class FADSState:
     # -- public API --------------------------------------------------------
 
     def process(
-        self, row_ids, qids: np.ndarray, arrivals, pids=None
+        self, row_ids, qids: np.ndarray, arrivals, pids=None, legacy_vals=None
     ) -> ReleasedBatch:
         """Consume rows (already in arrival order); return released rows.
 
@@ -212,17 +221,23 @@ class FADSState:
         ``pids`` (optional) carries the PID value per row for the
         ``distinct_pids`` kNN filter; when omitted, ``row_ids`` double as
         PIDs (true for the streaming wrappers, which key rows by pid_col).
+        ``legacy_vals`` (optional, (n, d)) carries the raw-field values the
+        ``legacy_distance`` mode measures distances on; defaults to the
+        QID vectors.
         """
         out = ReleasedBatch()
         B = self.cfg.buffer_rows
         if pids is None:
             pids = row_ids
-        for rid, q, arr, pid in zip(
-            row_ids, np.asarray(qids, dtype=np.float64), arrivals, pids
-        ):
+        qids = np.asarray(qids, dtype=np.float64)
+        if legacy_vals is None:
+            legacy_vals = qids
+        else:
+            legacy_vals = np.asarray(legacy_vals, dtype=np.float64)
+        for rid, q, arr, pid, lq in zip(row_ids, qids, arrivals, pids, legacy_vals):
             arr = int(arr)
             self.last_arrival = arr
-            self.buffer.append((rid, q, arr, pid))
+            self.buffer.append((rid, q, arr, pid, lq))
             self._update_bounds(q)
             self._expire_clusters(arr)
             if len(self.buffer) > B:

@@ -28,6 +28,7 @@ __all__ = [
     "as_media",
     "decode_image",
     "fake_decode_features",
+    "real_decode_features",
     "extract_media_features",
     "resize_media",
     "sample_frames",
@@ -76,19 +77,65 @@ def as_media(df: DataFrame, id_col: str, bytes_col: "F.Column", fmt: str, source
     )
 
 
-def decode_image(content: bytes):
-    """Real image decode — STUB: requires an image library not present in
-    this container."""
+def _has_pil() -> bool:
     try:
         from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(content: bytes):
+    """Real image decode — gated on PIL being installed (it is not in this
+    container; the deterministic fake keeps plumbing testable)."""
+    if not _has_pil():
         raise NotImplementedError(
             "image decoding requires PIL/pillow, not available in this environment; "
             "use fake_decode_features for plumbing tests"
-        ) from e
+        )
     import io
 
+    from PIL import Image
+
     return Image.open(io.BytesIO(content))  # pragma: no cover
+
+
+def real_decode_features(content: bytes) -> tuple[str, int, int, float]:
+    """PIL-backed twin of :func:`fake_decode_features`: same output shape
+    (header md5, width, height, mean), real pixel values."""
+    import hashlib
+
+    import numpy as np
+
+    if content is None or len(content) == 0:
+        return ("", 0, 0, 0.0)
+    img = decode_image(content)
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    return (
+        hashlib.md5(content[:16]).hexdigest(),
+        int(img.width),
+        int(img.height),
+        float(arr.mean()) if arr.size else 0.0,
+    )
+
+
+def _pick_decoder(decoder: str):
+    """'fake' (default — deterministic, oracle-stable), 'real' (PIL,
+    raises here if absent), or 'auto' (real when PIL exists, else fake).
+    Resolved lazily inside the executor closure so only the mode string is
+    pickled, and each worker probes its own environment."""
+    if decoder not in ("fake", "real", "auto"):
+        raise ValueError(f"decoder must be fake|real|auto, got {decoder!r}")
+    if decoder == "real" and not _has_pil():
+        raise NotImplementedError("decoder='real' requires PIL/pillow")
+
+    def resolve():
+        if decoder == "fake" or (decoder == "auto" and not _has_pil()):
+            return fake_decode_features
+        return real_decode_features
+
+    return resolve
 
 
 def fake_decode_features(content: bytes) -> tuple[str, int, int, float]:
@@ -106,13 +153,17 @@ def fake_decode_features(content: bytes) -> tuple[str, int, int, float]:
     return (hh, int(w), int(h), mean)
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas feature extraction over media batches (Arrow transfer,
-    never row-at-a-time)."""
+    never row-at-a-time).  ``decoder``: see :func:`_pick_decoder` — the
+    registered CORRECTNESS query pins 'fake' so the oracle stays
+    deterministic whether or not PIL is installed."""
+    resolve = _pick_decoder(decoder)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = resolve()
         for pdf in batches:
-            feats = [fake_decode_features(c) for c in pdf["content"]]
+            feats = [decode(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,13 +178,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MEDIA_FEATURE_SCHEMA)
 
 
-def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """'Resize' plumbing: deterministic fake resample (a real decoder would
-    decode → resample → re-encode; the Spark shape — mapInPandas over the
-    canonical media schema, binary out, typed target dims — is identical).
-
-    The fake keeps every ``stride``-th byte so output size tracks the
-    target-pixel-count ratio, making size assertions meaningful in tests."""
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32, decoder: str = "fake"
+) -> DataFrame:
+    """Resize: with ``decoder='real'``/'auto'+PIL, decode → LANCZOS resample
+    → PNG re-encode; the default fake resample keeps every ``stride``-th
+    byte so output size tracks the target-pixel-count ratio (deterministic,
+    oracle-stable, same Spark shape — mapInPandas over the canonical media
+    schema, binary out, typed target dims)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -144,16 +196,31 @@ def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> Da
         ]
     )
     target = max(target_w * target_h, 1)
+    resolve = _pick_decoder(decoder)
+
+    def _fake_resize(content: bytes) -> bytes:
+        stride = max(len(content) // target, 1)
+        return bytes(content[::stride][:target])
+
+    def _real_resize(content: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content))
+        out = io.BytesIO()
+        img.resize((target_w, target_h), Image.LANCZOS).save(out, format="PNG")
+        return out.getvalue()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = _fake_resize if resolve() is fake_decode_features else _real_resize
         for pdf in batches:
             out_bytes = []
             for content in pdf["content"]:
                 if content is None or len(content) == 0:
                     out_bytes.append(b"")
                     continue
-                stride = max(len(content) // target, 1)
-                out_bytes.append(bytes(content[::stride][:target]))
+                out_bytes.append(resize(content))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -39,16 +39,17 @@ def _best_cluster(q, clusters, glo, ghi):
 
 
 def fads_oracle(rows, cfg: FADSConfig):
-    """rows: iterable of (row_id, qid_tuple, arrival_int) or
-    (row_id, qid_tuple, arrival_int, pid) in arrival order; when pid is
-    omitted the row_id doubles as the PID.
+    """rows: iterable of (row_id, qid_tuple, arrival_int[, pid[, legacy_tuple]])
+    in arrival order; when pid is omitted the row_id doubles as the PID;
+    when legacy_tuple is omitted the QID tuple doubles as the legacy
+    distance fields.
 
     Returns dict row_id -> (lo_tuple, hi_tuple).
     """
     d = len(cfg.qid_cols)
     glo = [float("inf")] * d
     ghi = [float("-inf")] * d
-    buffer = []  # (row_id, q, arrival, pid)
+    buffer = []  # (row_id, q, arrival, pid, legacy_vals)
     clusters = []  # (lo, hi, created)
     released = {}
 
@@ -60,19 +61,46 @@ def fads_oracle(rows, cfg: FADSConfig):
             released[rid] = (tuple(glo), tuple(ghi))  # suppress snapshot
 
     def release_oldest(now):
-        rid, q, _arr, _pid = buffer.pop(0)
+        rid, q, _arr, _pid, lq = buffer.pop(0)
         if len(buffer) < cfg.k - 1:
             release_without_cluster(rid, q)
             return
-        # k-1 nearest by mean normalized-L1; stable ties on buffer order
-        def dist(item):
-            s = 0.0
-            for i in range(d):
-                gr = ghi[i] - glo[i]
-                s += abs(item[1][i] - q[i]) / gr if gr > 0 else 0.0
-            return s / d
+        # k-1 nearest by mean normalized-L1; stable ties on buffer order.
+        # legacy_distance reproduces the shipped (abs/hi)-lo precedence bug
+        # over the raw legacy fields (Generalizer.java:356), no zero guard
+        # (IEEE semantics emulated: x/0 -> +inf, 0/0 -> NaN, NaN last).
+        if cfg.legacy_distance:
 
-        order = sorted(range(len(buffer)), key=lambda j: (dist(buffer[j]), j))
+            def dist(item):
+                s = 0.0
+                for i in range(d):
+                    num = abs(item[4][i] - lq[i])
+                    if ghi[i] != 0.0:
+                        s += num / ghi[i] - glo[i]
+                    elif num == 0.0:
+                        s += float("nan")
+                    else:
+                        s += float("inf") - glo[i]
+                return s / d
+
+        else:
+
+            def dist(item):
+                s = 0.0
+                for i in range(d):
+                    gr = ghi[i] - glo[i]
+                    s += abs(item[1][i] - q[i]) / gr if gr > 0 else 0.0
+                return s / d
+
+        import math
+
+        def nan_last(v, j):
+            # numpy stable argsort: NaN sorts after +inf, stable among NaNs
+            return (1, 0.0, j) if math.isnan(v) else (0, v, j)
+
+        order = sorted(
+            range(len(buffer)), key=lambda j: nan_last(dist(buffer[j]), j)
+        )
         if cfg.distinct_pids:
             # greedy nearest-first with pairwise-distinct neighbour PIDs
             # (reference Generalizer.java:205-216, intended semantics)
@@ -110,8 +138,10 @@ def fads_oracle(rows, cfg: FADSConfig):
     for row in rows:
         rid, q, arr = row[0], row[1], row[2]
         pid = row[3] if len(row) > 3 else rid
+        qt = tuple(float(x) for x in q)
+        lq = tuple(float(x) for x in row[4]) if len(row) > 4 else qt
         last = arr
-        buffer.append((rid, tuple(float(x) for x in q), int(arr), pid))
+        buffer.append((rid, qt, int(arr), pid, lq))
         for i in range(d):
             glo[i] = min(glo[i], float(q[i]))
             ghi[i] = max(ghi[i], float(q[i]))

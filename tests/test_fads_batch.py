@@ -288,3 +288,68 @@ def test_partitioned_hot_key_salting(spark):
     assert len(hot) / cap == 4
     with pytest.raises(ValueError):
         fads_generalize_partitioned(df, cfg, "grp", max_group_rows=cfg.buffer_rows)
+
+
+# -- legacy (shipped-bug-parity) distance mode ------------------------------
+
+
+def test_legacy_distance_core_matches_oracle():
+    """Dual-implementation agreement with the shipped (abs/hi)-lo distance,
+    including distinct legacy columns standing in for the reference's raw
+    fields 0..d-1."""
+    rng = np.random.default_rng(5)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "raw0": rng.uniform(1, 9, n).round(3),   # stand-in for field 0
+            "raw1": rng.uniform(1, 9, n).round(3),   # stand-in for field 1
+            "user_id": rng.uniform(0, 50, n).round(2),
+            "value": rng.uniform(10, 200, n).round(2),
+            "ts_millis": np.sort(rng.integers(0, 10**6, n)).astype(float),
+        }
+    )
+    pdf["arrival_ms"] = pdf["ts_millis"].astype(np.int64)
+    for lcols in (None, ("raw0", "raw1")):
+        cfg = FADSConfig(
+            k=4, buffer_rows=10, reuse_ms=100_000,
+            qid_cols=("user_id", "value"),
+            pid_col="event_id", arrival_col="arrival_ms",
+            legacy_distance=True, legacy_distance_cols=lcols,
+        )
+        use = list(lcols or cfg.qid_cols)
+        rows = [
+            (i, tuple(pdf.loc[i, c] for c in cfg.qid_cols), int(pdf.loc[i, "arrival_ms"]),
+             int(pdf.loc[i, "event_id"]), tuple(pdf.loc[i, c] for c in use))
+            for i in range(n)
+        ]
+        expected = fads_oracle(rows, cfg)
+        got = run_fads_pandas(pdf, cfg).set_index("event_id")
+        for i, (lo, hi) in expected.items():
+            for j, q in enumerate(cfg.qid_cols):
+                assert got.loc[i, f"{q}_lo"] == pytest.approx(lo[j]), (lcols, i)
+                assert got.loc[i, f"{q}_hi"] == pytest.approx(hi[j]), (lcols, i)
+
+    # the shipped formula must actually diverge from the intended one here
+    base = run_fads_pandas(
+        pdf, FADSConfig(k=4, buffer_rows=10, reuse_ms=100_000,
+                        qid_cols=("user_id", "value"),
+                        pid_col="event_id", arrival_col="arrival_ms")
+    )
+    legacy = run_fads_pandas(
+        pdf, FADSConfig(k=4, buffer_rows=10, reuse_ms=100_000,
+                        qid_cols=("user_id", "value"),
+                        pid_col="event_id", arrival_col="arrival_ms",
+                        legacy_distance=True)
+    )
+    b = base.sort_values("event_id").reset_index(drop=True)
+    l = legacy.sort_values("event_id").reset_index(drop=True)
+    assert not b[["user_id_lo", "user_id_hi", "value_lo", "value_hi"]].equals(
+        l[["user_id_lo", "user_id_hi", "value_lo", "value_hi"]]
+    )
+
+
+def test_legacy_distance_cols_validation():
+    with pytest.raises(ValueError):
+        FADSConfig(qid_cols=("a", "b"), pid_col="p", arrival_col="t",
+                   legacy_distance=True, legacy_distance_cols=("x",))

@@ -299,3 +299,52 @@ def test_dim_switched_dot_norm_parity(spark):
         assert chain[r["vec_id"]] == (r["d"], r["n"])
     # the switch itself
     assert S.CHAIN_MAX_DIM < 1024
+
+
+def test_media_decoder_gating(spark):
+    """decoder='fake' is the deterministic default; 'real' requires PIL
+    (absent here -> clear NotImplementedError at call time, driver-side);
+    'auto' falls back to the fake and matches it exactly."""
+    import pyfads.multimodal as M
+
+    docs = read_table(spark, SF_DIR, "documents").limit(20)
+    media = M.as_media(docs, "doc_id", F.encode("text", "utf-8"), "text/fake", "lang")
+    fake = M.extract_media_features(media, decoder="fake").collect()
+    if M._has_pil():
+        # environment grew a decoder: 'real' must now work end-to-end
+        real = M.extract_media_features(media, decoder="real").collect()
+        assert len(real) == len(fake)
+    else:
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError):
+            M.extract_media_features(media, decoder="real")
+        with _pt.raises(NotImplementedError):
+            M.resize_media(media, decoder="real")
+    auto = M.extract_media_features(media, decoder="auto").collect()
+    if not M._has_pil():
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, fake))
+    with pytest.raises(ValueError):
+        M.extract_media_features(media, decoder="nope")
+
+
+def test_media_real_decode_with_pil(spark):
+    """Real decode path end-to-end — runs only where pillow exists (skipped
+    in this container); generates a tiny in-memory PNG and checks width/
+    height/mean come from real pixels."""
+    PIL = pytest.importorskip("PIL")
+    import io as _io
+
+    import pyfads.multimodal as M
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("L", (5, 3), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png, "t")], "doc_id long, raw binary, src string")
+    media = M.as_media(df, "doc_id", F.col("raw"), "image/png", "src")
+    feats = M.extract_media_features(media, decoder="real").collect()
+    assert feats[0]["fake_width"] == 5 and feats[0]["fake_height"] == 3
+    assert feats[0]["byte_mean"] == 128.0
+    resized = M.resize_media(media, 2, 2, decoder="real").collect()
+    assert Image.open(_io.BytesIO(bytes(resized[0]["content"]))).size == (2, 2)

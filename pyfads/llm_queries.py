@@ -617,3 +617,180 @@ def ann_cosine_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.flatten(F.array_repeat(F.col("embedding"), _TILE)).alias("embedding")
     )
     return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)
+
+
+# --------------------------------------------------------------------------
+# Corpus assembly: repetition filters, PII scrub, sampling, packing,
+# contamination (documents table)
+# --------------------------------------------------------------------------
+
+from pyfads import pipeline as P  # noqa: E402
+
+_REP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+         CAST(max(c) AS BIGINT) AS m
+  FROM counts GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       COALESCE(n, 0) AS n_2grams,
+       COALESCE(d, 0) AS n_distinct_2grams,
+       COALESCE(m, 0) AS top_2gram_count,
+       CASE WHEN COALESCE(n, 0) > 0
+            THEN CAST(COALESCE(n, 0) - COALESCE(d, 0) AS DOUBLE) / COALESCE(n, 0)
+            ELSE 0.0 END AS dup_2gram_ratio,
+       CASE WHEN COALESCE(n, 0) > 0
+            THEN CAST(COALESCE(m, 0) AS DOUBLE) / COALESCE(n, 0)
+            ELSE 0.0 END AS top_2gram_frac
+FROM documents d0 LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("repetition_stats", oracle=_REP_SQL)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style 2-gram repetition filter signals."""
+    return X.repetition_stats(_docs(spark, sf_dir))
+
+
+# planted PII appended identically on both engines so counts/redaction are
+# non-trivially exercised (the fixture corpus contains no natural PII).
+# Column objects need a live SparkContext, hence the lazy builder.
+def _pii_plant_spark() -> list:
+    return [
+        F.lit(" reach user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        F.col("doc_id") % 256,
+    ]
+_PII_PLANT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_PII_SQL = (
+    """
+WITH planted AS (SELECT doc_id, """
+    + _PII_PLANT_SQL
+    + """ AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '"""
+    + _PII_EMAIL
+    + """')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '"""
+    + _PII_PHONE
+    + """')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '"""
+    + _PII_IP
+    + """')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'),
+           '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g'),
+           '"""
+    + _PII_IP
+    + """', '<IP>', 'g')) AS scrubbed_md5
+FROM planted
+"""
+)
+
+
+@query("pii_scrub", oracle=_PII_SQL)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction over documents with deterministically planted
+    email/phone/IP (the fixtures carry none naturally)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat_ws("", F.col("text"), *_pii_plant_spark())
+    )
+    return X.pii_scrub(docs)
+
+
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.05}
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, h % 10000 AS samp_bucket
+FROM (SELECT doc_id, lang, {_h60('samp', 'CAST(doc_id AS VARCHAR)')} AS h
+      FROM documents)
+WHERE (h % 10000) < (CASE lang
+    WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.25
+    WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END) * 10000
+"""
+
+
+@query("sample_stratified", oracle=_SAMPLE_SQL)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash stratified sampling by language."""
+    return P.sample_by_hash(_docs(spark, sf_dir), _SAMPLE_RATES)
+
+
+_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, h % 8 AS shard, h AS pack_hash,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, text, {_h60('pack', 'CAST(doc_id AS VARCHAR)')} AS h
+        FROM documents)
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prefix_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_idx
+FROM base
+"""
+
+
+@query("pack_contexts", oracle=_PACK_SQL)
+def pack_contexts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing plan (512-token bins, 8 shards)."""
+    return P.pack_greedy(_docs(spark, sf_dir), context_len=512, n_shards=8)
+
+
+_CONT_GRAM = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+
+_CONT_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT DISTINCT doc_id, {_h60('cont', 'g')} AS gram_h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 3), i -> {_CONT_GRAM})) AS g
+    FROM toks
+  )
+),
+bench AS (SELECT DISTINCT gram_h FROM gr WHERE doc_id % 50 = 0),
+perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM gr GROUP BY doc_id),
+cont AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM gr JOIN bench USING (gram_h) GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / COALESCE(n_grams, 0)
+            ELSE 0.0 END AS contamination_frac
+FROM documents d LEFT JOIN perdoc USING (doc_id) LEFT JOIN cont USING (doc_id)
+"""
+
+
+@query("contamination", oracle=_CONT_SQL)
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination fraction per doc: distinct word 5-grams
+    shared with the benchmark subset (doc_id % 50 == 0), broadcast
+    semi-join on gram hashes."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return P.contamination_overlap(docs, bench, n=5)

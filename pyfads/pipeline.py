@@ -1,0 +1,177 @@
+"""Corpus-assembly operators for training-data pipelines: deterministic
+stratified sampling, sequence packing, and benchmark-contamination checks.
+
+These are the steps between "filtered documents" and "training batches":
+every one is reproducible (md5-derived randomness, never ``rand()``), so a
+100 TB run can be replayed bit-for-bit and audited.  All hot paths are
+built-in ``pyspark.sql.functions``; every operator has a DuckDB SQL twin in
+``pyfads.llm_queries``.
+
+Scale notes per operator are in the docstrings; none materializes anything
+on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pyfads.text import md5_hash60, tokens
+
+__all__ = [
+    "sample_by_hash",
+    "pack_greedy",
+    "contamination_overlap",
+]
+
+_SAMPLE_BUCKETS = 10_000
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "samp",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its 60-bit md5
+    hash (of the id) modulo 10000 falls under the stratum's rate.
+
+    The language/domain re-weighting step of corpus assembly ("keep 100%
+    of en, 30% of zh, ..."), done the reproducible way: no ``rand()``, so
+    membership is a pure function of (id, seed) — resampling with a changed
+    rate keeps the previous sample as a subset (rates only move the
+    threshold).  Per-row filter, zero shuffles; the rate map rides along as
+    a literal MapType column.
+    """
+    if not rates:
+        raise ValueError("rates must map at least one stratum to a rate")
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    bucket = h % _SAMPLE_BUCKETS
+    thresh = (
+        F.coalesce(rate_map[F.col(strat_col)], F.lit(float(default_rate)))
+        * _SAMPLE_BUCKETS
+    )
+    return (
+        df.withColumn("samp_bucket", bucket.cast("long"))
+        .filter(F.col("samp_bucket") < thresh)
+        .select(id_col, strat_col, "samp_bucket")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    context_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Greedy sequence packing plan: shard documents by hash, order each
+    shard deterministically, and assign every document to the context
+    window (bin) its running token-prefix lands in.
+
+    This is the planning half of training-sequence packing ("concatenate
+    docs into fixed-length contexts"): ``bin_idx = prefix_tokens //
+    context_len`` models a writer that streams the shard's docs in order
+    into back-to-back windows.  Shape: one shuffle on the shard key, one
+    window running-sum per shard — shards bound the sort width, so the
+    plan scales by adding shards (at 100 TB you'd use thousands; the
+    default 8 is fixture-sized).
+    """
+    if context_len < 1 or n_shards < 1:
+        raise ValueError("context_len and n_shards must be >= 1")
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    n_tok = F.size(tokens(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        (h % n_shards).cast("long").alias("shard"),
+        h.alias("pack_hash"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pack_hash", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        prefix.alias("prefix_tokens"),
+        F.floor(prefix / F.lit(context_len)).cast("long").alias("bin_idx"),
+    )
+
+
+def _word_gram_hashes(df: DataFrame, n: int, text_col: str, id_col: str, seed: str) -> DataFrame:
+    """(id, gram_hash) pairs, one row per *distinct* word n-gram per doc."""
+    toks = tokens(text_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, md5_hash60(F.col("g"), seed).alias("gram_h"))
+        .distinct()
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "cont",
+) -> DataFrame:
+    """Benchmark-contamination check: the fraction of each document's
+    distinct word ``n``-grams that also occur in the benchmark corpus —
+    the standard eval-decontamination pass (GPT-3 §C / PaLM style, 13-gram
+    in the papers; ``n`` is a knob).
+
+    Shape: both sides reduce to (id, gram_hash) pairs; the benchmark's
+    distinct hash set is usually tiny relative to the corpus, so the
+    membership probe is a broadcast semi-join on one 8-byte key — the
+    corpus side streams, nothing resembles all-pairs.  Docs shorter than
+    ``n`` tokens report zero grams (and frac 0.0) via the left join.
+    """
+    doc_grams = _word_gram_hashes(df, n, text_col, id_col, seed)
+    bench_grams = F.broadcast(
+        _word_gram_hashes(benchmark, n, text_col, id_col, seed)
+        .select("gram_h")
+        .distinct()
+    )
+    per_doc = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    contaminated = (
+        doc_grams.join(bench_grams, "gram_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(contaminated, id_col, "left")
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    nc = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        ng.alias("n_grams"),
+        nc.alias("n_contaminated"),
+        F.when(ng > 0, nc.cast("double") / ng).otherwise(F.lit(0.0)).alias(
+            "contamination_frac"
+        ),
+    )

@@ -24,8 +24,11 @@ __all__ = [
     "token_counts",
     "lang_id",
     "fingerprint",
+    "repetition_stats",
+    "pii_scrub",
     "LANG_MARKERS",
     "EN_STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "a"]
@@ -150,6 +153,81 @@ def lang_id(
         pred.alias("lang_pred"),
     )
     return out
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: word-2-gram totals,
+    distinct counts, duplicate-2-gram ratio and most-frequent-2-gram
+    fraction — the classic "remove boilerplate/templated docs" filter
+    (Rae et al. 2021 §A1.1, C4's repetition heuristics).
+
+    Shape: explode 2-grams -> count per (doc, gram) with map-side combine ->
+    per-doc agg.  One shuffle keyed (doc_id, gram) whose width is the token
+    stream itself — same scale class as the MinHash shingle explode.  Docs
+    with < 2 tokens come back with zero counts via the left join.
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select("doc_id", F.explode(grams).alias("g"))
+    counts = exploded.groupBy("doc_id", "g").count()
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_2grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_2grams"),
+        F.max("count").cast("long").alias("top_2gram_count"),
+    )
+    out = df.select("doc_id").join(agg, "doc_id", "left")
+    n = F.coalesce(F.col("n_2grams"), F.lit(0)).cast("long")
+    d = F.coalesce(F.col("n_distinct_2grams"), F.lit(0)).cast("long")
+    top = F.coalesce(F.col("top_2gram_count"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        n.alias("n_2grams"),
+        d.alias("n_distinct_2grams"),
+        top.alias("top_2gram_count"),
+        F.when(n > 0, (n - d).cast("double") / n).otherwise(F.lit(0.0)).alias(
+            "dup_2gram_ratio"
+        ),
+        F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0)).alias(
+            "top_2gram_frac"
+        ),
+    )
+
+
+# PII patterns shared with the DuckDB twin: RE2/Java-regex common subset
+# (\b, \d, bounded repeats all behave identically on both engines).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: count and replace emails, phone numbers
+    and IPv4 addresses (the standard pre-training scrub pass).  Pure
+    regexp_extract_all/regexp_replace — per-row, JVM codegen, no shuffle.
+    Counts are taken on the original text; replacements apply in the fixed
+    order email -> phone -> ip (documented because <IP> never re-matches
+    the phone pattern, but a custom pattern set could overlap)."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for _name, (pat, repl) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

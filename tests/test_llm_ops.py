@@ -348,3 +348,95 @@ def test_media_real_decode_with_pil(spark):
     assert feats[0]["byte_mean"] == 128.0
     resized = M.resize_media(media, 2, 2, decoder="real").collect()
     assert Image.open(_io.BytesIO(bytes(resized[0]["content"]))).size == (2, 2)
+
+
+# --------------------------------------------------------------------------
+# Corpus-assembly ops (pyfads.pipeline + text repetition/PII)
+# --------------------------------------------------------------------------
+
+def test_sample_by_hash_subset_and_rates(spark):
+    """Raising a stratum's rate only ADDS rows (membership is a pure
+    function of (id, seed) vs a moving threshold) — the reproducibility
+    property the docstring promises. Strata absent from the map drop."""
+    from pyfads import pipeline as P
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(400)]
+    )
+    lo = {r["doc_id"] for r in P.sample_by_hash(df, {"en": 0.2}).collect()}
+    hi = {r["doc_id"] for r in P.sample_by_hash(df, {"en": 0.6}).collect()}
+    assert lo <= hi
+    assert 0 < len(lo) < len(hi) < 200  # only the 200 en docs are eligible
+    assert all(i % 2 for i in hi)  # de (default_rate=0) never sampled
+    with pytest.raises(ValueError):
+        P.sample_by_hash(df, {"en": 1.5})
+    with pytest.raises(ValueError):
+        P.sample_by_hash(df, {})
+
+
+def test_pack_greedy_bins_and_partition(spark):
+    """Every doc lands in exactly one shard/bin; within a shard the bins
+    follow the running token prefix: bin_idx = prefix // context_len and
+    prefixes are consistent with the shard's own ordering."""
+    from pyfads import pipeline as P
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 7))) for i in range(100)]
+    )
+    out = P.pack_greedy(df, context_len=16, n_shards=4).collect()
+    assert len(out) == 100 and len({r["doc_id"] for r in out}) == 100
+    assert {r["shard"] for r in out} <= set(range(4))
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["prefix_tokens"], r["doc_id"])):
+        assert r["bin_idx"] == r["prefix_tokens"] // 16
+        assert r["prefix_tokens"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["prefix_tokens"] + r["n_tokens"]
+
+
+def test_contamination_self_and_disjoint(spark):
+    """A doc fully inside the benchmark is 100% contaminated; docs sharing
+    no 5-gram with it are 0%; docs under 5 tokens report zero grams."""
+    from pyfads import pipeline as P
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta"),
+            Row(doc_id=2, text="one two three four five six seven eight"),
+            Row(doc_id=3, text="too short"),
+        ]
+    )
+    bench = df.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in P.contamination_overlap(df, bench, n=5).collect()}
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["n_grams"] == 3
+    assert out[2]["contamination_frac"] == 0.0 and out[2]["n_contaminated"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
+
+
+def test_repetition_stats_known_values(spark):
+    """'a b a b a' has 2-grams [ab, ba, ab, ba]: n=4, distinct=2, top=2,
+    dup_ratio=(4-2)/4=0.5, top_frac=0.5. A 1-token doc is all zeros."""
+    out = {
+        r["doc_id"]: r
+        for r in X.repetition_stats(
+            spark.createDataFrame(
+                [Row(doc_id=1, text="a b a b a"), Row(doc_id=2, text="solo")]
+            )
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_2grams"], r1["n_distinct_2grams"], r1["top_2gram_count"]) == (4, 2, 2)
+    assert r1["dup_2gram_ratio"] == 0.5 and r1["top_2gram_frac"] == 0.5
+    r2 = out[2]
+    assert r2["n_2grams"] == 0 and r2["dup_2gram_ratio"] == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Counts each PII class on the raw text and hashes the redacted text;
+    the md5 must equal the hand-redacted string's md5."""
+    import hashlib
+
+    raw = "mail a@b.io and c.d@e.org call 555-123-4567 host 10.0.0.1 end"
+    scrubbed = "mail <EMAIL> and <EMAIL> call <PHONE> host <IP> end"
+    row = X.pii_scrub(spark.createDataFrame([Row(doc_id=1, text=raw)])).collect()[0]
+    assert (row["n_email"], row["n_phone"], row["n_ip"]) == (2, 1, 1)
+    assert row["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()

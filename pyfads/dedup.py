@@ -33,6 +33,7 @@ __all__ = [
     "jaccard_ngram_pairs",
     "simhash",
     "simhash_near_dup_pairs",
+    "connected_components",
     "MINHASH_P",
     "MINHASH_A",
     "MINHASH_B",
@@ -392,4 +393,89 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-group assignment: connected components over an undirected
+    near-dup pair list.  Returns ``(id_col, group_id)`` where ``group_id``
+    is the smallest member id of the component — keep one doc per group
+    (canonically the one with ``doc_id == group_id``) to deduplicate.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label <- label-of-label each round), the DataFrame rendering of the
+    classic large-star/small-star CC used for web-scale dedup.  Pointer
+    jumping halves chain depth per round, so convergence is
+    O(log diameter) joins, not O(diameter).
+
+    100 TB shape: the iteration runs ONLY over edge endpoints — docs that
+    appear in at least one near-dup pair, a small fraction of the corpus —
+    and singletons rejoin at the end via one left join (``group_id`` =
+    own id).  Each round is two equi-joins + a map-side-combined min-agg
+    on 8-byte keys; ``localCheckpoint`` truncates lineage so plans stay
+    flat.  The per-round driver action is a single monotone convergence
+    scalar (sum of labels, strictly decreasing until fixpoint), never a
+    data collect.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias(id_col))
+        .distinct()
+        .withColumn("group_id", F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed(id_col, "v"), "v")
+            .groupBy("u")
+            .agg(F.min("group_id").alias("__nbr"))
+        )
+        stepped = (
+            labels.join(nbr_min.withColumnRenamed("u", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("__nbr"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        # pointer jump: label <- label's label (labels are themselves node ids)
+        jump = labels.select(
+            F.col(id_col).alias("group_id"), F.col("group_id").alias("__gg")
+        )
+        labels = (
+            stepped.join(jump, "group_id", "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__gg"), F.col("group_id")).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("group_id")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    if nodes is None:
+        return labels
+    return (
+        nodes.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+        )
     )

@@ -189,9 +189,11 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
-def _minhash_sql(
+def _minhash_ctes(
     n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
 ) -> str:
+    # CTE chain (no WITH keyword) ending in `vpairs` = verified near-dup
+    # pairs; shared by the pairs oracle and the recursive groups oracle.
     # mirror pyfads.dedup: one base hash per shingle, universal-hash perms
     # mh_j = min((A_j*h + B_j) % P) — same seeded constants as the Spark side,
     # and the same default hot-bucket salt cap (_salt_cap, max_bucket=64)
@@ -208,7 +210,7 @@ def _minhash_sql(
     )
     bk_list = "[" + ", ".join(f"bk{b}" for b in range(bands)) + "]"
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
@@ -235,15 +237,47 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM banded a JOIN banded b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT p.a_id, p.b_id,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.a_id
+  JOIN s sb ON sb.doc_id = p.b_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+)"""
+
+
+def _minhash_sql(
+    n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
+) -> str:
+    ctes = _minhash_ctes(n_perm, bands, threshold, max_bucket)
+    return f"WITH {ctes}\nSELECT a_id, b_id, jaccard FROM vpairs"
+
+
+def _cc_groups_sql(
+    n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
+) -> str:
+    """Transitive closure of the verified minhash pairs (recursive CTE):
+    every doc labeled with the min id reachable in its near-dup component
+    — the exact fixpoint connected_components converges to."""
+    ctes = _minhash_ctes(n_perm, bands, threshold, max_bucket)
+    return f"""
+WITH RECURSIVE {ctes},
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM vpairs
+  UNION
+  SELECT b_id, a_id FROM vpairs
+),
+reach(src, node) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
 )
-SELECT p.a_id, p.b_id,
-       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-FROM pairs p
-JOIN s sa ON sa.doc_id = p.a_id
-JOIN s sb ON sb.doc_id = p.b_id
-WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS group_id
+FROM reach GROUP BY src
 """
 
 
@@ -252,6 +286,17 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16-perm) + LSH(4-band) near-dup pairs, exact-Jaccard verified
     at 0.8.  Only shuffle keys are the band hashes — 100 TB-safe shape."""
     return D.minhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+@query("dedup_groups", oracle=_cc_groups_sql())
+def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS via distributed connected
+    components (min-label + pointer jumping); keep ``doc_id == group_id``
+    to dedup.  The iteration touches only edge endpoints; singletons
+    rejoin with one left join — see :func:`pyfads.dedup.connected_components`."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(docs).select("a_id", "b_id")
+    return D.connected_components(pairs, nodes=docs.select("doc_id"))
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -794,3 +839,45 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return P.contamination_overlap(docs, bench, n=5)
+
+
+_TOPK_NGRAMS_SQL = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 100
+"""
+
+
+@query("topk_ngrams", oracle=_TOPK_NGRAMS_SQL)
+def topk_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word 2-grams (boilerplate discovery) —
+    map-side-combined count + TakeOrderedAndProject top-k."""
+    return X.top_ngrams(_docs(spark, sf_dir), k=100, n=2)
+
+
+_CORPUS_STATS_SQL = f"""
+WITH t AS (SELECT lang, source, len({_TOKS}) AS nt FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       avg(nt) AS mean_tokens,
+       quantile_cont(nt, 0.5) AS median_tokens,
+       CAST(min(nt) AS BIGINT) AS min_tokens,
+       CAST(max(nt) AS BIGINT) AS max_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM t GROUP BY lang
+"""
+
+
+@query("corpus_stats", oracle=_CORPUS_STATS_SQL)
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition (counts, token moments, exact
+    median, distinct sources) — one map-side-combined agg on the stratum."""
+    return X.corpus_stats(_docs(spark, sf_dir))

@@ -26,6 +26,9 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "pii_scrub",
+    "word_ngrams",
+    "top_ngrams",
+    "corpus_stats",
     "LANG_MARKERS",
     "EN_STOPWORDS",
     "PII_PATTERNS",
@@ -262,4 +265,71 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5("__norm").alias("fp_md5"),
         F.array_min(F.transform(idx, gram_hash)).alias("fp_winnow"),
+    )
+
+
+def word_ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
+    """All word n-gram occurrences (with repeats) as an array column;
+    docs shorter than ``n`` tokens yield an empty array."""
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame, k: int = 100, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent word ``n``-grams
+    by total occurrence count, ties broken by gram text ascending — the
+    boilerplate-discovery pass of corpus curation (find the navigation
+    chrome / license headers worth filtering globally).
+
+    Shape: explode → ``groupBy(gram).count()`` with map-side partial
+    aggregation (shuffle carries one row per distinct gram per partition),
+    then ``orderBy(...).limit(k)`` which Spark plans as
+    ``TakeOrderedAndProject`` — per-partition top-k heaps merged on the
+    driver, k rows per partition over the wire, never a global sort
+    shuffle.  Deterministic for any corpus.
+    """
+    exploded = df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+    counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", strat_col: str = "lang"
+) -> DataFrame:
+    """Per-stratum corpus composition report: document count, token totals
+    and moments, exact median doc length, distinct sources — the mixing
+    table a data-curation run publishes per language/domain.
+
+    One map-side-combined aggregation keyed by the stratum.  ``percentile``
+    is Spark's exact interpolating implementation (matches DuckDB
+    ``quantile_cont``); at 100 TB swap for ``percentile_approx`` with a
+    documented error bound — the exact form is the oracle-checkable one.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    return (
+        df.select(
+            F.col(strat_col), n_tok.alias("__nt"), F.col("source").alias("__src")
+        )
+        .groupBy(strat_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.avg("__nt").alias("mean_tokens"),
+            F.percentile("__nt", F.lit(0.5)).alias("median_tokens"),
+            F.min("__nt").cast("long").alias("min_tokens"),
+            F.max("__nt").cast("long").alias("max_tokens"),
+            F.count_distinct(F.col("__src")).cast("long").alias("n_sources"),
+        )
     )

@@ -440,3 +440,68 @@ def test_pii_scrub_counts_and_redaction(spark):
     row = X.pii_scrub(spark.createDataFrame([Row(doc_id=1, text=raw)])).collect()[0]
     assert (row["n_email"], row["n_phone"], row["n_ip"]) == (2, 1, 1)
     assert row["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()
+
+
+def test_connected_components_groups(spark):
+    """Chain, triangle+tail, pair, and isolated node all label with the
+    component min; singletons (no edges) keep their own id via the node
+    rejoin.  Matches the recursive-CTE oracle's fixpoint semantics."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13), (7, 8)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 7, 8, 10, 11, 12, 13, 99)], "doc_id long"
+    )
+    got = sorted(map(tuple, D.connected_components(pairs, nodes).collect()))
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7),
+        (10, 10), (11, 10), (12, 10), (13, 10), (99, 99),
+    ]
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-edge path needs pointer jumping to converge inside max_iter —
+    min-label alone would need ~40 rounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "a_id long, b_id long"
+    )
+    out = D.connected_components(chain)
+    assert {g for _, g in out.collect()} == {100}
+    assert out.count() == 41
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    """'x y' appears 3 times across docs, 'y x' twice; ties order by gram
+    ascending and limit keeps the deterministic prefix."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y x y"),      # x y:2, y x:1
+            Row(doc_id=2, text="x y"),           # x y:1
+            Row(doc_id=3, text="y x"),           # y x:1
+            Row(doc_id=4, text="solo"),          # no 2-grams
+        ]
+    )
+    got = [(r["gram"], r["cnt"]) for r in X.top_ngrams(df, k=2, n=2).collect()]
+    assert got == [("x y", 3), ("y x", 2)]
+    # k beyond vocab: returns all grams, still deterministic
+    assert len(X.top_ngrams(df, k=10, n=2).collect()) == 2
+
+
+def test_corpus_stats_per_lang(spark):
+    """Exact median interpolates between the two middle values (DuckDB
+    quantile_cont semantics); counts and distinct sources per stratum."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c", lang="en", source="s1"),
+            Row(doc_id=2, text="a", lang="en", source="s2"),
+            Row(doc_id=3, text="a b c d e f", lang="en", source="s1"),
+            Row(doc_id=4, text="q r", lang="de", source="s3"),
+        ]
+    )
+    out = {r["lang"]: r for r in X.corpus_stats(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["total_tokens"], en["n_sources"]) == (3, 10, 2)
+    assert en["median_tokens"] == 3.0 and en["min_tokens"] == 1 and en["max_tokens"] == 6
+    de = out["de"]
+    assert (de["n_docs"], de["median_tokens"], de["n_sources"]) == (1, 2.0, 1)

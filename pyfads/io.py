@@ -23,6 +23,7 @@ from pyfads.schema import TAXI_CSV_TOKEN_ORDER, TAXI_RIDE_SCHEMA
 
 __all__ = [
     "read_table",
+    "epoch_ms",
     "spread",
     "read_taxi_csv",
     "parse_taxi_lines",
@@ -42,20 +43,35 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    The testdata writes TIMESTAMP(NANOS) parquet, which Spark only reads
-    with the legacy nanos-as-long conf; timestamp columns therefore arrive
-    as *epoch-nanosecond longs* here (``ts``, ``l_shipdate``, ``o_orderdate``).
-    Use ``col div 1_000_000`` for epoch millis — matches DuckDB
-    ``epoch_ms(col)`` floor semantics for the oracle comparisons.
-
-    NOTE: this sets ``spark.sql.legacy.parquet.nanosAsLong`` on the shared
-    session (once, if not already set) — every timestamp-nanos parquet read
-    through this session then yields long columns.  Set the conf at
-    session-build time (as bench.py does) to make the behavior explicit.
+    Timestamp columns (``ts``, ``l_shipdate``, ``o_orderdate``) arrive as
+    whatever the parquet logical type dictates — TIMESTAMP_NTZ for
+    ``timestamp[us]`` files (the current testdata), long epoch-nanos if the
+    session has the legacy ``nanosAsLong`` conf and the file is
+    TIMESTAMP(NANOS).  Use :func:`epoch_ms` to get epoch millis regardless;
+    it matches DuckDB ``epoch_ms(col)`` for the oracle comparisons.
     """
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_ms(df: DataFrame, col: str):
+    """Epoch-millisecond column for ``col``, whatever its physical type.
+
+    - ``timestamp_ntz``: tz-independent ``timestampdiff`` against the epoch
+      literal — matches DuckDB ``epoch_ms`` on the same naive value without
+      depending on ``spark.sql.session.timeZone``.
+    - ``timestamp`` (LTZ): ``unix_millis``.
+    - ``bigint``: legacy nanos-as-long parquet reads; integer div (float
+      division would lose precision above 2^53).
+    """
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000")
+    if dt == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MILLISECOND, {_EPOCH_NTZ}, {col})")
+    return F.unix_millis(F.col(col))
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -75,9 +91,7 @@ def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival clock (event-time millis; ties broken by event_id inside the
     generalizer's stable sort)."""
     ev = read_table(spark, sf_dir, "events")
-    # integer div: ts is epoch *nanos* as long — float division would lose
-    # precision above 2^53
-    ms = F.expr("ts div 1000000")
+    ms = epoch_ms(ev, "ts")
     return ev.select(
         "event_id",
         F.col("user_id").cast("double").alias("user_id"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyfads import primitives as P
-from pyfads.io import read_table
+from pyfads.io import epoch_ms, read_table
 from pyfads.queries import query
 
 QIDS = ["l_quantity", "l_extendedprice", "l_discount"]
@@ -339,9 +339,8 @@ def g3_cluster_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — cluster TTL expiry (Generalizer.java:117-120): drop entries whose
     creation time is more than reuse_ms behind the newest arrival.  The
     one-row "now" aggregate is broadcast, so the filter is a map-side scan."""
-    ev = _events(spark, sf_dir).select(
-        "event_id", F.expr("ts div 1000000").alias("created_ms")
-    )
+    ev = _events(spark, sf_dir)
+    ev = ev.select("event_id", epoch_ms(ev, "ts").alias("created_ms"))
     now = ev.agg(F.max("created_ms").alias("now_ms"))
     return (
         ev.crossJoin(F.broadcast(now))
@@ -402,6 +401,6 @@ def p4_arrival_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("ts", "event_id")
     return ev.select(
         "event_id",
-        F.expr("ts div 1000000").alias("arrival_ms"),
+        epoch_ms(ev, "ts").alias("arrival_ms"),
         F.row_number().over(w).cast("long").alias("arrival_seq"),
     )

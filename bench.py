@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,8 +30,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # best-of-N per query: rep 1 pays JIT/python-worker warmup and host noise
 # (observed 3-20x swings on an otherwise idle box); the min is the
-# reproducible steady-state number
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# reproducible steady-state number, the median shows run-to-run dispersion
+# so a "regression" can be told apart from noise (VERDICT r3 item 6)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 
 def build_spark() -> SparkSession:
@@ -39,7 +41,6 @@ def build_spark() -> SparkSession:
         .appName("pyfads-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -59,6 +60,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     flagship_rows = 0
     flagship_sec = 0.0
 
@@ -68,7 +70,7 @@ def main() -> None:
             continue
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         try:
-            best = float("inf")
+            reps: list[float] = []
             for _ in range(max(REPS, 1)):
                 df = fn(spark, SF_DIR)
                 if name == "fads_generalize_events":
@@ -76,18 +78,20 @@ def main() -> None:
                     with BatchThroughput(name) as bt:
                         force(df)
                     sec = bt.seconds
-                    if sec < best:
+                    if not reps or sec < min(reps):
                         flagship_rows = int(obs.get["rows"])
                         flagship_sec = sec
                 else:
                     t0 = time.perf_counter()
                     force(df)
                     sec = time.perf_counter() - t0
-                best = min(best, sec)
-            timings[name] = round(best, 3)
+                reps.append(sec)
+            timings[name] = round(min(reps), 3)
+            medians[name] = round(statistics.median(reps), 3)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            medians[name] = -1.0
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     rows_per_sec = flagship_rows / flagship_sec if flagship_sec > 0 else 0.0
@@ -96,6 +100,7 @@ def main() -> None:
         "value": round(flagship_sec, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
         "rows": flagship_rows,
         "rows_per_sec": round(rows_per_sec, 1),

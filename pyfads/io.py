@@ -185,7 +185,9 @@ def with_arrival(
     ``from_ts_col`` (no shuffle at all) or a pre-sorted source.
     """
     if from_ts_col is not None:
-        return df.withColumn(arrival_col, F.unix_millis(F.col(from_ts_col)))
+        # epoch_ms, not unix_millis: on TIMESTAMP_NTZ the latter casts via
+        # the session timezone, making the replayable clock tz-dependent
+        return df.withColumn(arrival_col, epoch_ms(df, from_ts_col))
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(arrival_col, F.row_number().over(w).cast("long"))
 

@@ -6,10 +6,10 @@ Column-name discipline: the driver's comparator sorts columns by name and
 hashes values, so every computed column is aliased identically in the Spark
 code and the SQL.
 
-Timestamp columns in the testdata are TIMESTAMP(NANOS) parquet: Spark reads
-them as epoch-nano longs (legacy conf, see pyfads.io.read_table), DuckDB as
-TIMESTAMP — so oracles use ``epoch_ms(col)`` where Spark uses
-``col div 1000000`` (both floor).
+Timestamp columns in the testdata are ``timestamp[us]`` parquet: Spark reads
+them as TIMESTAMP_NTZ, DuckDB as TIMESTAMP — so oracles use
+``epoch_ms(col)`` where Spark uses :func:`pyfads.io.epoch_ms` (a
+tz-independent ``timestampdiff`` against the epoch; both floor to millis).
 """
 
 from __future__ import annotations

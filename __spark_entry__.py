@@ -45,7 +45,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """ANSI SQL oracles (DuckDB) for each SQL-expressible queries() entry."""
-    from pyfads.queries import ORACLES
+    """ANSI SQL oracles (DuckDB) for every queries() entry.
 
-    return dict(ORACLES)
+    Data-dependent oracles (FADS golden tables, the trained-IVF-codebook
+    literal) are built lazily for the sf dir in $SPARK_GRAFT_ORACLE_SF_DIR
+    (default /root/testdata/sf0.01 — the scale this comparison runs at).
+    """
+    from pyfads.queries import resolve_oracles
+
+    return resolve_oracles()

@@ -1,0 +1,301 @@
+"""Golden / literal-constant DuckDB oracles for the queries whose semantics
+are not directly ANSI-SQL-expressible (VERDICT r3 item 1):
+
+- ``fads_generalize_events`` / ``fads_partitioned_events`` — the sequential
+  FADS release loop (reference Generalizer.java:98-189).  The expected
+  output is generated at oracle-build time by the *independent* pure-Python
+  oracle (:mod:`pyfads.oracle` — list-based, no shared code with the
+  production numpy state machine, hypothesis-fuzzed against it) and written
+  as a golden parquet; the SQL joins it back to the ``events`` view for the
+  passthrough columns.  FADS interval bounds are exact copies of input
+  values (min/max/snapshots — no arithmetic rounding), so the hash
+  comparison is bit-exact by construction.
+- ``ann_lsh_topk`` — the random hyperplanes are deterministic
+  (seeded ``np.random.default_rng``), so they are embedded as SQL literals
+  and DuckDB *independently* recomputes the sign-bit bucketing, the
+  (table, bucket) candidate equi-join, and the exact-cosine re-rank.
+- ``ann_ivf_topk`` — the k-means codebook is deterministic given
+  (data, seed); the oracle trains it at build time with the same
+  :func:`pyfads.similarity._kmeans_spherical` over the same deterministic
+  md5-ordered sample, embeds the centroids as literals, and DuckDB
+  independently recomputes cell assignment (raw-dot argmax — ordering is
+  scale-invariant, so skipping the unit-normalization is exact), the cell
+  equi-join, and the exact-cosine re-rank.
+
+Data-dependent builders read parquet from ``$SPARK_GRAFT_ORACLE_SF_DIR``
+(default ``/root/testdata/sf0.01`` — the scale the round driver compares
+at; tests point it at their own fixture dir in conftest.py).  Everything
+here is build-time-only driver tooling — nothing on the 100 TB query path.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden_cache")
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir the DuckDB oracle views point at (driver: sf0.01)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _lit(x: float) -> str:
+    """Shortest-round-trip double literal (DuckDB parses correctly rounded)."""
+    return repr(float(x))
+
+
+def _vec_lit(v) -> str:
+    return "[" + ", ".join(_lit(x) for x in v) + "]"
+
+
+# --------------------------------------------------------------------------
+# FADS golden tables
+# --------------------------------------------------------------------------
+
+
+def _events_rows(sf_dir: str):
+    """(event_id, (user_id, value, ts_millis), arrival, event_type) rows,
+    ts→millis exactly like pyfads.io.events_with_arrival / DuckDB epoch_ms."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_id, CAST(user_id AS DOUBLE), value, epoch_ms(ts), event_type "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _run_golden(rows, cfg):
+    """Arrival-sort like run_fads_pandas, run the pure-Python oracle."""
+    from pyfads.oracle import fads_oracle
+
+    ordered = sorted(rows, key=lambda r: (r[3], r[0]))
+    return fads_oracle(
+        [(eid, (u, v, float(ms)), ms) for eid, u, v, ms, _et in ordered], cfg
+    )
+
+
+def _write_golden(path: str, released: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eids = sorted(released)
+    cols = {
+        "event_id": pa.array(eids, type=pa.int64()),
+        "user_id_lo": pa.array([released[e][0][0] for e in eids], type=pa.float64()),
+        "user_id_hi": pa.array([released[e][1][0] for e in eids], type=pa.float64()),
+        "value_lo": pa.array([released[e][0][1] for e in eids], type=pa.float64()),
+        "value_hi": pa.array([released[e][1][1] for e in eids], type=pa.float64()),
+        "ts_millis_lo": pa.array([released[e][0][2] for e in eids], type=pa.float64()),
+        "ts_millis_hi": pa.array([released[e][1][2] for e in eids], type=pa.float64()),
+    }
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    pq.write_table(pa.table(cols), path)
+
+
+def _fads_golden_sql(name: str, partitioned: bool) -> str:
+    from pyfads.config import FADSConfig
+
+    sf_dir = oracle_sf_dir()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(GOLDEN_DIR, f"{name}.{tag}.parquet")
+    rows = _events_rows(sf_dir)
+    if partitioned:
+        cfg = FADSConfig(k=5, buffer_rows=15, reuse_ms=60_000)
+        released: dict = {}
+        groups = sorted({r[4] for r in rows})
+        for g in groups:
+            released.update(_run_golden([r for r in rows if r[4] == g], cfg))
+    else:
+        cfg = FADSConfig(k=10, buffer_rows=30, reuse_ms=60_000)
+        released = _run_golden(rows, cfg)
+    _write_golden(path, released)
+    return f"""
+SELECT g.event_id, g.user_id_lo, g.user_id_hi, g.value_lo, g.value_hi,
+       g.ts_millis_lo, g.ts_millis_hi,
+       e.event_type, epoch_ms(e.ts) AS arrival_ms
+FROM read_parquet('{path}') g JOIN events e USING (event_id)
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _fads_golden_cached(name: str, partitioned: bool, sf_dir: str) -> str:
+    return _fads_golden_sql(name, partitioned)
+
+
+def fads_generalize_events_oracle() -> str:
+    return _fads_golden_cached("fads_generalize_events", False, oracle_sf_dir())
+
+
+def fads_partitioned_events_oracle() -> str:
+    return _fads_golden_cached("fads_partitioned_events", True, oracle_sf_dir())
+
+
+# --------------------------------------------------------------------------
+# ANN LSH: hyperplane literals, sign-bit bucketing recomputed in SQL
+# --------------------------------------------------------------------------
+
+
+def _fold_dot(vec_expr: str, lit_list: str, dim: int) -> str:
+    """list_reduce left fold of vec[i]::DOUBLE * literal[i] — same
+    left-associated sum as numpy's sequential order up to BLAS reassociation
+    (sign-stable: |dot| ~ O(sqrt(dim)) for the Gaussian fixtures, rounding
+    differences ~1e-13)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+        f" i -> {vec_expr}[i]::DOUBLE * ({lit_list})[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _chain_dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+
+
+def _chain_norm_sql(a: str, dim: int) -> str:
+    sq = " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+    return f"sqrt({sq})"
+
+
+def _cosine_rerank_sql(dim: int, k: int) -> str:
+    """Shared tail: candidate (q_id, neighbor_id) pairs -> exact cosine ->
+    per-query row_number top-k.  Expects CTEs `e` (zero-norm-filtered
+    embeddings) and `cand`."""
+    dot = _chain_dot_sql("a", "b", dim)
+    na = _chain_norm_sql("a", dim)
+    nb = _chain_norm_sql("b", dim)
+    return f"""
+pairs AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         ({dot}) / ({na} * {nb}) AS cosine
+  FROM cand
+  JOIN e a ON a.vec_id = cand.q_id
+  JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= {k}
+"""
+
+
+def ann_lsh_topk_oracle(
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    n_queries: int = 8,
+) -> str:
+    """Fully independent DuckDB twin of similarity.ann_lsh_topk: the seeded
+    hyperplanes (similarity._hyperplanes) are data-independent constants, so
+    DuckDB recomputes sign-bit buckets, the (table, bucket) equi-join, and
+    the exact-cosine top-k from scratch."""
+    from pyfads.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    vals = ",\n  ".join(
+        f"({t}, {j}, {_vec_lit(planes[t, j])})"
+        for t in range(n_tables)
+        for j in range(n_planes)
+    )
+    norm = _chain_norm_sql("e0", dim)
+    dot = _fold_dot("e.embedding", "p.pvec", dim)
+    return f"""
+WITH planes(table_idx, plane_idx, pvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+sgn AS (
+  SELECT e.vec_id, p.table_idx, p.plane_idx, ({dot}) > 0 AS pos
+  FROM e CROSS JOIN planes p
+),
+codes AS (
+  SELECT vec_id, table_idx,
+         CAST(sum(CASE WHEN pos THEN 1 << plane_idx ELSE 0 END) AS BIGINT) AS bucket
+  FROM sgn GROUP BY vec_id, table_idx
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM codes q JOIN codes c USING (table_idx, bucket)
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+{_cosine_rerank_sql(dim, k)}
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN IVF: codebook trained at build time, centroid literals, cell
+# assignment recomputed in SQL
+# --------------------------------------------------------------------------
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, sample_rows: int = 4096):
+    """Replicates similarity.train_ivf_centroids outside Spark: same
+    md5-ordered bounded sample, same spherical k-means — bitwise-identical
+    codebook (same numpy, same machine)."""
+    import duckdb
+
+    from pyfads.similarity import _kmeans_spherical
+
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    con.close()
+    rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
+    return _kmeans_spherical(m, n_centroids, seed)
+
+
+@functools.lru_cache(maxsize=None)
+def _ann_ivf_cached(sf_dir: str, dim: int, k: int, n_centroids: int, n_probe: int, seed: int, n_queries: int) -> str:
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
+    norm = _chain_norm_sql("e0", dim)
+    dot = _fold_dot("e.embedding", "c.cvec", dim)
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({dot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+  FROM celldot
+),
+ccells AS (SELECT vec_id AS c_id, cell FROM ranked WHERE rn <= 1),
+qcells AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= {n_probe} AND vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q_id, c_id AS neighbor_id
+  FROM qcells JOIN ccells USING (cell)
+  WHERE q_id <> c_id
+),
+{_cosine_rerank_sql(dim, k)}
+"""
+
+
+def ann_ivf_topk_oracle(
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    n_queries: int = 8,
+) -> str:
+    return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries)

@@ -257,15 +257,15 @@ def _minhash_sql(
     return f"WITH {ctes}\nSELECT a_id, b_id, jaccard FROM vpairs"
 
 
-def _cc_groups_sql(
+def _cc_ctes(
     n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
 ) -> str:
     """Transitive closure of the verified minhash pairs (recursive CTE):
-    every doc labeled with the min id reachable in its near-dup component
-    — the exact fixpoint connected_components converges to."""
+    CTE chain ending in ``cgroups(doc_id, group_id)`` — every doc labeled
+    with the min id reachable in its near-dup component, the exact fixpoint
+    connected_components converges to."""
     ctes = _minhash_ctes(n_perm, bands, threshold, max_bucket)
-    return f"""
-WITH RECURSIVE {ctes},
+    return f"""{ctes},
 edges AS (
   SELECT a_id AS u, b_id AS v FROM vpairs
   UNION
@@ -275,9 +275,24 @@ reach(src, node) AS (
     SELECT doc_id, doc_id FROM documents
   UNION
     SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
-)
-SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS group_id
-FROM reach GROUP BY src
+),
+cgroups AS (
+  SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS group_id
+  FROM reach GROUP BY src
+)"""
+
+
+def _cc_groups_sql(**kw) -> str:
+    return f"WITH RECURSIVE {_cc_ctes(**kw)}\nSELECT doc_id, group_id FROM cgroups"
+
+
+def _survivors_sql(**kw) -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes(**kw)},
+sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM cgroups GROUP BY group_id)
+SELECT g.doc_id, sz.group_size, md5(d.text) AS text_md5
+FROM cgroups g JOIN sz USING (group_id) JOIN documents d USING (doc_id)
+WHERE g.doc_id = g.group_id
 """
 
 
@@ -297,6 +312,27 @@ def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_near_dup_pairs(docs).select("a_id", "b_id")
     return D.connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@query("dedup_survivors", oracle=_survivors_sql())
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup a real corpus run executes (VERDICT r3 item 3):
+    MinHash+LSH near-dup pairs → connected components → keep one doc per
+    group (the min-id representative) → surviving corpus with its group
+    size and payload hash.  Every stage is the 100 TB shape already used by
+    its standalone query: banded equi-joins, edge-endpoint-only CC
+    iteration, then one join back to the corpus — no all-pairs, no
+    driver-side data."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(docs).select("a_id", "b_id")
+    groups = D.connected_components(pairs, nodes=docs.select("doc_id"))
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        groups.filter(F.col("doc_id") == F.col("group_id"))
+        .join(sizes, "group_id")
+        .join(docs.select("doc_id", F.md5("text").alias("text_md5")), "doc_id")
+        .select("doc_id", "group_size", "text_md5")
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -486,18 +522,28 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(embs.unionByName(planted), DIM, threshold=0.9)
 
 
-@query("ann_ivf_topk")  # numpy codebook → no SQL twin; rows-only check
+from pyfads import golden as G  # noqa: E402
+
+
+@query("ann_ivf_topk", oracle=G.ann_ivf_topk_oracle)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized approximate top-10 (FAISS-style cells, n_probe=4);
-    recall vs brute force is asserted in tests/test_llm_ops.py."""
+    """IVF coarse-quantized approximate top-10 (FAISS-style cells, n_probe=4).
+    Oracle: the deterministic codebook (same md5-ordered sample + spherical
+    k-means) embedded as centroid literals; DuckDB recomputes cell
+    assignment, the cell equi-join, and the exact-cosine re-rank
+    (pyfads.golden.ann_ivf_topk_oracle).  Recall vs brute force is asserted
+    in tests/test_llm_ops.py."""
     embs = _embs(spark, sf_dir)
     return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
 
-@query("ann_lsh_topk")  # numpy hyperplanes → no SQL twin; rows-only check
+@query("ann_lsh_topk", oracle=G.ann_lsh_topk_oracle)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 — the 100 TB scale path; recall is
-    checked against ann_cosine_topk in tests/test_llm_ops.py."""
+    """LSH-bucketed approximate top-10 — the 100 TB scale path.  Oracle: the
+    seeded hyperplanes embedded as SQL literals; DuckDB independently
+    recomputes sign-bit buckets, the (table, bucket) candidate join, and the
+    exact-cosine top-k (pyfads.golden.ann_lsh_topk_oracle).  Recall is
+    additionally checked against ann_cosine_topk in tests/test_llm_ops.py."""
     embs = _embs(spark, sf_dir)
     return S.ann_lsh_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 

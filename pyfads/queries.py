@@ -19,11 +19,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables -> SQL for oracles that are
+# expensive or data-dependent to build (golden FADS tables, trained IVF
+# codebooks — see pyfads.golden); resolved lazily by resolve_oracles()
+ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a queries() entry (+ optional DuckDB oracle SQL)."""
+def query(name: str, oracle: "str | Callable[[], str] | None" = None):
+    """Register a queries() entry (+ optional DuckDB oracle SQL or lazy
+    SQL builder)."""
 
     def deco(fn):
         QUERIES[name] = fn
@@ -34,14 +38,25 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# --------------------------------------------------------------------------
-# Flagship: batch FADS on events (P6/G12/G14).  Sequential stateful loop —
-# not SQL-expressible; the driver records a rows-only check, and the golden
-# pure-Python oracle in tests/test_fads_batch.py is the semantic gate.
-# --------------------------------------------------------------------------
+def resolve_oracles() -> dict[str, str]:
+    """Materialize every oracle to a SQL string (builders cache internally,
+    keyed by $SPARK_GRAFT_ORACLE_SF_DIR — the sf dir the driver's DuckDB
+    views point at)."""
+    return {n: (o() if callable(o) else o) for n, o in ORACLES.items()}
 
 
-@query("fads_generalize_events")
+# --------------------------------------------------------------------------
+# Flagship: batch FADS on events (P6/G12/G14).  The sequential stateful loop
+# is not directly SQL-expressible, so the oracle is a golden literal table:
+# the independent pure-Python implementation (pyfads.oracle) generates the
+# expected intervals at oracle-build time and DuckDB joins them back to the
+# events view (pyfads.golden.fads_*_oracle).
+# --------------------------------------------------------------------------
+
+from pyfads import golden as _golden  # noqa: E402
+
+
+@query("fads_generalize_events", oracle=_golden.fads_generalize_events_oracle)
 def fads_generalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads import FADSConfig, fads_generalize
     from pyfads.io import events_with_arrival
@@ -57,7 +72,7 @@ def fads_generalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fads_generalize(events_with_arrival(spark, sf_dir), cfg)
 
 
-@query("fads_partitioned_events")
+@query("fads_partitioned_events", oracle=_golden.fads_partitioned_events_oracle)
 def fads_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-out FADS (SURVEY.md §2.5.9): independent per-event_type groups."""
     from pyfads import FADSConfig, fads_generalize_partitioned

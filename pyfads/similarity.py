@@ -209,29 +209,43 @@ def embedding_near_dup_pairs(
     per table, ~1 for true dups — then exact cosine verify inside buckets.
     Shuffle keys are bucket codes only; candidates ∝ true duplicates, never
     the |N|^2 cross product."""
-    embeddings = drop_zero_norm(embeddings, dim, vec_col)
-    with_buckets = _bucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
-    a = with_buckets(embeddings, "a")
-    b = with_buckets(embeddings, "b")
+    # one projection carries (id, vec, norm): the norm chain/fold is
+    # evaluated once per scan and reused by the filter AND the cosine —
+    # not recomputed per join side (r3's 3x-norm regression)
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm_expr(vec_col, dim).alias("__norm"),
+    ).filter(F.col("__norm") > 0)
+    with_buckets = _bucketer(dim, n_planes, n_tables, seed, "__id", "__vec")
+    # the Arrow bucketing UDF is the dominant per-row cost: run it ONCE and
+    # persist only the tiny (id, table, bucket) projection — the self-join
+    # reads the cached 20-byte rows instead of re-executing the UDF per side
+    buckets = with_buckets(base, "a").select(
+        F.col("a_id").alias("__id"), "table_idx", "bucket"
+    ).persist()
     # id-only distinct: the multi-table self-join duplicates each candidate
     # pair up to n_tables times — dedup 16-byte id pairs, then join the
     # vectors back once (vs shuffling both vectors per duplicate)
     cand = (
-        a.select("a_id", "table_idx", "bucket")
-        .join(b.select("b_id", "table_idx", "bucket"), on=["table_idx", "bucket"])
+        buckets.select(F.col("__id").alias("a_id"), "table_idx", "bucket")
+        .join(
+            buckets.select(F.col("__id").alias("b_id"), "table_idx", "bucket"),
+            on=["table_idx", "bucket"],
+        )
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    va = embeddings.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
-        norm_expr(vec_col, dim).alias("a_norm"),
+    va = base.select(
+        F.col("__id").alias("a_id"),
+        F.col("__vec").alias("a_vec"),
+        F.col("__norm").alias("a_norm"),
     )
-    vb = embeddings.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
-        norm_expr(vec_col, dim).alias("b_norm"),
+    vb = base.select(
+        F.col("__id").alias("b_id"),
+        F.col("__vec").alias("b_vec"),
+        F.col("__norm").alias("b_norm"),
     )
     cos = dot_expr("a_vec", "b_vec", dim) / (F.col("a_norm") * F.col("b_norm"))
     return (
@@ -329,7 +343,14 @@ def train_ivf_centroids(
         .collect()
     )
     m = np.asarray([r["v"] for r in sample], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return _kmeans_spherical(m, n_centroids, seed, iters)
+
+
+def _kmeans_spherical(m: np.ndarray, n_centroids: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Spherical k-means (k-means++ init, Lloyd's on the unit sphere) over a
+    sample matrix.  Shared by the Spark trainer above and the DuckDB oracle
+    builder (pyfads.golden) so both sides derive bitwise the same codebook."""
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     n = len(m)
     k = min(n_centroids, n)
     rng = np.random.default_rng(seed)

@@ -6,6 +6,7 @@ columns).  Usage: python scripts/check_queries.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -47,6 +48,8 @@ def compare(name, spark_df, duck_df):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracles (pyfads.golden) build for the compared sf dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from pyspark.sql import SparkSession
 

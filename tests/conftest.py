@@ -1,9 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# data-dependent DuckDB oracles (pyfads.golden) must be built for the sf the
+# tests compare at — set before any test module resolves oracle_sql()
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="session")

@@ -39,6 +39,31 @@ EXPECTED_BNLJ = {
     "g11_suppress",
 }
 
+# Queries allowed to contain an `Exchange SinglePartition` — a shuffle that
+# serializes rows onto ONE task, the quietest way to lose a cluster at
+# 100 TB (a global Window.orderBy or un-partitioned final agg plans this
+# way).  Two audited-legitimate classes only:
+# - partial-aggregate feeds (g2_global_bounds, g3/g5/g8/g9/g11's broadcast
+#   1-row global-bounds frame): the exchange moves <= one row per input
+#   partition, bounded at any scale;
+# - parity-mode sequential primitives (g2_running_bounds, p3_pid_assign,
+#   p4_arrival_enrich): a global arrival-ordered window IS the reference
+#   semantics (parallelism-1 stream); their scale paths are the documented
+#   alternatives (from_ts_col arrival clock / partitioned FADS) — see
+#   pyfads/io.py:with_arrival.
+# Anything new lands here only with a written justification (VERDICT r3 #7).
+EXPECTED_SINGLE_PARTITION: set[str] = {
+    "g2_global_bounds",
+    "g3_cluster_ttl",
+    "g5_knn_topk",
+    "g8_info_loss",
+    "g9_best_cluster",
+    "g11_suppress",
+    "g2_running_bounds",
+    "p3_pid_assign",
+    "p4_arrival_enrich",
+}
+
 
 def formatted_plan(df) -> str:
     """Capture df.explain('formatted') as a string."""
@@ -55,6 +80,9 @@ def plan_stats(plan: str) -> dict:
         "sortMerge": len(re.findall(r"SortMergeJoin", plan)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        # formatted plans render the partitioning in the details section as
+        # "Arguments: SinglePartition, ..." under each Exchange node
+        "singlePartition": len(re.findall(r"Arguments: SinglePartition", plan)),
     }
 
 
@@ -66,6 +94,8 @@ def plan_flags(name: str, stats: dict) -> list[str]:
         flags.append("CARTESIAN")
     if stats["bnlj"] and name not in EXPECTED_BNLJ:
         flags.append("BNLJ(unexpected)")
+    if stats["singlePartition"] and name not in EXPECTED_SINGLE_PARTITION:
+        flags.append("SINGLE_PARTITION(unexpected)")
     return flags
 
 

@@ -53,8 +53,26 @@ def test_gate_actually_fires(spark):
     assert plan_flags("not_an_allowlisted_query", stats) != []
 
 
+def test_single_partition_gate_fires(spark):
+    """A global (un-partitioned) Window serializes every row through one
+    task — the canary proves the SinglePartition flag catches it."""
+    from pyspark.sql import Window, functions as F
+
+    from pyfads.io import read_table
+
+    df = read_table(spark, SF_DIR, "events")
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("event_id")))
+    stats = plan_stats(formatted_plan(bad))
+    assert stats["singlePartition"] >= 1
+    assert "SINGLE_PARTITION(unexpected)" in plan_flags("not_allowlisted", stats)
+
+
 def test_bnlj_allowlist_is_tight():
     """Every allowlisted name must still be a registered query (no stale
     entries hiding future regressions under a dead name)."""
+    from explain_audit import EXPECTED_SINGLE_PARTITION
+
     unknown = EXPECTED_BNLJ - set(Q.QUERIES)
     assert unknown == set(), f"stale EXPECTED_BNLJ entries: {unknown}"
+    unknown_sp = EXPECTED_SINGLE_PARTITION - set(Q.QUERIES)
+    assert unknown_sp == set(), f"stale EXPECTED_SINGLE_PARTITION entries: {unknown_sp}"

@@ -54,10 +54,96 @@ __all__ = [
     "fads_generalize_stream",
     "ForeachBatchFADS",
     "HAS_APPLY_IN_PANDAS_WITH_STATE",
+    "STATE_CODEC_VERSION",
+    "encode_state",
+    "decode_state",
 ]
 
-# GroupState value: one pickled (FADSState, pending-rows DataFrame) blob.
+# GroupState value: one binary blob holding the versioned state codec below.
 _STATE_SCHEMA = "blob binary"
+
+# ---------------------------------------------------------------------------
+# State codec (VERDICT r3 item 4).
+#
+# The blob is a pickle of PLAIN BUILTINS ONLY (dict/list/tuple/int/float/
+# str/bool/None) — never a pyfads class, never a pandas/numpy object.  A
+# pickled class instance breaks on any code upgrade mid-stream (the checkpoint
+# holds a byte-image of the old class layout); plain containers are stable
+# across library and pyfads versions.  The layout is versioned so a future
+# codec can read old checkpoints explicitly instead of crashing in pickle.
+# ---------------------------------------------------------------------------
+
+STATE_CODEC_VERSION = 1
+
+
+def _py(v):
+    """numpy scalar -> native builtin (numpy arrays in state rows come from
+    .to_numpy(); .item() keeps the blob numpy-free)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+def encode_state(fads: FADSState, pending: pd.DataFrame | None) -> bytes:
+    """FADSState + pending-row store -> versioned plain-builtin blob."""
+    if pending is None:
+        pend = None
+    else:
+        pend = {
+            "cols": list(pending.columns),
+            "dtypes": [str(t) for t in pending.dtypes],
+            "data": {c: [_py(v) for v in pending[c].tolist()] for c in pending.columns},
+            "index_col": pending.index.name,
+        }
+    doc = {
+        "v": STATE_CODEC_VERSION,
+        "glo": fads.glo.tolist(),
+        "ghi": fads.ghi.tolist(),
+        "buffer": [
+            (_py(rid), [float(x) for x in q], int(arr), _py(pid), [float(x) for x in lq])
+            for rid, q, arr, pid, lq in fads.buffer
+        ],
+        "clusters": [
+            (c.lo.tolist(), c.hi.tolist(), int(c.created)) for c in fads.clusters
+        ],
+        "last_arrival": int(fads.last_arrival),
+        "pending": pend,
+    }
+    return pickle.dumps(doc, protocol=4)
+
+
+def decode_state(blob: bytes, cfg: FADSConfig) -> tuple[FADSState, pd.DataFrame | None]:
+    """Versioned blob -> live state.  ``cfg`` comes from the (current) query
+    wiring, never from the checkpoint — config is code, state is data."""
+    from pyfads.fads_core import _Cluster
+
+    doc = pickle.loads(blob)
+    v = doc.get("v") if isinstance(doc, dict) else None
+    if v != STATE_CODEC_VERSION:
+        raise ValueError(
+            f"unknown FADS state codec version {v!r} (this build reads "
+            f"v{STATE_CODEC_VERSION}); drain the stream with the old build "
+            "or add an explicit upgrade path"
+        )
+    fads = FADSState(cfg)
+    fads.glo = np.asarray(doc["glo"], dtype=np.float64)
+    fads.ghi = np.asarray(doc["ghi"], dtype=np.float64)
+    for rid, q, arr, pid, lq in doc["buffer"]:
+        fads.buffer.append(
+            (rid, np.asarray(q, dtype=np.float64), arr, pid, np.asarray(lq, dtype=np.float64))
+        )
+    for lo, hi, created in doc["clusters"]:
+        fads.clusters.append(
+            _Cluster(np.asarray(lo, dtype=np.float64), np.asarray(hi, dtype=np.float64), created)
+        )
+    fads.last_arrival = doc["last_arrival"]
+    pend = doc["pending"]
+    if pend is None:
+        return fads, None
+    pending = pd.DataFrame(
+        {c: pd.Series(pend["data"][c], dtype=t) for c, t in zip(pend["cols"], pend["dtypes"])}
+    )[pend["cols"]]
+    if pend["index_col"] is not None:
+        pending.index = pending[pend["index_col"]]
+    return fads, pending
 
 
 def _check_pid_unique(pending: pd.DataFrame, cfg: FADSConfig) -> None:
@@ -118,7 +204,7 @@ def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: 
         if state.hasTimedOut:
             # G14: idle timeout == end-of-stream flush (reference close())
             if state.exists:
-                fads, pending = pickle.loads(state.get[0])
+                fads, pending = decode_state(state.get[0], cfg)
                 out, _ = _release_to_pdf(fads.flush(), pending, cfg, out_cols)
                 state.remove()
                 if len(out):
@@ -126,7 +212,7 @@ def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: 
             return
 
         if state.exists:
-            fads, pending = pickle.loads(state.get[0])
+            fads, pending = decode_state(state.get[0], cfg)
         else:
             fads = FADSState(cfg)
             pending = None
@@ -150,7 +236,7 @@ def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: 
             if len(out):
                 yield out
 
-        state.update((pickle.dumps((fads, pending)),))
+        state.update((encode_state(fads, pending),))
         state.setTimeoutDuration(flush_after_ms)
 
     return handle

@@ -18,7 +18,13 @@ import pytest
 from pyfads import FADSConfig
 from pyfads.fads_batch import fads_generalize, run_fads_pandas
 from pyfads.fads_core import FADSState
-from pyfads.fads_stream import ForeachBatchFADS, fads_generalize_stream, make_stream_handler
+from pyfads.fads_stream import (
+    ForeachBatchFADS,
+    decode_state,
+    encode_state,
+    fads_generalize_stream,
+    make_stream_handler,
+)
 from pyfads.io import events_with_arrival
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -124,32 +130,35 @@ def test_stream_releases_match_batch_process(spark, events_pdf, chunk_dir):
     assert len(got) == len(events_pdf) - cfg.buffer_rows
 
 
+class FakeState:
+    """Minimal GroupState stand-in for driving the handler directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.removed = False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
 def test_timeout_flush_drains_buffer(events_pdf):
     """G14: the idle-timeout path emits exactly the buffered tail with the
     same intervals the batch flush assigns."""
     cfg = _cfg()
-
-    class FakeState:
-        def __init__(self):
-            self.exists = False
-            self.hasTimedOut = False
-            self._v = None
-            self.removed = False
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
-
-        def remove(self):
-            self.removed = True
-            self.exists = False
-
-        def setTimeoutDuration(self, ms):
-            pass
 
     handler = make_stream_handler(cfg, list(events_pdf.columns), 1000)
     st = FakeState()
@@ -194,8 +203,12 @@ def test_foreach_batch_fallback_parity(spark, events_pdf, chunk_dir):
     pd.testing.assert_frame_equal(b, s, check_dtype=False)
 
 
-def test_stream_state_pickle_roundtrip(events_pdf):
-    """State blob survives pickle (what GroupState actually stores)."""
+def test_stream_state_codec_roundtrip(events_pdf):
+    """encode/decode is lossless: same bounds, buffer, clusters, pending —
+    and the blob holds plain builtins only (no pyfads/pandas/numpy classes,
+    so a code upgrade mid-stream cannot break checkpointed state)."""
+    import pickletools
+
     cfg = _cfg()
     st = FADSState(cfg)
     st.process(
@@ -203,11 +216,99 @@ def test_stream_state_pickle_roundtrip(events_pdf):
         events_pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64)[:100],
         events_pdf[cfg.arrival_col].to_numpy(dtype=np.int64)[:100],
     )
-    blob = pickle.dumps((st, events_pdf.head(50)))
-    st2, pending2 = pickle.loads(blob)
+    pending = events_pdf.head(50).copy()
+    pending.index = pending[cfg.pid_col]
+    blob = encode_state(st, pending)
+    # no GLOBAL opcode => no class references anywhere in the pickle stream
+    ops = [op.name for op, _arg, _pos in pickletools.genops(blob)]
+    assert "GLOBAL" not in ops and "STACK_GLOBAL" not in ops
+
+    st2, pending2 = decode_state(blob, cfg)
     assert len(st2.buffer) == len(st.buffer)
     assert np.array_equal(st2.glo, st.glo)
-    assert len(pending2) == 50
+    assert np.array_equal(st2.ghi, st.ghi)
+    for (r1, q1, a1, p1, l1), (r2, q2, a2, p2, l2) in zip(st.buffer, st2.buffer):
+        assert (r1, a1, p1) == (r2, a2, p2)
+        assert np.array_equal(q1, q2) and np.array_equal(l1, l2)
+    assert len(st2.clusters) == len(st.clusters)
+    pd.testing.assert_frame_equal(pending, pending2)
+
+
+# A v1 state blob frozen at the codec's introduction: cfg (k=3, buffer=5,
+# reuse=1000, qids=(x, y), pid/arr), 8 rows of _codec_fixture_pdf processed
+# through make_stream_handler.  Every future build must keep decoding it —
+# this is the upgrade-across-code-change guarantee a mid-stream checkpoint
+# relies on.
+_FROZEN_V1_BLOB = (
+    "gASVrQIAAAAAAAB9lCiMAXaUSwGMA2dsb5RdlChHP+AAAAAAAABHQAIAAAAAAABljANnaGmUXZQoR0ARAAAAAAAAR0AjAAAA"
+    "AAAAZYwGYnVmZmVylF2UKChLAV2UKEc/+AAAAAAAAEdAIwAAAAAAAGVLZEsBXZQoRz/4AAAAAAAAR0AjAAAAAAAAZXSUKEsC"
+    "XZQoR0ARAAAAAAAAR0ACAAAAAAAAZUvISwJdlChHQBEAAAAAAABHQAIAAAAAAABldJQoSwNdlChHP+AAAAAAAABHQCEAAAAA"
+    "AABlTSwBSwNdlChHP+AAAAAAAABHQCEAAAAAAABldJQoSwZdlChHP/AAAAAAAABHQCIAAAAAAABlTVgCSwZdlChHP/AAAAAA"
+    "AABHQCIAAAAAAABldJQoSwddlChHQBAAAAAAAABHQAgAAAAAAABlTbwCSwddlChHQBAAAAAAAABHQAgAAAAAAABldJRljAhj"
+    "bHVzdGVyc5RdlF2UKEdABgAAAAAAAEdAEwAAAAAAAGVdlChHQAwAAAAAAABHQBoAAAAAAABlTfQBh5RhjAxsYXN0X2Fycml2"
+    "YWyUTbwCjAdwZW5kaW5nlH2UKIwEY29sc5RdlCiMA3BpZJSMAXiUjAF5lIwDYXJylGWMBmR0eXBlc5RdlCiMBWludDY0lIwH"
+    "ZmxvYXQ2NJSMB2Zsb2F0NjSUjAVpbnQ2NJRljARkYXRhlH2UKGghXZQoSwFLAksDSwZLB2VoIl2UKEc/+AAAAAAAAEdAEQAA"
+    "AAAAAEc/4AAAAAAAAEc/8AAAAAAAAEdAEAAAAAAAAGVoI12UKEdAIwAAAAAAAEdAAgAAAAAAAEdAIQAAAAAAAEdAIgAAAAAA"
+    "AEdACAAAAAAAAGVoJF2UKEtkS8hNLAFNWAJNvAJldYwJaW5kZXhfY29slGghdXUu"
+)
+
+
+def _codec_cfg() -> FADSConfig:
+    return FADSConfig(
+        k=3, buffer_rows=5, reuse_ms=1000, qid_cols=("x", "y"), pid_col="pid", arrival_col="arr"
+    )
+
+
+def _codec_fixture_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "pid": np.arange(12, dtype=np.int64),
+            "x": np.array([3.0, 1.5, 4.25, 0.5, 2.75, 3.5, 1.0, 4.0, 2.0, 0.25, 3.25, 1.75]),
+            "y": np.array([7.0, 9.5, 2.25, 8.5, 4.75, 6.5, 9.0, 3.0, 5.0, 8.25, 6.25, 9.75]),
+            "arr": np.arange(12, dtype=np.int64) * 100,
+        }
+    )
+
+
+def test_frozen_v1_state_blob_still_decodes():
+    """Upgrade guarantee: a checkpoint written by the v1 codec resumes under
+    current code, and the resumed stream finishes bit-identically to a
+    continuous batch run over the same rows."""
+    import base64
+
+    cfg = _codec_cfg()
+    pdf = _codec_fixture_pdf()
+    blob = base64.b64decode(_FROZEN_V1_BLOB)
+
+    st, pending = decode_state(blob, cfg)
+    assert len(st.buffer) == 5 and st.last_arrival == 700
+    assert pending is not None and list(pending["pid"]) == [1, 2, 3, 6, 7]
+
+    # resume: feed rows 8..11 through the handler primed with the frozen
+    # state, then the timeout flush; together with the pre-freeze releases
+    # (rows 0, 4, 5 — regenerated below) this must equal the batch run
+    fake = FakeState()
+    fake.update((blob,))
+    handler = make_stream_handler(cfg, list(pdf.columns), 1000)
+    resumed = list(handler((1,), iter([pdf.iloc[8:]]), fake))
+    fake.hasTimedOut = True
+    resumed += list(handler((1,), iter([]), fake))
+
+    pre_freeze = list(
+        make_stream_handler(cfg, list(pdf.columns), 1000)((1,), iter([pdf.head(8)]), FakeState())
+    )
+    stream_all = pd.concat(pre_freeze + resumed)
+    batch = run_fads_pandas(pdf, cfg)
+    b = batch.sort_values("pid").reset_index(drop=True)
+    s = stream_all[b.columns].sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_unknown_codec_version_fails_loudly():
+    cfg = _codec_cfg()
+    bad = pickle.dumps({"v": 99})
+    with pytest.raises(ValueError, match="codec version"):
+        decode_state(bad, cfg)
 
 
 def test_stream_multibatch_ttl_flush_parity(spark, tmp_path_factory):

@@ -154,17 +154,44 @@ def _fold_dot(vec_expr: str, lit_list: str, dim: int) -> str:
     )
 
 
+# DuckDB twins of similarity.dot_expr/norm_expr: explicit chain below the
+# codegen-cliff dimension, list_reduce left fold above (list_prepend(0.0)
+# makes the fold 0.0 + t1 + t2 + ... — bit-identical to Spark's
+# F.aggregate(zip_with(...), 0.0, +), proven by ann_cosine_dim1024).
+_CHAIN_MAX_DIM = 128
+
+
 def _chain_dot_sql(a: str, b: str, dim: int) -> str:
+    if dim > _CHAIN_MAX_DIM:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
+        )
     return " + ".join(
         f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
     )
 
 
 def _chain_norm_sql(a: str, dim: int) -> str:
-    sq = " + ".join(
-        f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
-    )
+    if dim > _CHAIN_MAX_DIM:
+        sq = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+    else:
+        sq = " + ".join(
+            f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
+        )
     return f"sqrt({sq})"
+
+
+def _embeddings_cte(tile: int) -> str:
+    """The `e0` source: the raw embeddings view, optionally widened by
+    deterministic tiling (mirrors flatten(array_repeat(...)) Spark-side)."""
+    if tile <= 1:
+        return "embeddings"
+    cat = " || ".join(["embedding"] * tile)
+    return f"(SELECT vec_id, {cat} AS embedding FROM embeddings)"
 
 
 def _cosine_rerank_sql(dim: int, k: int) -> str:
@@ -199,11 +226,13 @@ def ann_lsh_topk_oracle(
     n_tables: int = 4,
     seed: int = 42,
     n_queries: int = 8,
+    tile: int = 1,
 ) -> str:
     """Fully independent DuckDB twin of similarity.ann_lsh_topk: the seeded
     hyperplanes (similarity._hyperplanes) are data-independent constants, so
     DuckDB recomputes sign-bit buckets, the (table, bucket) equi-join, and
-    the exact-cosine top-k from scratch."""
+    the exact-cosine top-k from scratch.  ``tile`` > 1 widens the fixture
+    vectors by concatenation (the wide-dim variants)."""
     from pyfads.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
@@ -218,7 +247,7 @@ def ann_lsh_topk_oracle(
 WITH planes(table_idx, plane_idx, pvec) AS (VALUES
   {vals}
 ),
-e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+e AS (SELECT vec_id, embedding FROM {_embeddings_cte(tile)} e0 WHERE {norm} > 0),
 sgn AS (
   SELECT e.vec_id, p.table_idx, p.plane_idx, ({dot}) > 0 AS pos
   FROM e CROSS JOIN planes p
@@ -243,10 +272,11 @@ cand AS (
 # --------------------------------------------------------------------------
 
 
-def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, sample_rows: int = 4096):
+def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, sample_rows: int = 4096):
     """Replicates similarity.train_ivf_centroids outside Spark: same
     md5-ordered bounded sample, same spherical k-means — bitwise-identical
-    codebook (same numpy, same machine)."""
+    codebook (same numpy, same machine).  ``tile`` widens the sample the
+    same way the Spark query tiles its input."""
     import duckdb
 
     from pyfads.similarity import _kmeans_spherical
@@ -256,12 +286,14 @@ def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, sample_rows: int = 
     con.close()
     rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
     m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
+    if tile > 1:
+        m = np.tile(m, (1, tile))
     return _kmeans_spherical(m, n_centroids, seed)
 
 
 @functools.lru_cache(maxsize=None)
-def _ann_ivf_cached(sf_dir: str, dim: int, k: int, n_centroids: int, n_probe: int, seed: int, n_queries: int) -> str:
-    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+def _ann_ivf_cached(sf_dir: str, dim: int, k: int, n_centroids: int, n_probe: int, seed: int, n_queries: int, tile: int) -> str:
+    cents = _ivf_centroids(sf_dir, n_centroids, seed, tile)
     vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
     norm = _chain_norm_sql("e0", dim)
     dot = _fold_dot("e.embedding", "c.cvec", dim)
@@ -269,7 +301,7 @@ def _ann_ivf_cached(sf_dir: str, dim: int, k: int, n_centroids: int, n_probe: in
 WITH cents(cell, cvec) AS (VALUES
   {vals}
 ),
-e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+e AS (SELECT vec_id, embedding FROM {_embeddings_cte(tile)} e0 WHERE {norm} > 0),
 celldot AS (
   SELECT e.vec_id, c.cell, ({dot}) AS dp
   FROM e CROSS JOIN cents c
@@ -297,5 +329,6 @@ def ann_ivf_topk_oracle(
     n_probe: int = 4,
     seed: int = 7,
     n_queries: int = 8,
+    tile: int = 1,
 ) -> str:
-    return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries)
+    return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)

@@ -691,6 +691,32 @@ WHERE rank <= 10
 """
 
 
+def _wide_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture vectors deterministically widened to dim 1024 by tiling 16x
+    (pure JVM: flatten(array_repeat(...)); oracles tile with list concat)."""
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), _TILE)).alias("embedding")
+    )
+
+
+@query("ann_lsh_dim1024", oracle=lambda: G.ann_lsh_topk_oracle(dim=_DIM_WIDE, tile=_TILE))
+def ann_lsh_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN at dim 1024 (VERDICT r3 item 5): the fold dot/norm path
+    (similarity.dot_expr past CHAIN_MAX_DIM) exercised under LSH bucketing +
+    candidate join + re-rank, against the same fully independent
+    plane-literal oracle as the dim-64 entry."""
+    embs = _wide_embs(spark, sf_dir)
+    return S.ann_lsh_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)
+
+
+@query("ann_ivf_dim1024", oracle=lambda: G.ann_ivf_topk_oracle(dim=_DIM_WIDE, tile=_TILE))
+def ann_ivf_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at dim 1024: wide-dim codebook trained on the tiled corpus,
+    fold-path cosine re-rank, centroid-literal oracle."""
+    embs = _wide_embs(spark, sf_dir)
+    return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)
+
+
 @query("ann_cosine_dim1024", oracle=_COSINE_WIDE_SQL)
 def ann_cosine_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 at dim 1024 — exercises the high-dimension

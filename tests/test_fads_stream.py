@@ -311,6 +311,77 @@ def test_unknown_codec_version_fails_loudly():
         decode_state(bad, cfg)
 
 
+def test_stream_restart_from_checkpoint(spark, events_pdf, tmp_path_factory):
+    """Production restart continuity: run 1 processes two chunks and is
+    STOPPED; run 2 is a brand-new query on the same checkpoint that must
+    decode run 1's persisted state blob, process the third chunk, fire the
+    idle-timeout flush, and land the whole stream bit-identical to the
+    batch run.  (The frozen-blob test proves the codec format; this proves
+    the codec through a real state-store round trip across query restarts.)"""
+    import time as _t
+
+    cfg = _cfg()
+    base = tmp_path_factory.mktemp("restart")
+    src_dir, ckpt, out_dir = str(base / "src"), str(base / "ckpt"), str(base / "out")
+    os.makedirs(src_dir)
+    chunks = np.array_split(events_pdf, 3)
+    for i, part in enumerate(chunks[:2]):
+        part.to_parquet(f"{src_dir}/chunk_{i}.parquet", index=False)
+        os.utime(f"{src_dir}/chunk_{i}.parquet", (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.createDataFrame(events_pdf.head(1)).schema
+
+    def start_query():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = fads_generalize_stream(src, cfg, flush_after_ms=15_000)
+        return (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    expected_run1 = len(chunks[0]) + len(chunks[1]) - cfg.buffer_rows
+    q = start_query()
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and sink_count() < expected_run1:
+            _t.sleep(0.5)
+        assert sink_count() >= expected_run1
+    finally:
+        q.stop()  # mid-stream: buffer + clusters stay only in the checkpoint
+
+    # new data arrives while the query is DOWN
+    chunks[2].to_parquet(f"{src_dir}/chunk_2.parquet", index=False)
+    os.utime(f"{src_dir}/chunk_2.parquet", (1_700_000_300,) * 2)
+
+    q2 = start_query()
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and sink_count() < len(events_pdf):
+            _t.sleep(2)
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == len(events_pdf)
+    batch = run_fads_pandas(events_pdf, cfg)
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    s = got[b.columns].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas variant
 # ---------------------------------------------------------------------------

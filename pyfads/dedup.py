@@ -23,6 +23,7 @@ from pyfads.text import md5_hash60, tokens
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_stream",
     "shingles",
     "shingle_sets",
     "minhash_signature",
@@ -51,6 +52,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("n_copies"),
     ).select(id_col, text_col, "n_copies")
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen occurrence of each
+    distinct text on an unbounded stream (continuous-ingest dedup).
+
+    The state key is the 128-bit content hash, never the document itself —
+    per-distinct-doc state is 16 bytes + overhead regardless of text size.
+
+    Two modes:
+    - default: ``dropDuplicates`` on the content hash.  State holds every
+      distinct hash seen — exact forever, memory ∝ distinct corpus size;
+      right when the run is bounded (a backfill replayed as a stream).
+    - ``event_time_col`` + ``watermark_delay`` (e.g. ``"1 hour"``):
+      ``dropDuplicatesWithinWatermark`` — duplicates are only suppressed
+      within the watermark horizon and state expires with it.  Bounded
+      state, the 100 TB continuous-ingestion shape (a re-crawl seen a week
+      later re-enters; cross-horizon dedup belongs to the batch pass).
+    """
+    hashed = stream.withColumn("__content_h", F.md5(F.col(text_col)))
+    if event_time_col is not None and watermark_delay is not None:
+        out = hashed.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["__content_h"]
+        )
+    else:
+        out = hashed.dropDuplicates(["__content_h"])
+    return out.drop("__content_h")
 
 
 def shingles(text_col: str = "text", k: int = 3) -> "F.Column":

@@ -46,6 +46,54 @@ def test_minhash_near_dup(docs):
     assert all(a < 4 and b < 4 for a, b in pairs)  # doc 4 never pairs
 
 
+def test_exact_dedup_stream_cross_batch(spark, tmp_path_factory):
+    """Streaming exact dedup suppresses duplicates ACROSS micro-batches and
+    keeps the first-seen occurrence; the watermarked bounded-state variant
+    behaves identically inside the horizon."""
+    import os as _os
+    import time as _t
+
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("dedup_stream"))
+    n, distinct = 60, 20
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"document body {i % distinct}" for i in range(n)],
+            "ts": (pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="s")).astype("datetime64[us]"),
+        }
+    )
+    for i, part in enumerate([pdf.iloc[:20], pdf.iloc[20:40], pdf.iloc[40:]]):
+        p = f"{d}/chunk_{i}.parquet"
+        part.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    schema = spark.createDataFrame(pdf.head(1)).schema
+
+    for mode, kwargs in [
+        ("exact", {}),
+        ("watermarked", {"event_time_col": "ts", "watermark_delay": "1 hour"}),
+    ]:
+        src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        out = D.exact_dedup_stream(src, **kwargs)
+        name = f"dedup_stream_{mode}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            q.stop()
+        got = spark.table(name).toPandas()
+        # one survivor per distinct text, and it is the FIRST-seen doc_id
+        assert len(got) == distinct, mode
+        assert sorted(got["doc_id"]) == list(range(distinct)), mode
+
+
 def test_minhash_bucket_cap_bounds_fanout(spark):
     """30 identical docs share every band key: uncapped C(30,2)=435 pairs;
     a cap of 10 splits each band bucket into 3 salted sub-buckets, so the

@@ -94,6 +94,38 @@ def test_exact_dedup_stream_cross_batch(spark, tmp_path_factory):
         assert sorted(got["doc_id"]) == list(range(distinct)), mode
 
 
+def test_text_ops_run_on_streams_unchanged(spark, tmp_path_factory):
+    """The text/quality operators are stateless projections, so the SAME
+    functions run on a streaming DataFrame with no code changes — streamed
+    results equal the batch run row for row."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d)
+    batch_docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    for i, op in enumerate([X.text_stats, X.quality_score, X.token_counts, X.lang_id]):
+        name = f"text_stream_{i}"
+        q = (
+            op(stream_docs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            q.stop()
+        got = spark.table(name).toPandas().sort_values("doc_id").reset_index(drop=True)
+        want = op(batch_docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_minhash_bucket_cap_bounds_fanout(spark):
     """30 identical docs share every band key: uncapped C(30,2)=435 pairs;
     a cap of 10 splits each band bucket into 3 salted sub-buckets, so the

@@ -134,3 +134,38 @@ def test_fads_fuzz_invariants_and_oracle_parity(case):
         for j, q in enumerate(cfg.qid_cols):
             assert got.loc[eid, f"{q}_lo"] == pytest.approx(lo[j])
             assert got.loc[eid, f"{q}_hi"] == pytest.approx(hi[j])
+
+
+@settings(max_examples=25, deadline=None)
+@given(fads_case(), st.integers(min_value=0, max_value=120))
+def test_stream_codec_resume_equivalence(case, split_raw):
+    """Fuzzed restart guarantee: cutting a random stream at a random point,
+    round-tripping the state through the versioned codec, and resuming must
+    release exactly what the uninterrupted run releases (incl. flush)."""
+    from pyfads.fads_stream import decode_state, encode_state, make_stream_handler
+    from tests.test_fads_stream import FakeState
+
+    pdf, cfg = case
+    split = min(split_raw, len(pdf))
+    cols = list(pdf.columns)
+
+    def run(batches):
+        h = make_stream_handler(cfg, cols, 1000)
+        fake = FakeState()
+        out = []
+        for b in batches:
+            out += list(h((1,), iter([b]), fake))
+            if fake._v is not None:  # explicit codec round trip between batches
+                fads, pending = decode_state(fake._v[0], cfg)
+                fake._v = (encode_state(fads, pending),)
+        fake.hasTimedOut = True
+        out += list(h((1,), iter([]), fake))
+        return (
+            pd.concat(out).sort_values("event_id").reset_index(drop=True)
+            if out
+            else pd.DataFrame()
+        )
+
+    cont = run([pdf])
+    resumed = run([pdf.iloc[:split], pdf.iloc[split:]])
+    pd.testing.assert_frame_equal(cont, resumed, check_dtype=False)

@@ -100,7 +100,7 @@ def _write_golden(path: str, released: dict) -> None:
     pq.write_table(pa.table(cols), path)
 
 
-def _fads_golden_sql(name: str, partitioned: bool) -> str:
+def _fads_golden_sql(name: str, partitioned: bool, max_group_rows: int | None = None) -> str:
     from pyfads.config import FADSConfig
 
     sf_dir = oracle_sf_dir()
@@ -112,7 +112,15 @@ def _fads_golden_sql(name: str, partitioned: bool) -> str:
         released: dict = {}
         groups = sorted({r[4] for r in rows})
         for g in groups:
-            released.update(_run_golden([r for r in rows if r[4] == g], cfg))
+            grows = sorted((r for r in rows if r[4] == g), key=lambda r: (r[3], r[0]))
+            if max_group_rows is None:
+                released.update(_run_golden(grows, cfg))
+            else:
+                # hot-key guard semantics (fads_batch.fads_generalize_partitioned):
+                # arrival-contiguous runs of at most max_group_rows rows, an
+                # independent FADS instance per run
+                for i in range(0, len(grows), max_group_rows):
+                    released.update(_run_golden(grows[i : i + max_group_rows], cfg))
     else:
         cfg = FADSConfig(k=10, buffer_rows=30, reuse_ms=60_000)
         released = _run_golden(rows, cfg)
@@ -126,8 +134,8 @@ FROM read_parquet('{path}') g JOIN events e USING (event_id)
 
 
 @functools.lru_cache(maxsize=None)
-def _fads_golden_cached(name: str, partitioned: bool, sf_dir: str) -> str:
-    return _fads_golden_sql(name, partitioned)
+def _fads_golden_cached(name: str, partitioned: bool, sf_dir: str, max_group_rows: int | None = None) -> str:
+    return _fads_golden_sql(name, partitioned, max_group_rows)
 
 
 def fads_generalize_events_oracle() -> str:
@@ -136,6 +144,10 @@ def fads_generalize_events_oracle() -> str:
 
 def fads_partitioned_events_oracle() -> str:
     return _fads_golden_cached("fads_partitioned_events", True, oracle_sf_dir())
+
+
+def fads_hotkey_events_oracle(max_group_rows: int = 120) -> str:
+    return _fads_golden_cached("fads_hotkey_events", True, oracle_sf_dir(), max_group_rows)
 
 
 # --------------------------------------------------------------------------

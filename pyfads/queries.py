@@ -91,6 +91,29 @@ def fads_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fads_hotkey_events", oracle=_golden.fads_hotkey_events_oracle)
+def fads_hotkey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-out FADS with the hot-key guard engaged: per-event_type groups
+    sub-split into arrival-contiguous runs of <= 120 rows
+    (fads_batch.fads_generalize_partitioned max_group_rows), so one skewed
+    key cannot produce an unbounded straggler task.  The golden oracle
+    re-derives the same run-splitting independently."""
+    from pyfads import FADSConfig, fads_generalize_partitioned
+    from pyfads.io import events_with_arrival
+
+    cfg = FADSConfig(
+        k=5,
+        buffer_rows=15,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    return fads_generalize_partitioned(
+        events_with_arrival(spark, sf_dir), cfg, "event_type", max_group_rows=120
+    )
+
+
 def _register_primitives() -> None:
     from pyfads import primitives_queries  # noqa: F401  (registers on import)
 

@@ -190,7 +190,11 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_ctes(
-    n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+    src: str = "documents",
 ) -> str:
     # CTE chain (no WITH keyword) ending in `vpairs` = verified near-dup
     # pairs; shared by the pairs oracle and the recursive groups oracle.
@@ -210,7 +214,7 @@ def _minhash_ctes(
     )
     bk_list = "[" + ", ".join(f"bk{b}" for b in range(bands)) + "]"
     return f"""
-t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
 s AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
@@ -258,13 +262,17 @@ def _minhash_sql(
 
 
 def _cc_ctes(
-    n_perm: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int = 64
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+    src: str = "documents",
 ) -> str:
     """Transitive closure of the verified minhash pairs (recursive CTE):
     CTE chain ending in ``cgroups(doc_id, group_id)`` — every doc labeled
     with the min id reachable in its near-dup component, the exact fixpoint
     connected_components converges to."""
-    ctes = _minhash_ctes(n_perm, bands, threshold, max_bucket)
+    ctes = _minhash_ctes(n_perm, bands, threshold, max_bucket, src=src)
     return f"""{ctes},
 edges AS (
   SELECT a_id AS u, b_id AS v FROM vpairs
@@ -272,7 +280,7 @@ edges AS (
   SELECT b_id, a_id FROM vpairs
 ),
 reach(src, node) AS (
-    SELECT doc_id, doc_id FROM documents
+    SELECT doc_id, doc_id FROM {src}
   UNION
     SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
 ),
@@ -953,3 +961,70 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus composition (counts, token moments, exact
     median, distinct sources) — one map-side-combined agg on the stratum."""
     return X.corpus_stats(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# The full curation pipeline, composed end to end
+# --------------------------------------------------------------------------
+
+
+def _curation_sql() -> str:
+    """One composed oracle for the whole curation run: quality gate →
+    near-dup survivors (recursive-CTE transitive closure over the
+    quality-passing subset) → hash-stratified sampling → packing manifest.
+    Every stage reuses the already-verified per-stage SQL, re-pointed at
+    the upstream stage's CTE."""
+    cc = _cc_ctes(src="kept")
+    return f"""
+WITH RECURSIVE
+qpass AS (SELECT doc_id FROM ({_QUALITY_SQL}) q WHERE quality_pass),
+kept AS (SELECT d.* FROM documents d JOIN qpass USING (doc_id)),
+{cc},
+surv AS (SELECT doc_id FROM cgroups WHERE doc_id = group_id),
+corpus AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+samp AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, lang, {_h60('samp', 'CAST(doc_id AS VARCHAR)')} AS h FROM corpus)
+  WHERE (h % 10000) < (CASE lang
+      WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.25
+      WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END) * 10000
+),
+final AS (SELECT c.* FROM corpus c JOIN samp USING (doc_id)),
+pbase AS (
+  SELECT doc_id, h % 8 AS shard, h AS pack_hash,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, text, {_h60('pack', 'CAST(doc_id AS VARCHAR)')} AS h
+        FROM final)
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prefix_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_idx
+FROM pbase
+"""
+
+
+@query("corpus_curation", oracle=_curation_sql())
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation a real training-data run executes,
+    composed from the verified stages: Gopher-style quality gate →
+    MinHash+LSH near-dup pairs → connected-components survivors →
+    deterministic hash-stratified sampling by language → greedy packing
+    manifest (512-token bins, 8 shards).
+
+    Composition is safe at 100 TB because every stage keeps its standalone
+    scale shape (bucketed joins, edge-endpoint CC, per-row hash filters,
+    bounded-shard windows) and the sampling/packing hashes key on doc_id —
+    subset-stable, so stages compose without re-shuffling earlier results.
+    """
+    docs = _docs(spark, sf_dir)
+    passing = X.quality_score(docs).filter(F.col("quality_pass")).select("doc_id")
+    kept = docs.join(passing, "doc_id")
+    pairs = D.minhash_near_dup_pairs(kept).select("a_id", "b_id")
+    groups = D.connected_components(pairs, nodes=kept.select("doc_id"))
+    surv = groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    corpus = kept.join(surv, "doc_id")
+    sampled = P.sample_by_hash(corpus, _SAMPLE_RATES).select("doc_id")
+    final = corpus.join(sampled, "doc_id")
+    return P.pack_greedy(final, context_len=512, n_shards=8)

@@ -76,6 +76,12 @@ def exact_dedup_stream(
       state, the 100 TB continuous-ingestion shape (a re-crawl seen a week
       later re-enters; cross-horizon dedup belongs to the batch pass).
     """
+    if (event_time_col is None) != (watermark_delay is None):
+        raise ValueError(
+            "event_time_col and watermark_delay must be supplied together — "
+            "a partial pair would silently fall back to unbounded-state "
+            "exact mode"
+        )
     hashed = stream.withColumn("__content_h", F.md5(F.col(text_col)))
     if event_time_col is not None and watermark_delay is not None:
         out = hashed.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(

@@ -121,6 +121,22 @@ def _py(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _encode_col(s: pd.Series) -> list:
+    """One pending column -> plain-builtin list.  datetime/timedelta columns
+    round-trip through int64 (``.tolist()`` on them yields pd.Timestamp /
+    pd.Timedelta objects, which would smuggle pandas class references into
+    the blob); everything else is numpy-scalar-stripped via ``_py``."""
+    if s.dtype.kind in "Mm":
+        return [None if pd.isna(v) else int(v) for v in s.astype("int64").tolist()]
+    return [_py(v) for v in s.tolist()]
+
+
+def _decode_col(vals: list, dtype: str) -> pd.Series:
+    if dtype.startswith(("datetime64", "timedelta64")):
+        return pd.Series(vals, dtype="int64").astype(dtype)
+    return pd.Series(vals, dtype=dtype)
+
+
 def encode_state(fads: FADSState, pending: pd.DataFrame | None) -> bytes:
     """FADSState + pending-row store -> versioned plain-builtin blob."""
     if pending is None:
@@ -129,7 +145,7 @@ def encode_state(fads: FADSState, pending: pd.DataFrame | None) -> bytes:
         pend = {
             "cols": list(pending.columns),
             "dtypes": [str(t) for t in pending.dtypes],
-            "data": {c: [_py(v) for v in pending[c].tolist()] for c in pending.columns},
+            "data": {c: _encode_col(pending[c]) for c in pending.columns},
             "index_col": pending.index.name,
         }
     doc = {
@@ -178,7 +194,7 @@ def decode_state(blob: bytes, cfg: FADSConfig) -> tuple[FADSState, pd.DataFrame 
     if pend is None:
         return fads, None
     pending = pd.DataFrame(
-        {c: pd.Series(pend["data"][c], dtype=t) for c, t in zip(pend["cols"], pend["dtypes"])}
+        {c: _decode_col(pend["data"][c], t) for c, t in zip(pend["cols"], pend["dtypes"])}
     )[pend["cols"]]
     if pend["index_col"] is not None:
         pending.index = pending[pend["index_col"]]
@@ -234,6 +250,25 @@ def _out_cols(input_cols: list[str], cfg: FADSConfig) -> list[str]:
     return cols
 
 
+def _ingest_batch(fads, pending, pdf, cfg, out_cols):
+    """The ordering-contract-critical ingest sequence, shared by every
+    streaming driver (G1): restore arrival order within the batch via a
+    stable (arrival, pid) mergesort, key the pending store by pid, enforce
+    pid uniqueness, run the state machine, materialize releases.
+
+    Returns (output frame, new pending store)."""
+    pdf = pdf.sort_values([cfg.arrival_col, cfg.pid_col], kind="mergesort")
+    pdf.index = pdf[cfg.pid_col]
+    pending = pdf if pending is None else pd.concat([pending, pdf])
+    _check_pid_unique(pending, cfg)
+    released = fads.process(
+        pdf[cfg.pid_col].to_numpy(),
+        pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
+        pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
+    )
+    return _release_to_pdf(released, pending, cfg, out_cols)
+
+
 def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: int):
     """The applyInPandasWithState handler (exposed for direct unit testing
     with a fake GroupState)."""
@@ -260,18 +295,9 @@ def make_stream_handler(cfg: FADSConfig, input_cols: list[str], flush_after_ms: 
         # collect and sort the whole batch before the sequential loop (G1).
         chunks = [p for p in pdf_iter if len(p)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [cfg.arrival_col, cfg.pid_col], kind="mergesort"
+            out, pending = _ingest_batch(
+                fads, pending, pd.concat(chunks, ignore_index=True), cfg, out_cols
             )
-            pdf.index = pdf[cfg.pid_col]
-            pending = pdf if pending is None else pd.concat([pending, pdf])
-            _check_pid_unique(pending, cfg)
-            released = fads.process(
-                pdf[cfg.pid_col].to_numpy(),
-                pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
-                pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
-            )
-            out, pending = _release_to_pdf(released, pending, cfg, out_cols)
             if len(out):
                 yield out
 
@@ -346,18 +372,9 @@ class FADSStatefulProcessor(StatefulProcessor):
         fads, pending = self._load()
         chunks = [p for p in rows if len(p)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [cfg.arrival_col, cfg.pid_col], kind="mergesort"
+            out, pending = _ingest_batch(
+                fads, pending, pd.concat(chunks, ignore_index=True), cfg, self.out_cols
             )
-            pdf.index = pdf[cfg.pid_col]
-            pending = pdf if pending is None else pd.concat([pending, pdf])
-            _check_pid_unique(pending, cfg)
-            released = fads.process(
-                pdf[cfg.pid_col].to_numpy(),
-                pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
-                pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
-            )
-            out, pending = _release_to_pdf(released, pending, cfg, self.out_cols)
             if len(out):
                 yield out
         self.state.update((encode_state(fads, pending),))
@@ -445,16 +462,9 @@ class ForeachBatchFADS:
         pdf = batch_df.toPandas()
         if not len(pdf):
             return
-        pdf = pdf.sort_values([cfg.arrival_col, cfg.pid_col], kind="mergesort")
-        pdf.index = pdf[cfg.pid_col]
-        self.pending = pdf if self.pending is None else pd.concat([self.pending, pdf])
-        _check_pid_unique(self.pending, cfg)
-        released = self.fads.process(
-            pdf[cfg.pid_col].to_numpy(),
-            pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
-            pdf[cfg.arrival_col].to_numpy(dtype=np.int64),
+        out, self.pending = _ingest_batch(
+            self.fads, self.pending, pdf, cfg, self._out_cols
         )
-        out, self.pending = _release_to_pdf(released, self.pending, cfg, self._out_cols)
         if len(out):
             self.outputs.append(out)
 

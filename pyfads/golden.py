@@ -105,6 +105,8 @@ def _fads_golden_sql(name: str, partitioned: bool, max_group_rows: int | None = 
 
     sf_dir = oracle_sf_dir()
     tag = os.path.basename(sf_dir.rstrip("/"))
+    if max_group_rows is not None:
+        tag = f"{tag}.mgr{max_group_rows}"
     path = os.path.join(GOLDEN_DIR, f"{name}.{tag}.parquet")
     rows = _events_rows(sf_dir)
     if partitioned:
@@ -296,6 +298,10 @@ def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, samp
     con = duckdb.connect()
     rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
     con.close()
+    # mirror the Spark path exactly: ann_ivf_topk drop_zero_norm-filters the
+    # corpus BEFORE train_ivf_centroids samples it (tiling preserves
+    # zero-norm-ness, so filtering the base vectors is equivalent)
+    rows = [r for r in rows if (np.asarray(r[1], dtype=np.float64) ** 2).sum() > 0]
     rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
     m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
     if tile > 1:

@@ -176,9 +176,9 @@ def with_arrival(
 
     The reference attaches processing-time millis per record
     (TransactionGeneralizationJob.java:58-61); for replayable batch runs we
-    derive the clock from the data: either ``unix_millis(from_ts_col)``
-    (event time as the logical clock) or a dense ``row_number`` sequence
-    over ``order_cols``.
+    derive the clock from the data: either ``epoch_ms(from_ts_col)``
+    (event time as the logical clock, tz-independent) or a dense
+    ``row_number`` sequence over ``order_cols``.
 
     NOTE (scale): the single ``Window.orderBy`` variant is a global sort into
     one partition — acceptable for parity experiments only.  At scale prefer

@@ -734,13 +734,11 @@ def ann_cosine_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold expression with a JVM-side per-element loop.
 
     The fixture is 64-dim, so vectors are deterministically widened by
-    tiling 16x (pure JVM: flatten(array_repeat(...)); the oracle tiles with
-    list concat).  The fold's left-associated double sum is bit-identical
-    to the oracle's explicit 1024-term chain.
+    tiling 16x (_wide_embs; the oracle tiles with list concat).  The fold's
+    left-associated double sum is bit-identical to the oracle's explicit
+    1024-term chain.
     """
-    embs = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), _TILE)).alias("embedding")
-    )
+    embs = _wide_embs(spark, sf_dir)
     return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)
 
 

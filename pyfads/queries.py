@@ -41,8 +41,24 @@ def query(name: str, oracle: "str | Callable[[], str] | None" = None):
 def resolve_oracles() -> dict[str, str]:
     """Materialize every oracle to a SQL string (builders cache internally,
     keyed by $SPARK_GRAFT_ORACLE_SF_DIR — the sf dir the driver's DuckDB
-    views point at)."""
-    return {n: (o() if callable(o) else o) for n, o in ORACLES.items()}
+    views point at).
+
+    A builder that fails (e.g. the oracle sf dir is absent in this
+    environment) drops only ITS entry — the query then gets a rows-only
+    check — instead of taking every plain-string oracle down with it.
+    """
+    import sys
+
+    out: dict[str, str] = {}
+    for n, o in ORACLES.items():
+        if callable(o):
+            try:
+                out[n] = o()
+            except Exception as exc:  # pragma: no cover - environment-dependent
+                print(f"[pyfads] oracle builder {n} failed: {exc}", file=sys.stderr)
+        else:
+            out[n] = o
+    return out
 
 
 # --------------------------------------------------------------------------

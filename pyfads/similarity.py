@@ -219,11 +219,15 @@ def embedding_near_dup_pairs(
     ).filter(F.col("__norm") > 0)
     with_buckets = _bucketer(dim, n_planes, n_tables, seed, "__id", "__vec")
     # the Arrow bucketing UDF is the dominant per-row cost: run it ONCE and
-    # persist only the tiny (id, table, bucket) projection — the self-join
-    # reads the cached 20-byte rows instead of re-executing the UDF per side
+    # materialize only the tiny (id, table, bucket) projection — the
+    # self-join reads the cached 20-byte rows instead of re-executing the
+    # UDF per side.  localCheckpoint, not persist(): CacheManager holds
+    # persisted plans until an explicit unpersist (a leak from a function
+    # that returns a lazy frame), while a localCheckpoint's RDD is released
+    # by the ContextCleaner once unreferenced.
     buckets = with_buckets(base, "a").select(
         F.col("a_id").alias("__id"), "table_idx", "bucket"
-    ).persist()
+    ).localCheckpoint(eager=False)
     # id-only distinct: the multi-table self-join duplicates each candidate
     # pair up to n_tables times — dedup 16-byte id pairs, then join the
     # vectors back once (vs shuffling both vectors per duplicate)

@@ -217,6 +217,11 @@ def test_stream_state_codec_roundtrip(events_pdf):
         events_pdf[cfg.arrival_col].to_numpy(dtype=np.int64)[:100],
     )
     pending = events_pdf.head(50).copy()
+    # a datetime passthrough column must NOT smuggle pandas Timestamp class
+    # references into the blob (datetime64 round-trips through int64)
+    pending["ingested_at"] = (
+        pd.to_datetime("2024-06-01") + pd.to_timedelta(pending.index, unit="s")
+    ).astype("datetime64[us]")
     pending.index = pending[cfg.pid_col]
     blob = encode_state(st, pending)
     # no GLOBAL opcode => no class references anywhere in the pickle stream

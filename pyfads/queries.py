@@ -138,7 +138,11 @@ def _register_llm_ops() -> None:
     from pyfads import llm_queries  # noqa: F401
 
 
-for _reg in (_register_primitives, _register_llm_ops):
+def _register_windows() -> None:
+    from pyfads import windows  # noqa: F401
+
+
+for _reg in (_register_primitives, _register_llm_ops, _register_windows):
     try:
         _reg()
     except ImportError:

@@ -1,0 +1,379 @@
+"""Event-time windowing operators: gap sessionization, tumbling/sliding
+window aggregation, and as-of join.
+
+These extend the reference's capability surface (its only notion of time is
+the FADS arrival clock, ``Generalizer.java``) with the standard event-time
+toolkit a training-data/telemetry pipeline needs.  Everything here is
+expressed with Spark window functions and ``F.window``/``F.session_window``
+so Catalyst plans them as single-shuffle hash-partitioned operators, and
+each batch form has a bit-identical DuckDB oracle.
+
+Scale notes (100 TB):
+- :func:`sessionize` is ONE shuffle on the session key; the sort is
+  within-partition (Spark's window exec spills).  A pathological single key
+  owning a partition is inherent to per-key sessionization itself.
+- :func:`tumbling_agg` / :func:`sliding_agg` are plain hash aggregations
+  with map-side partial combine; a sliding window multiplies rows by
+  ``width/slide`` BEFORE the shuffle (same as Flink's pane replication), so
+  keep the ratio small or pre-aggregate per slide and roll up.
+- :func:`asof_join` is the union+carry-forward formulation — one shuffle on
+  the key, no range join, no point-in-interval explosion.  This is the shape
+  a 1000-executor as-of join wants (sort-merge within partitions), unlike a
+  ``BETWEEN`` theta-join which Spark can only nest-loop.
+
+Float discipline (oracle parity): monetary sums go through integer cents
+(``CAST(round(value * 100) AS BIGINT)``) so partial-agg order cannot change
+the result; carried/min/max doubles are untouched (exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from pyfads.io import epoch_ms, read_table
+from pyfads.queries import query
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    gap_ms: int,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Assign a per-key session sequence number: a new session starts when
+    the gap to the previous event of the same key exceeds ``gap_ms``.
+
+    Single shuffle (hash on ``key_cols``); the lag and the running count
+    share one Window spec so Catalyst evaluates them in one WindowExec pass.
+    """
+    order = [ts_ms_col] + (tiebreak_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_ms_col).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_ms_col) - prev > F.lit(gap_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out_col,
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    session_col: str = "session_seq",
+    cents_col: Column | None = None,
+) -> DataFrame:
+    """Collapse :func:`sessionize` output to one row per session.
+
+    The groupBy re-shuffles on (key, session); with map-side partial
+    aggregation the network volume is one row per session per map task.
+    """
+    aggs = [
+        F.min(ts_ms_col).alias("start_ms"),
+        F.max(ts_ms_col).alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if cents_col is not None:
+        aggs.append(F.sum(cents_col).alias("sum_cents"))
+    return sessions.groupBy(*key_cols, session_col).agg(*aggs)
+
+
+def _window_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str | None,
+    key_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    ntz = dict(df.dtypes)[ts_col] == "timestamp_ntz"
+    win = F.window(ts_col, width, slide) if slide else F.window(ts_col, width)
+    grouped = df.groupBy(win.alias("win"), *key_cols).agg(*aggs)
+    if ntz:
+        ms = lambda f: F.expr(
+            f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.{f})"
+        )
+    else:
+        ms = lambda f: F.unix_millis(F.col(f"win.{f}"))
+    agg_cols = [c for c in grouped.columns if c != "win" and c not in key_cols]
+    return grouped.select(
+        ms("start").alias("win_start_ms"),
+        ms("end").alias("win_end_ms"),
+        *key_cols,
+        *agg_cols,
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    key_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling event-time windows via native ``F.window`` (works unchanged
+    on a streaming DataFrame with a watermark).  Output keys the window by
+    its epoch-ms start/end so downstream joins/oracles are tz-independent.
+    """
+    return _window_agg(df, ts_col, width, None, key_cols, aggs)
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    key_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding windows via ``F.window(ts, width, slide)``.  Each row is
+    replicated into ``width/slide`` panes before the shuffle — identical to
+    the tumbling plan otherwise."""
+    return _window_agg(df, ts_col, width, slide, key_cols, aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the values of the latest right row of
+    the same key with ``right.ts <= left.ts`` (``<`` when not inclusive).
+
+    Implemented as the union + carry-forward formulation: tag the sides,
+    union, and take ``last(value, ignorenulls)`` over one per-key ordered
+    window — ONE shuffle on the key, within-partition sort, no range join.
+    Right-side ties on ``ts`` resolve to the largest ``right_tiebreak``.
+
+    Returns the left rows plus ``value_cols`` (null when no right row
+    precedes).
+    """
+    lcols = left.columns
+    # order within a key is (ts, __side, __rtb); left rows are __side=1, so
+    # right rows at equal ts are included (side 0) or excluded (side 2)
+    right_side = 0 if inclusive else 2
+    l_tagged = left.select(
+        *lcols,
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
+            for v in value_cols
+        ],
+        F.lit(1).alias("__side"),
+        F.lit(-1).cast("bigint").alias("__rtb"),
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in key_cols + [ts_ms_col]
+        ],
+        *[F.col(k) for k in key_cols],
+        F.col(ts_ms_col),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+        F.lit(right_side).alias("__side"),
+        (
+            F.col(right_tiebreak).cast("bigint")
+            if right_tiebreak
+            else F.lit(0).cast("bigint")
+        ).alias("__rtb"),
+    ).select(*lcols, *[f"__r_{v}" for v in value_cols], "__side", "__rtb")
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_ms_col, "__side", "__rtb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (events table) + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_GAP_MS = 30 * 60 * 1000  # 30-minute session gap
+
+_SESSIONIZE_SQL = f"""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > {_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+@query("sessionize_events", oracle=_SESSIONIZE_SQL)
+def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of events per user."""
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", epoch_ms(ev, "ts").alias("ts_ms"))
+    return sessionize(ev, ["user_id"], "ts_ms", _GAP_MS, tiebreak_cols=["event_id"])
+
+
+_SESSION_STATS_SQL = f"""
+WITH tagged AS (
+  SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sess AS (
+  SELECT user_id, value, ts_ms,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM tagged
+)
+SELECT user_id, session_seq,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("session_stats", oracle=_SESSION_STATS_SQL)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per user session: span, event count, integer-cents value sum."""
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "user_id", "value", epoch_ms(ev, "ts").alias("ts_ms")
+    )
+    sess = sessionize(ev, ["user_id"], "ts_ms", _GAP_MS, tiebreak_cols=["event_id"])
+    return session_stats(
+        sess,
+        ["user_id"],
+        "ts_ms",
+        cents_col=F.round(F.col("value") * 100).cast("bigint"),
+    )
+
+
+_HOUR_MS = 3600 * 1000
+
+_TUMBLING_SQL = f"""
+SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS win_start_ms,
+       (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} + {_HOUR_MS} AS win_end_ms,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("window_tumbling", oracle=_TUMBLING_SQL)
+def window_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event_type via native F.window.
+
+    The same ``tumbling_agg`` call runs unchanged on a watermarked stream
+    (tests/test_windows.py proves batch == streaming-complete output).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
+    )
+
+
+_SLIDE_MS = 15 * 60 * 1000
+
+_SLIDING_SQL = f"""
+SELECT (epoch_ms(e.ts) // {_SLIDE_MS}) * {_SLIDE_MS} - k.k * {_SLIDE_MS} AS win_start_ms,
+       (epoch_ms(e.ts) // {_SLIDE_MS}) * {_SLIDE_MS} - k.k * {_SLIDE_MS} + {_HOUR_MS} AS win_end_ms,
+       e.event_type,
+       count(*) AS n_events
+FROM events e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY 1, 2, 3
+"""
+
+
+@query("window_sliding", oracle=_SLIDING_SQL)
+def window_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in 4 panes."""
+    ev = read_table(spark, sf_dir, "events")
+    return sliding_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, 1 AS side,
+         CAST(NULL AS DOUBLE) AS err_value, CAST(NULL AS BIGINT) AS rtb
+  FROM events
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), user_id, epoch_ms(ts), 0,
+         value, event_id
+  FROM events WHERE event_type = 'error'
+), carried AS (
+  SELECT event_id, user_id, ts_ms, side,
+         last_value(err_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, side, rtb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value
+  FROM u
+)
+SELECT event_id, user_id, ts_ms, last_error_value
+FROM carried WHERE side = 1
+"""
+
+
+@query("asof_join_events", oracle=_ASOF_SQL)
+def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the value of the latest
+    'error' event at-or-before it for the same user (union+carry-forward,
+    one shuffle — see :func:`asof_join`)."""
+    ev = read_table(spark, sf_dir, "events")
+    ev_ms = ev.select("event_id", "user_id", epoch_ms(ev, "ts").alias("ts_ms"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        epoch_ms(ev, "ts").alias("ts_ms"),
+        F.col("value").alias("last_error_value"),
+        "event_id",
+    )
+    return asof_join(
+        ev_ms,
+        errors,
+        ["user_id"],
+        "ts_ms",
+        ["last_error_value"],
+        right_tiebreak="event_id",
+        inclusive=True,
+    )

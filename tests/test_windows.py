@@ -1,0 +1,202 @@
+"""Event-time windowing operators (pyfads.windows): batch semantics against
+hand-computed values, plus batch == streaming parity for the operators that
+run unchanged on a watermarked stream (tumbling window, session window)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyfads.io import epoch_ms, read_table
+from pyfads.windows import asof_join, sessionize, session_stats, tumbling_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        # user 1: events at 0s, 10s, 2000s (gap>30min? no - 30min=1800s so
+        # 2000s-10s=1990s > 1800s -> new session), 2010s
+        (1, 1, 0), (2, 1, 10_000), (3, 1, 2_000_000), (4, 1, 2_010_000),
+        # user 2: single event
+        (5, 2, 500),
+    ]
+    df = _mk(spark, rows, "event_id long, user_id long, ts_ms long")
+    out = sessionize(df, ["user_id"], "ts_ms", 1_800_000, tiebreak_cols=["event_id"])
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_tie_is_deterministic(spark):
+    rows = [(10, 1, 100), (11, 1, 100), (12, 1, 100)]
+    df = _mk(spark, rows, "event_id long, user_id long, ts_ms long")
+    out = sessionize(df, ["user_id"], "ts_ms", 1000, tiebreak_cols=["event_id"])
+    assert {r.session_seq for r in out.collect()} == {1}
+
+
+def test_session_stats_cents_sum(spark):
+    rows = [(1, 1, 0, 1.25), (2, 1, 10, 2.50), (3, 1, 10_000, 0.10)]
+    df = _mk(spark, rows, "event_id long, user_id long, ts_ms long, value double")
+    sess = sessionize(df, ["user_id"], "ts_ms", 1000, tiebreak_cols=["event_id"])
+    out = session_stats(
+        sess, ["user_id"], "ts_ms",
+        cents_col=F.round(F.col("value") * 100).cast("bigint"),
+    ).collect()
+    by_seq = {r.session_seq: r for r in out}
+    assert by_seq[1].n_events == 2 and by_seq[1].sum_cents == 375
+    assert by_seq[2].n_events == 1 and by_seq[2].sum_cents == 10
+    assert by_seq[1].start_ms == 0 and by_seq[1].end_ms == 10
+
+
+def test_asof_join_inclusive_and_ties(spark):
+    left = _mk(
+        spark,
+        [(1, 1, 100), (2, 1, 200), (3, 1, 300), (4, 2, 100)],
+        "event_id long, user_id long, ts_ms long",
+    )
+    right = _mk(
+        spark,
+        # two right rows at ts=200 — tiebreak keeps rid 21 (largest)
+        (lambda: [(1, 100, 10.0, 20), (1, 200, 30.0, 21), (1, 200, 25.0, 19)])(),
+        "user_id long, ts_ms long, v double, rid long",
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts_ms", ["v"], right_tiebreak="rid"
+    ).collect()
+    got = {r.event_id: r.v for r in out}
+    assert got == {1: 10.0, 2: 30.0, 3: 30.0, 4: None}
+
+
+def test_asof_join_exclusive(spark):
+    left = _mk(spark, [(1, 1, 100)], "event_id long, user_id long, ts_ms long")
+    right = _mk(spark, [(1, 100, 5.0, 1)], "user_id long, ts_ms long, v double, rid long")
+    out = asof_join(
+        left, right, ["user_id"], "ts_ms", ["v"], right_tiebreak="rid",
+        inclusive=False,
+    ).collect()
+    assert out[0].v is None
+
+
+def test_tumbling_agg_known_values(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    out = tumbling_agg(
+        ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    pdf = out.toPandas()
+    # totals preserved; window starts are hour-aligned epoch ms
+    assert pdf["n"].sum() == ev.count()
+    assert (pdf["win_start_ms"] % 3_600_000 == 0).all()
+    assert ((pdf["win_end_ms"] - pdf["win_start_ms"]) == 3_600_000).all()
+
+
+# ---------------------------------------------------------------------------
+# Batch == streaming parity: the same tumbling_agg/session-window pipeline on
+# a file stream with a watermark, run to completion, equals the batch result.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("win_chunks")
+    pdf = read_table(spark, SF_DIR, "events").toPandas().sort_values("ts")
+    # pandas would write datetime64[ns] as TIMESTAMP(NANOS) parquet, which
+    # Spark's NTZ reader rejects; [us] round-trips as timestamp_ntz
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf) // 3
+    for i, lo in enumerate(range(0, len(pdf), n)):
+        pdf.iloc[lo : lo + n].to_parquet(f"{d}/chunk_{i}.parquet", index=False)
+    return str(d)
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    # complete mode: append would withhold windows the watermark never
+    # passes (nothing arrives after the last file to advance it)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"/tmp/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, event_files, tmp_path):
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_win_tumble", ignore_errors=True)
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so the cast from
+    # NTZ is value-preserving on both the stream and the batch side
+    batch_df = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    schema = read_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = _run_stream_to_memory(spark, agg, "win_tumble").toPandas()
+    want = tumbling_agg(
+        batch_df, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    ).toPandas()
+    key = ["win_start_ms", "win_end_ms", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key + ["n"]], want[key + ["n"]])
+
+
+def test_session_window_stream_matches_gap_sessionize(spark, event_files):
+    """Native F.session_window on a stream produces the same session spans
+    as the batch gap-sessionization for a quiet key (no overlapping users
+    interleave within a session gap here: compare per-user session count)."""
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_win_sess", ignore_errors=True)
+    batch_df = read_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = (
+        _run_stream_to_memory(spark, agg, "win_sess")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = batch_df.select("event_id", "user_id", epoch_ms(batch_df, "ts").alias("ts_ms"))
+    sess = sessionize(ev, ["user_id"], "ts_ms", 30 * 60 * 1000, tiebreak_cols=["event_id"])
+    want = (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_sessions": "int64", "n_events": "int64"}),
+        want.astype({"n_sessions": "int64", "n_events": "int64"}),
+    )

@@ -859,6 +859,40 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.sample_by_hash(_docs(spark, sf_dir), _SAMPLE_RATES)
 
 
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END
+         AS split,
+       b AS split_bucket
+FROM (SELECT doc_id, {_h60('split', 'CAST(doc_id AS VARCHAR)')} % 10000 AS b
+      FROM documents)
+"""
+
+
+@query("split_assign", oracle=_SPLIT_SQL)
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by id hash."""
+    out = P.split_assign(
+        _docs(spark, sf_dir), {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split", "split_bucket")
+
+
+_SHUFFLE_SQL = f"""
+SELECT doc_id, h AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM (SELECT doc_id, {_h60('shuf', 'CAST(doc_id AS VARCHAR)')} AS h
+      FROM documents)
+"""
+
+
+@query("corpus_shuffle", oracle=_SHUFFLE_SQL)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global shuffle position via the two-phase bucketed rank (no
+    single-partition sort — see pyfads.pipeline.global_shuffle_index)."""
+    return P.global_shuffle_index(_docs(spark, sf_dir))
+
+
 _PACK_SQL = f"""
 WITH base AS (
   SELECT doc_id, h % 8 AS shard, h AS pack_hash,

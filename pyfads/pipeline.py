@@ -21,6 +21,8 @@ __all__ = [
     "sample_by_hash",
     "pack_greedy",
     "contamination_overlap",
+    "split_assign",
+    "global_shuffle_index",
 ]
 
 _SAMPLE_BUCKETS = 10_000
@@ -107,6 +109,79 @@ def pack_greedy(
         "n_tokens",
         prefix.alias("prefix_tokens"),
         F.floor(prefix / F.lit(context_len)).cast("long").alias("bin_idx"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the row's hash bucket picks
+    the split whose cumulative-fraction interval it falls in.
+
+    Membership is a pure function of (id, seed) — growing the corpus never
+    moves an existing row between splits, and the same row always lands in
+    the same split across reruns/machines (the property ``rand()``-based
+    splits lack).  Per-row projection, zero shuffles.
+    """
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    bucket = (h % _SAMPLE_BUCKETS).cast("long")
+    expr = None
+    cum = 0.0
+    # insertion order defines the interval layout — document it in callers
+    for name, frac in fractions.items():
+        cum += frac
+        cond = bucket < F.lit(int(round(cum * _SAMPLE_BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr).withColumn("split_bucket", bucket)
+
+
+def global_shuffle_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuf",
+    buckets: int = 256,
+) -> DataFrame:
+    """Exact global training-order position for every row under a
+    deterministic hash shuffle — WITHOUT a single-partition sort.
+
+    The classic two-phase distributed rank: bucket rows by the top bits of
+    the order key (so bucket ranges tile the global order), rank within each
+    bucket with a per-bucket window, and add the bucket's global offset.
+    The offsets come from a bounded ``groupBy(bucket).count()`` — at most
+    ``buckets`` rows ever reach the driver (same bounded-collect contract as
+    IVF codebook training), and the big table is touched by exactly one
+    shuffle.  A naive ``row_number() OVER (ORDER BY hash)`` would funnel
+    100 TB through one task; this never does.
+    """
+    if buckets < 1 or buckets > (1 << 20):
+        raise ValueError("buckets must be in [1, 2^20]")
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    # top bits of the 60-bit hash: bucket ranges are contiguous in (h, id)
+    width = (1 << 60) // buckets
+    # integer div — float division would lose bits above 2^53
+    base = df.select(F.col(id_col), h.alias("shuffle_key")).withColumn(
+        "__bkt", F.expr(f"shuffle_key div {width}")
+    )
+    counts = base.groupBy("__bkt").count().collect()  # bounded: <= buckets rows
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__bkt"]):
+        offsets[row["__bkt"]] = acc
+        acc += row["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("__bkt").orderBy("shuffle_key", id_col)
+    return base.select(
+        id_col,
+        "shuffle_key",
+        (off_map[F.col("__bkt")] + F.row_number().over(w) - 1)
+        .cast("long")
+        .alias("shuffle_pos"),
     )
 
 

@@ -585,3 +585,36 @@ def test_corpus_stats_per_lang(spark):
     assert en["median_tokens"] == 3.0 and en["min_tokens"] == 1 and en["max_tokens"] == 6
     de = out["de"]
     assert (de["n_docs"], de["median_tokens"], de["n_sources"]) == (1, 2.0, 1)
+
+
+def test_split_assign_partition_and_stability(spark):
+    """Every row gets exactly one split; fractions are approximately
+    honored; assignment is stable across calls and corpus growth."""
+    from pyfads import pipeline as P
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    big = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    s = {r["doc_id"]: r["split"] for r in P.split_assign(small, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in P.split_assign(big, fr).collect()}
+    assert set(s.values()) <= {"train", "val", "test"}
+    # growth never moves an existing row
+    assert all(b[k] == v for k, v in s.items())
+    n_train = sum(1 for v in b.values() if v == "train")
+    assert 850 <= n_train <= 950
+    with pytest.raises(ValueError):
+        P.split_assign(small, {"train": 0.5, "val": 0.1})
+
+
+def test_global_shuffle_index_is_exact_rank(spark):
+    """shuffle_pos is a bijection onto 0..n-1 that equals the rank of
+    (shuffle_key, id) in the global order, for bucket counts that do and
+    don't divide the corpus evenly."""
+    from pyfads import pipeline as P
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(777)])
+    for buckets in (1, 7, 256):
+        out = P.global_shuffle_index(df, buckets=buckets).collect()
+        assert sorted(r["shuffle_pos"] for r in out) == list(range(777))
+        ordered = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+        assert [r["shuffle_pos"] for r in ordered] == list(range(777))

@@ -350,3 +350,165 @@ def ann_ivf_topk_oracle(
     tile: int = 1,
 ) -> str:
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
+
+
+# --------------------------------------------------------------------------
+# ANN IVF-PQ: coarse codebook + PQ sub-codebooks trained at build time,
+# cell assignment, PQ encoding, and ADC scoring all recomputed in SQL
+# --------------------------------------------------------------------------
+
+
+def _pq_codebooks(sf_dir: str, dim: int, m_sub: int, ksub: int, pq_seed: int, sample_rows: int = 4096):
+    """Replicates similarity.train_pq_codebooks outside Spark: same
+    md5-ordered bounded sample, same per-subspace L2 k-means — bitwise the
+    same sub-centroid array."""
+    import duckdb
+
+    from pyfads.similarity import _kmeans_l2
+
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    con.close()
+    rows = [r for r in rows if (np.asarray(r[1], dtype=np.float64) ** 2).sum() > 0]
+    rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m_sub
+    return np.stack(
+        [
+            _kmeans_l2(m[:, j * dsub : (j + 1) * dsub], ksub, pq_seed + j)
+            for j in range(m_sub)
+        ]
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ann_ivfpq_cached(
+    sf_dir: str,
+    dim: int,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    seed: int,
+    m_sub: int,
+    ksub: int,
+    pq_seed: int,
+    n_queries: int,
+) -> str:
+    dsub = dim // m_sub
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    cb = _pq_codebooks(sf_dir, dim, m_sub, ksub, pq_seed)
+    half_cn2 = 0.5 * (cb**2).sum(axis=2)
+    cent_vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
+    # string-cast double literals matter here: a bare numeric literal parses
+    # as DECIMAL(19,18) whose decimal->double conversion double-rounds (the
+    # scaled numerator exceeds 2^53), off by 1 ulp — enough to break the
+    # bit-exact ADC comparison.  '<repr>'::DOUBLE goes through strtod, which
+    # is correctly rounded.  (cents feed only rank decisions, so they
+    # tolerate the decimal path.)
+    def dvec(v) -> str:
+        return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
+
+    sub_vals = ",\n  ".join(
+        f"({j + 1}, {kk}, {dvec(cb[j, kk])}, '{_lit(half_cn2[j, kk])}'::DOUBLE)"
+        for j in range(m_sub)
+        for kk in range(ksub)
+    )
+    norm = _chain_norm_sql("e0", dim)
+    norm_e = " + ".join(
+        f"e.embedding[{i}]::DOUBLE * e.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+    celldot = _fold_dot("e.embedding", "c.cvec", dim)
+    # fold-dot of the normalized subvector j against a sub-centroid list —
+    # 0.0 + t1 + ... left fold, identical to Spark's aggregate(zip_with)
+    subdot = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dsub + 1}),"
+        f" i -> en.nv[(s.j - 1) * {dsub} + i] * s.cvec[i])), (acc, x) -> acc + x)"
+    )
+    qterm = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dsub + 1}),"
+        f" i -> q.nv[(s.j - 1) * {dsub} + i] * s.cvec[i])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {cent_vals}
+),
+subcb(j, k, cvec, half_cn2) AS (VALUES
+  {sub_vals}
+),
+e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+en AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({norm_e})) AS nv
+  FROM e
+),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({celldot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+cellrank AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+  FROM celldot
+),
+ccells AS (SELECT vec_id AS c_id, cell FROM cellrank WHERE rn <= 1),
+qcells AS (SELECT vec_id AS q_id, cell FROM cellrank WHERE rn <= {n_probe} AND vec_id < {n_queries}),
+subscore AS (
+  SELECT en.vec_id, s.j, s.k, ({subdot}) - s.half_cn2 AS score
+  FROM en CROSS JOIN subcb s
+),
+coderank AS (
+  SELECT vec_id, j, k,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, k) AS rn
+  FROM subscore
+),
+codes AS (
+  SELECT vec_id, list(k ORDER BY j) AS codes
+  FROM coderank WHERE rn = 1 GROUP BY vec_id
+),
+cand AS (
+  SELECT DISTINCT q_id, c_id AS neighbor_id
+  FROM qcells JOIN ccells USING (cell)
+  WHERE q_id <> c_id
+),
+terms AS (
+  SELECT cand.q_id, cand.neighbor_id, s.j, ({qterm}) AS t
+  FROM cand
+  JOIN en q ON q.vec_id = cand.q_id
+  JOIN codes c ON c.vec_id = cand.neighbor_id
+  JOIN subcb s ON s.k = c.codes[s.j]
+),
+adc AS (
+  SELECT q_id, neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY j)),
+                     (acc, x) -> acc + x) AS adc
+  FROM terms GROUP BY q_id, neighbor_id
+)
+SELECT q_id, neighbor_id, adc, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
+  FROM adc
+)
+WHERE rank <= {k}
+"""
+
+
+def ann_ivfpq_topk_oracle(
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    m_sub: int = 8,
+    ksub: int = 16,
+    pq_seed: int = 11,
+    n_queries: int = 8,
+) -> str:
+    """Fully independent DuckDB twin of similarity.ann_ivfpq_topk (refine=0):
+    both codebooks retrain deterministically at build time and ride in as
+    literals; DuckDB recomputes cells, PQ codes, and the left-folded ADC
+    scores from scratch."""
+    return _ann_ivfpq_cached(
+        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries
+    )

@@ -545,6 +545,22 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
 
+@query("ann_ivfpq_topk", oracle=G.ann_ivfpq_topk_oracle)
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10: product-quantized codes ranked by the
+    left-folded ADC inner product inside probed IVF cells — the
+    memory-compressed scale path (the ranking scan reads m_sub=8 code ints
+    per candidate, never the full vector).  Oracle: both deterministically
+    trained codebooks ride in as literals and DuckDB recomputes cells, PQ
+    codes, and bit-identical ADC scores
+    (pyfads.golden.ann_ivfpq_topk_oracle).  Recall (pure-ADC and refined)
+    vs brute force is asserted in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_ivfpq_topk(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10
+    )
+
+
 @query("ann_lsh_topk", oracle=G.ann_lsh_topk_oracle)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 — the 100 TB scale path.  Oracle: the

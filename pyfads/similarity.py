@@ -14,6 +14,10 @@
   (:func:`train_ivf_centroids`, spherical k-means over a bounded sample)
   broadcast into the assignment UDF; candidates come from equi-joins on the
   cell id, with optional corpus multi-assignment for recall.
+- :func:`ann_ivfpq_topk` — IVF-PQ: corpus vectors additionally compressed to
+  ``m_sub`` product-quantization codes (:func:`train_pq_codebooks`); probed
+  candidates are ranked by a JVM-side ADC inner product over the code bytes,
+  with an optional exact-cosine refine stage.
 
 Scale notes: brute-force is O(|Q| x N) — keep |Q| bounded or use LSH/IVF;
 the LSH join shuffles on (table, bucket) keys only, the IVF join on one int
@@ -37,7 +41,9 @@ __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "train_ivf_centroids",
+    "train_pq_codebooks",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -477,6 +483,253 @@ def ann_ivf_topk(
         .join(vc, "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC scoring inside IVF cells — the
+# memory-compressed scale path (a 1024-dim float vector becomes m_sub bytes
+# of codes; the candidate scan never touches full vectors).
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(m: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Plain (Euclidean) k-means with k-means++ init — the PQ subquantizer
+    trainer.  Deterministic: same sample + seed => same codebook; shared
+    with the DuckDB oracle builder so both engines carry bitwise-identical
+    sub-centroid literals."""
+    n = len(m)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    cents = [m[int(rng.integers(n))]]
+    d = ((m - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d.sum()
+        probs = d / total if total > 0 else np.full(n, 1.0 / n)
+        nxt = int(rng.choice(n, p=probs))
+        cents.append(m[nxt])
+        d = np.minimum(d, ((m - m[nxt]) ** 2).sum(axis=1))
+    C = np.stack(cents)
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:
+                newC[j] = m[int(np.argmax(d2.min(axis=1)))]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def _pq_sample(
+    embeddings: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """Same bounded md5-ordered sample contract as train_ivf_centroids."""
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("v"), F.md5(F.col(id_col).cast("string")).alias("__o")
+        )
+        .orderBy("__o")
+        .limit(sample_rows)
+        .select("v")
+        .collect()
+    )
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    ksub: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 25,
+) -> np.ndarray:
+    """Train the PQ sub-codebooks on unit-normalized sample vectors: split
+    each into ``m_sub`` contiguous subvectors and run L2 k-means per
+    subspace.  Returns (m_sub, ksub, dim/m_sub).
+
+    Same bounded-collect shape as :func:`train_ivf_centroids` — at most
+    ``sample_rows`` vectors reach the driver regardless of corpus size."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    m = _pq_sample(embeddings, id_col, vec_col, sample_rows)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m_sub
+    return np.stack(
+        [
+            _kmeans_l2(m[:, j * dsub : (j + 1) * dsub], ksub, seed + j, iters)
+            for j in range(m_sub)
+        ]
+    )
+
+
+def _pq_lit_expr(cb: np.ndarray) -> "F.Column":
+    """(m_sub, ksub, dsub) codebook as a Spark nested-array double literal."""
+
+    def fmt(x) -> str:
+        if isinstance(x, np.ndarray):
+            return "array(" + ", ".join(fmt(e) for e in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(cb))
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    m_sub: int = 8,
+    ksub: int = 16,
+    pq_seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    pq_codebooks: np.ndarray | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (FAISS IndexIVFPQ shape): corpus vectors are
+    coarse-quantized to an IVF cell AND product-quantized to ``m_sub``
+    small codes; candidates from probed cells are ranked by the ADC
+    (asymmetric distance computation) inner product
+
+        adc(q, c) = sum_j  q̂_sub_j · codebook_j[code_j(c)]
+
+    so the ranking scan reads ``m_sub`` ints per candidate instead of the
+    full vector — at 100 TB that's the difference between shuffling code
+    bytes and shuffling 4 KB float arrays.  ``refine`` > 0 re-ranks the top
+    ``refine * k`` ADC candidates with exact cosine (the standard refine
+    stage); ``refine=0`` returns pure ADC ranks.
+
+    The ADC expression is built from JVM-side array ops over a literal
+    codebook (no Python in the scoring path); only cell assignment and PQ
+    encoding are Arrow-batched UDFs.  Every float is combined in the same
+    left-associated order as the DuckDB oracle (pyfads.golden) — scores are
+    bit-identical."""
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
+    dsub = dim // m_sub
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
+    )
+    cb = (
+        pq_codebooks
+        if pq_codebooks is not None
+        else train_pq_codebooks(
+            embeddings, dim, m_sub, ksub, pq_seed, id_col, vec_col
+        )
+    )
+    half_cn2 = 0.5 * (cb**2).sum(axis=2)  # (m_sub, ksub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cell_and_codes(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        out = np.empty((len(m), 1 + m_sub), dtype=np.int32)
+        out[:, 0] = cell
+        for j in range(m_sub):
+            sub = m[:, j * dsub : (j + 1) * dsub]
+            # argmin ||v-c||^2 == argmax (v.c - 0.5||c||^2); np.argmax takes
+            # the first max — matches the oracle's (score DESC, k ASC) rank
+            out[:, 1 + j] = np.argmax(sub @ cb[j].T - half_cn2[j], axis=1)
+        return pd.Series(list(out))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    enc = embeddings.select(
+        F.col(id_col).alias("c_id"),
+        cell_and_codes(F.col(vec_col)).alias("cc"),
+    ).select(
+        "c_id",
+        F.element_at("cc", 1).alias("cell"),
+        F.slice("cc", 2, m_sub).alias("codes"),
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        qcells.join(enc.select("c_id", "cell"), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", F.col("c_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qnorm = norm_expr(vec_col, dim)
+    vq = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / qnorm
+            ).alias("qn"),
+        )
+    )
+    pq_lit = _pq_lit_expr(cb)
+
+    def term(j: int) -> "F.Column":
+        sub_q = F.slice(F.col("qn"), (j - 1) * dsub + 1, dsub)
+        cbk = F.element_at(
+            F.element_at(pq_lit, j), F.element_at(F.col("codes"), j) + 1
+        )
+        return F.aggregate(
+            F.zip_with(sub_q, cbk, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    adc = reduce(lambda acc, j: acc + term(j), range(2, m_sub + 1), F.lit(0.0) + term(1))
+    scored = (
+        cand.join(vq, "q_id")
+        .join(enc.select(F.col("c_id").alias("neighbor_id"), "codes"), "neighbor_id")
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    topped = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (refine * k if refine else k))
+        .select("q_id", "neighbor_id", "adc", "rank")
+    )
+    if not refine:
+        return topped
+    # refine stage: exact cosine over the ADC shortlist only
+    vq2 = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+    )
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
+    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        topped.select("q_id", "neighbor_id")
+        .join(vq2, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )

@@ -618,3 +618,41 @@ def test_global_shuffle_index_is_exact_rank(spark):
         assert sorted(r["shuffle_pos"] for r in out) == list(range(777))
         ordered = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
         assert [r["shuffle_pos"] for r in ordered] == list(range(777))
+
+
+def test_ann_ivfpq_recall_and_refine(spark):
+    """IVF-PQ at sf0.001: the ADC ranking inside widely-probed cells finds a
+    usable fraction of the true top-10 despite 8x4-bit compression of
+    structureless Gaussians (the PQ worst case), and the exact-cosine refine
+    stage strictly improves it.  Refined survivors carry the exact
+    brute-force cosine (bit-identical chain arithmetic)."""
+    embs = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = embs.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(embs, q, dim=64, k=10).collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    adc = S.ann_ivfpq_topk(embs, q, dim=64, k=10, n_probe=8).collect()
+    adc_set = {(r["q_id"], r["neighbor_id"]) for r in adc}
+    r_adc = len(exact_set & adc_set) / len(exact_set)
+    assert r_adc >= 0.15, f"pure-ADC recall {r_adc:.2f} below floor"
+    refined = S.ann_ivfpq_topk(embs, q, dim=64, k=10, n_probe=8, refine=4).collect()
+    ref_set = {(r["q_id"], r["neighbor_id"]) for r in refined}
+    r_ref = len(exact_set & ref_set) / len(exact_set)
+    assert r_ref > r_adc, f"refine did not improve recall ({r_ref:.2f} <= {r_adc:.2f})"
+    assert r_ref >= 0.4, f"refined recall {r_ref:.2f} below floor"
+    exact_cos = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in refined:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    embs = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb1 = S.train_pq_codebooks(embs, dim=64, m_sub=8, ksub=16, seed=11)
+    cb2 = S.train_pq_codebooks(embs, dim=64, m_sub=8, ksub=16, seed=11)
+    assert cb1.shape == (8, 16, 8)
+    import numpy as np
+
+    assert np.array_equal(cb1, cb2)
+    with pytest.raises(ValueError):
+        S.train_pq_codebooks(embs, dim=64, m_sub=7)

@@ -1,0 +1,172 @@
+"""Driver-checkable queries for corpus-analytics operators added in round 4:
+text normalization, per-source curation reporting, KMV cardinality
+sketching, and semi-structured (JSON) event processing.
+
+Same oracle-parity rules as :mod:`pyfads.llm_queries`: md5-based shared
+hashing, integer sums + one exact final division instead of double ``avg``
+(bit-deterministic under any partitioning), Java/RE2 common-subset regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyfads import semistruct as J
+from pyfads import sketches as K
+from pyfads import text as X
+from pyfads.io import read_table, spread
+from pyfads.queries import query
+
+# NOTE: oracles needing pyfads.llm_queries constants (_QUALITY_SQL, _h60)
+# import them lazily inside their builder functions — this module is
+# registered by pyfads.queries' import loop, which can run while
+# llm_queries is still mid-initialization (e.g. when a test imports
+# llm_queries first), so a top-level from-import would be circular.
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Text normalization (C4-style canonical form)
+# --------------------------------------------------------------------------
+
+_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, length(text) AS raw_len,
+         lower(trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS text_norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(raw_len AS BIGINT) AS n_chars_raw,
+       text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       md5(text_norm) AS norm_md5
+FROM n
+"""
+
+
+@query("normalize_docs", oracle=_NORMALIZE_SQL)
+def normalize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-strip + whitespace-collapse + lowercase normalization
+    (per-row regexp chain, zero shuffles)."""
+    return X.normalize_text(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Per-source curation report
+# --------------------------------------------------------------------------
+
+def _source_quality_sql() -> str:
+    from pyfads.llm_queries import _QUALITY_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (SELECT d.source, q.* FROM q JOIN documents d USING (doc_id)),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(quality_pass AS INT)) AS BIGINT) AS n_pass,
+         CAST(sum(n_flags) AS BIGINT) AS total_flags,
+         CAST(sum(CAST(flag_short AS INT)) AS BIGINT) AS n_flag_short,
+         CAST(sum(CAST(flag_token_len AS INT)) AS BIGINT) AS n_flag_token_len,
+         CAST(sum(CAST(flag_punct AS INT)) AS BIGINT) AS n_flag_punct,
+         CAST(sum(CAST(flag_stop AS INT)) AS BIGINT) AS n_flag_stop,
+         CAST(sum(CAST(flag_repeat AS INT)) AS BIGINT) AS n_flag_repeat
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_pass,
+       CAST(n_pass AS DOUBLE) / n_docs AS pass_rate,
+       total_flags,
+       CAST(total_flags AS DOUBLE) / n_docs AS mean_flags,
+       n_flag_short, n_flag_token_len, n_flag_punct, n_flag_stop, n_flag_repeat
+FROM a
+"""
+
+
+@query("source_quality", oracle=_source_quality_sql)
+def source_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rates + per-flag totals (one map-side-combined agg
+    on the low-cardinality source key)."""
+    return X.source_quality(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_SEED = "kmv"
+_HASH_SPACE_LIT = "1152921504606846976.0"  # 2^60 — md5_hash60's range
+
+
+def _kmv_sql(k: int = _KMV_K, seed: str = _KMV_SEED) -> str:
+    from pyfads.llm_queries import _h60
+
+    h = _h60(seed, "tok")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashes AS (
+  SELECT DISTINCT lang, {h} AS h FROM toks
+),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hashes
+),
+kept AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth_hash
+  FROM ranked WHERE rn <= {k} GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM hashes GROUP BY lang
+)
+SELECT e.lang, n_exact, n_kept, kth_hash,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(k - 1)} / (CAST(kth_hash AS DOUBLE) / {_HASH_SPACE_LIT})
+       END AS kmv_estimate
+FROM exact e JOIN kept USING (lang)
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_kmv_sql)
+def sketch_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality: exact count + KMV estimate
+    (WindowGroupLimit keeps only per-task top-k ahead of the shuffle)."""
+    return K.kmv_distinct_tokens(_docs(spark, sf_dir), k=_KMV_K, seed=_KMV_SEED)
+
+
+# --------------------------------------------------------------------------
+# Semi-structured JSON event attributes
+# --------------------------------------------------------------------------
+
+_JSON_PROPS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN prop_k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+         CAST(min(prop_k) AS BIGINT) AS min_k,
+         CAST(max(prop_k) AS BIGINT) AS max_k,
+         CAST(sum(prop_k) AS BIGINT) AS sum_k,
+         CAST(count(DISTINCT prop_k) AS BIGINT) AS n_distinct_k
+  FROM p GROUP BY event_type
+)
+SELECT *, CAST(sum_k AS DOUBLE) / CAST(n_events - n_null_k AS DOUBLE) AS mean_k
+FROM a
+"""
+
+
+@query("json_props_agg", oracle=_JSON_PROPS_SQL)
+def json_props_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json extraction (PERMISSIVE, struct-pruned) + per-event_type
+    rollup with an exact integer-sum mean."""
+    return J.props_rollup(read_table(spark, sf_dir, "events"))

@@ -142,7 +142,16 @@ def _register_windows() -> None:
     from pyfads import windows  # noqa: F401
 
 
-for _reg in (_register_primitives, _register_llm_ops, _register_windows):
+def _register_analytics() -> None:
+    from pyfads import analytics_queries  # noqa: F401
+
+
+for _reg in (
+    _register_primitives,
+    _register_llm_ops,
+    _register_windows,
+    _register_analytics,
+):
     try:
         _reg()
     except ImportError:

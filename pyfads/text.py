@@ -26,6 +26,8 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "pii_scrub",
+    "normalize_text",
+    "source_quality",
     "word_ngrams",
     "top_ngrams",
     "corpus_stats",
@@ -230,6 +232,62 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         *counts,
         F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style text normalization: strip control characters, collapse
+    whitespace runs, trim, lowercase — the canonical form most dedup and
+    fingerprint passes key on.  Pure ``regexp_replace`` chain (per-row,
+    JVM codegen, zero shuffles); the patterns use only the Java/RE2 common
+    subset so the DuckDB oracle is byte-identical.
+
+    Returns the normalized text plus before/after lengths and its md5 (the
+    join key a downstream normalized-dedup would use)."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    norm = F.lower(F.trim(F.regexp_replace(cleaned, r"\s+", " ")))
+    return df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_raw"),
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def source_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source curation report: document counts, quality-pass rate, and
+    per-flag totals over the :func:`quality_score` verdicts — the table a
+    corpus run publishes to decide which crawls/domains to keep.
+
+    One map-side-combined aggregation keyed by the low-cardinality source
+    column.  Every aggregate is an integer sum; the rates are single exact
+    divisions at the end, so the doubles are bit-deterministic regardless
+    of partitioning (never ``avg`` over doubles, whose summation order is
+    partition-dependent)."""
+    q = quality_score(df, text_col)
+    joined = df.select("doc_id", "source").join(q, "doc_id")
+    flag_cols = [c for c in q.columns if c.startswith("flag_")]
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("quality_pass").cast("int")).cast("long").alias("n_pass"),
+        F.sum("n_flags").cast("long").alias("total_flags"),
+        *[
+            F.sum(F.col(c).cast("int")).cast("long").alias(f"n_{c}")
+            for c in flag_cols
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        (F.col("n_pass").cast("double") / F.col("n_docs")).alias("pass_rate"),
+        "total_flags",
+        (F.col("total_flags").cast("double") / F.col("n_docs")).alias(
+            "mean_flags"
+        ),
+        *[F.col(f"n_{c}") for c in flag_cols],
     )
 
 

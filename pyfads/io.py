@@ -31,6 +31,7 @@ __all__ = [
     "with_arrival",
     "with_wallclock_arrival",
     "write_parquet",
+    "write_bucketed",
     "rate_stream",
     "csv_stream",
 ]
@@ -206,6 +207,31 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and bucket-sorted) on ``bucket_col``
+    so every later equi-join or aggregation keyed on it is co-located:
+    Spark's bucketed scan exposes the hash partitioning to the planner and
+    the Exchange disappears from the plan entirely.
+
+    This is the 100 TB shape for iterated corpus pipelines — bucket the
+    corpus by doc_id once at ingest, and the dedup-pairs joins, survivor
+    anti-joins, and per-doc feature joins all run shuffle-free thereafter
+    (verified by ``tests/test_bucketed.py``, which asserts no Exchange in
+    the joined plan).  Requires ``saveAsTable`` (bucket metadata lives in
+    the catalog; plain ``.parquet(path)`` writes would lose it)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table_name)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int) -> DataFrame:

@@ -32,6 +32,7 @@ __all__ = [
     "with_wallclock_arrival",
     "write_parquet",
     "write_bucketed",
+    "write_range_layout",
     "rate_stream",
     "csv_stream",
 ]
@@ -232,6 +233,27 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table_name)
+
+
+def write_range_layout(
+    df: DataFrame, path: str, sort_col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Compact/re-layout a dataset into ``n_files`` range-partitioned,
+    internally-sorted parquet files on ``sort_col``.
+
+    The 100 TB maintenance pass: small-file compaction plus data-skipping
+    layout in one write.  ``repartitionByRange`` gives files pairwise
+    disjoint key ranges (equal keys never straddle a boundary) and
+    ``sortWithinPartitions`` tightens every parquet row-group's min/max
+    stats, so later scans filtered on ``sort_col`` skip whole files and
+    row groups at the footer level (verified file-by-file from the parquet
+    metadata in ``tests/test_bucketed.py``)."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int) -> DataFrame:

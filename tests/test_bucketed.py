@@ -107,3 +107,38 @@ def test_bucket_pruning_on_key_filter(spark, bucketed_tables, big_table_mode):
     plan = _plan(one)
     assert "SelectedBucketsCount: 1 out of" in plan, plan
     assert one.count() == 1
+
+
+def test_range_layout_files_are_disjoint_and_sorted(spark, tmp_path):
+    """write_range_layout: every output file owns a disjoint key range and
+    is internally sorted — the parquet-footer evidence that filtered scans
+    can skip whole files/row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyfads.io import write_range_layout
+
+    ev = read_table(spark, SF_DIR, "events")
+    dest = str(tmp_path / "range_layout")
+    write_range_layout(ev, dest, "user_id", n_files=4)
+
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        total += pf.metadata.num_rows
+        idx = pf.schema_arrow.get_field_index("user_id")
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert total == ev.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # equal keys never straddle a range boundary
+        assert hi1 < lo2, ranges

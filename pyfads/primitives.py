@@ -135,23 +135,58 @@ def best_fitting_cluster(
     tuple_id_cols: list[str],
     tiebreak_cols: list[str],
     il_col: str = "info_loss",
+    strategy: str = "window",
 ) -> DataFrame:
     """G9 — per tuple, the fitting cluster with minimal infoLoss
-    (Generalizer.java:230-243); deterministic tie-break on ``tiebreak_cols``.
+    (Generalizer.java:230-243); deterministic tie-break on ``tiebreak_cols``
+    (which must make (il, tiebreaks) unique per tuple — in FADS they are
+    the cluster key).  Output columns: tuple ids, the remaining tuple
+    columns, then every cluster column — identical for both strategies.
 
-    Scale: broadcast theta-join (cluster cache is small) + per-tuple
-    row_number — the window partitions by tuple id, so it parallelizes.
+    Scale: broadcast theta-join (the cluster cache is bounded) feeding
+    either
+    - ``strategy="window"`` (default): per-tuple ``row_number`` + rank=1
+      filter — Spark plans it as WindowGroupLimit, so each map task keeps
+      one candidate per tuple BEFORE the exchange; the residual sort is
+      over <=1 row per tuple per task.  Measured 2x faster than minby at
+      sf0.1 (2.3 s vs 5.0 s).
+    - ``strategy="minby"``: ``groupBy(tuple_id).agg(min_by(payload))`` —
+      also map-side-combined, but pays a wide struct allocation per pair;
+      kept as the cross-checkable alternative plan.
     """
+    clash = set(tuples.columns) & set(clusters_with_il.columns)
+    if clash:
+        raise ValueError(f"ambiguous columns between tuples and clusters: {clash}")
     pairs = tuples.alias("t").join(
         F.broadcast(clusters_with_il), on=_fits_pred("t", qid_cols), how="inner"
     )
+    t_other = [c for c in tuples.columns if c not in tuple_id_cols]
+    out_cols = [
+        *[F.col(f"t.{c}").alias(c) for c in tuple_id_cols],
+        *[F.col(f"t.{c}").alias(c) for c in t_other],
+        *[F.col(c) for c in clusters_with_il.columns],
+    ]
+    if strategy == "minby":
+        ord_ = F.struct(F.col(il_col), *[F.col(c) for c in tiebreak_cols])
+        payload = F.struct(
+            *[F.col(f"t.{c}").alias(c) for c in t_other],
+            *[F.col(c) for c in clusters_with_il.columns],
+        )
+        best = pairs.groupBy(
+            *[F.col(f"t.{c}").alias(c) for c in tuple_id_cols]
+        ).agg(F.min_by(payload, ord_).alias("__best"))
+        return best.select(
+            *tuple_id_cols,
+            *[F.col(f"__best.{c}").alias(c) for c in t_other],
+            *[F.col(f"__best.{c}").alias(c) for c in clusters_with_il.columns],
+        )
     w = Window.partitionBy(*[F.col(f"t.{c}") for c in tuple_id_cols]).orderBy(
         F.col(il_col), *[F.col(c) for c in tiebreak_cols]
     )
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .select(*out_cols)
     )
 
 

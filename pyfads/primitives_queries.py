@@ -206,7 +206,7 @@ def g9_best_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["c_returnflag", "c_linestatus"],
     )
     return best.select(
-        "t.l_orderkey", "t.l_linenumber", "c_returnflag", "c_linestatus", "info_loss"
+        "l_orderkey", "l_linenumber", "c_returnflag", "c_linestatus", "info_loss"
     )
 
 

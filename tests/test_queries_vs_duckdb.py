@@ -77,3 +77,30 @@ def test_knn_strategies_agree(spark):
     a["rank"] = a["rank"].astype("int64")
     j["rank"] = j["rank"].astype("int64")
     pd.testing.assert_frame_equal(a, j)
+
+
+def test_best_cluster_strategies_agree(spark):
+    """window (default) and min_by G9 are alternative physical plans of the
+    same argmin — identical rows."""
+    import pandas as pd
+
+    import pyfads.primitives as P
+    from pyfads.primitives_queries import QIDS, _flag_clusters, _li
+
+    li = _li(spark, SF_DIR)
+    clusters = P.with_info_loss(_flag_clusters(li), P.global_bounds(li, QIDS), QIDS)
+    kw = dict(
+        qid_cols=QIDS,
+        tuple_id_cols=["l_orderkey", "l_linenumber"],
+        tiebreak_cols=["c_returnflag", "c_linestatus"],
+    )
+    cols = ["l_orderkey", "l_linenumber", "c_returnflag", "c_linestatus", "info_loss"]
+    w = (
+        P.best_fitting_cluster(li, clusters, strategy="window", **kw)
+        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    m = (
+        P.best_fitting_cluster(li, clusters, strategy="minby", **kw)
+        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(w, m)

@@ -358,10 +358,12 @@ def ann_ivf_topk_oracle(
 # --------------------------------------------------------------------------
 
 
-def _pq_codebooks(sf_dir: str, dim: int, m_sub: int, ksub: int, pq_seed: int, sample_rows: int = 4096):
+def _pq_codebooks(sf_dir: str, dim: int, m_sub: int, ksub: int, pq_seed: int, tile: int = 1, sample_rows: int = 4096):
     """Replicates similarity.train_pq_codebooks outside Spark: same
     md5-ordered bounded sample, same per-subspace L2 k-means — bitwise the
-    same sub-centroid array."""
+    same sub-centroid array.  ``tile`` widens the sample by concatenation
+    BEFORE normalization (the Spark query tiles its input first, so the
+    norm is taken over the widened vector)."""
     import duckdb
 
     from pyfads.similarity import _kmeans_l2
@@ -372,6 +374,8 @@ def _pq_codebooks(sf_dir: str, dim: int, m_sub: int, ksub: int, pq_seed: int, sa
     rows = [r for r in rows if (np.asarray(r[1], dtype=np.float64) ** 2).sum() > 0]
     rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
     m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
+    if tile > 1:
+        m = np.tile(m, (1, tile))
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     dsub = dim // m_sub
     return np.stack(
@@ -394,10 +398,11 @@ def _ann_ivfpq_cached(
     ksub: int,
     pq_seed: int,
     n_queries: int,
+    tile: int = 1,
 ) -> str:
     dsub = dim // m_sub
-    cents = _ivf_centroids(sf_dir, n_centroids, seed)
-    cb = _pq_codebooks(sf_dir, dim, m_sub, ksub, pq_seed)
+    cents = _ivf_centroids(sf_dir, n_centroids, seed, tile)
+    cb = _pq_codebooks(sf_dir, dim, m_sub, ksub, pq_seed, tile)
     half_cn2 = 0.5 * (cb**2).sum(axis=2)
     cent_vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
     # string-cast double literals matter here: a bare numeric literal parses
@@ -415,9 +420,17 @@ def _ann_ivfpq_cached(
         for kk in range(ksub)
     )
     norm = _chain_norm_sql("e0", dim)
-    norm_e = " + ".join(
-        f"e.embedding[{i}]::DOUBLE * e.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
-    )
+    if dim > _CHAIN_MAX_DIM:
+        # fold form past the chain cutoff — matches Spark's norm_expr fold
+        # (left-associated 0.0 + t1 + ... — bit-identical, see _fold_dot)
+        norm_e = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+    else:
+        norm_e = " + ".join(
+            f"e.embedding[{i}]::DOUBLE * e.embedding[{i}]::DOUBLE" for i in range(1, dim + 1)
+        )
     celldot = _fold_dot("e.embedding", "c.cvec", dim)
     # fold-dot of the normalized subvector j against a sub-centroid list —
     # 0.0 + t1 + ... left fold, identical to Spark's aggregate(zip_with)
@@ -436,7 +449,7 @@ WITH cents(cell, cvec) AS (VALUES
 subcb(j, k, cvec, half_cn2) AS (VALUES
   {sub_vals}
 ),
-e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+e AS (SELECT vec_id, embedding FROM {_embeddings_cte(tile)} e0 WHERE {norm} > 0),
 en AS (
   SELECT vec_id,
          list_transform(embedding, x -> x::DOUBLE / sqrt({norm_e})) AS nv
@@ -504,11 +517,13 @@ def ann_ivfpq_topk_oracle(
     ksub: int = 16,
     pq_seed: int = 11,
     n_queries: int = 8,
+    tile: int = 1,
 ) -> str:
     """Fully independent DuckDB twin of similarity.ann_ivfpq_topk (refine=0):
     both codebooks retrain deterministically at build time and ride in as
     literals; DuckDB recomputes cells, PQ codes, and the left-folded ADC
-    scores from scratch."""
+    scores from scratch.  ``tile`` > 1 widens the fixture vectors by
+    concatenation (the wide-dim variant)."""
     return _ann_ivfpq_cached(
-        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries
+        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries, tile
     )

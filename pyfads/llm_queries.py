@@ -741,6 +741,20 @@ def ann_ivf_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10)
 
 
+@query(
+    "ann_ivfpq_dim1024",
+    oracle=lambda: G.ann_ivfpq_topk_oracle(dim=_DIM_WIDE, tile=_TILE),
+)
+def ann_ivfpq_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at dim 1024 (m_sub=8 -> 128-dim subspaces): both codebooks
+    trained on the tiled corpus, fold-path norms on both engines, ADC
+    scores still bit-identical to the literal-codebook oracle."""
+    embs = _wide_embs(spark, sf_dir)
+    return S.ann_ivfpq_topk(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10
+    )
+
+
 @query("ann_cosine_dim1024", oracle=_COSINE_WIDE_SQL)
 def ann_cosine_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 at dim 1024 — exercises the high-dimension

@@ -33,6 +33,9 @@ __all__ = [
     "write_parquet",
     "write_bucketed",
     "write_range_layout",
+    "read_jsonl",
+    "write_jsonl",
+    "register_views",
     "rate_stream",
     "csv_stream",
 ]
@@ -233,6 +236,34 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table_name)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source — the lingua franca of LLM corpus interchange.
+
+    Always pass ``schema`` in production: schema inference is a full extra
+    pass over the data (fatal at 100 TB) and silently unions drifting
+    shapes.  Parsing is PERMISSIVE (Spark's default): malformed lines null
+    out instead of failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, gzip-able, splittable when
+    uncompressed — for archival/interchange; parquet remains the query
+    format)."""
+    df.write.mode(mode).json(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so ad-hoc ``spark.sql``
+    works against the same names the DuckDB oracles use — the interactive
+    query surface of the engine."""
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def write_range_layout(

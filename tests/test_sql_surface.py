@@ -1,0 +1,61 @@
+"""Ad-hoc SQL surface + JSONL interchange: register_views makes every
+testdata table addressable from spark.sql under the same names the DuckDB
+oracles use, and read_jsonl/write_jsonl round-trip a corpus losslessly."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pyfads.io import read_jsonl, read_table, register_views, write_jsonl
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_adhoc_sql_matches_duckdb(spark):
+    """A multi-way relational query typed straight into spark.sql returns
+    exactly what DuckDB computes over the same parquet — the engine's
+    interactive query surface is trustworthy, not just the registered
+    operators."""
+    register_views(spark, SF_DIR)
+    sql = """
+    SELECT n.n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """
+    got = (
+        spark.sql(sql).toPandas().sort_values("n_name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    want = con.sql(sql).df().sort_values("n_name").reset_index(drop=True)
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_orders": "int64", "total_cents": "int64"}),
+        want.astype({"n_orders": "int64", "total_cents": "int64"}),
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = read_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, d)
+    back = read_jsonl(spark, d, schema=docs.schema)
+    a = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_jsonl_malformed_lines_null_out(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "fine"}\n')
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    rows = sorted(
+        df.collect(), key=lambda r: (r["doc_id"] is None, r["doc_id"])
+    )
+    assert [r["doc_id"] for r in rows] == [1, 2, None]

@@ -1090,3 +1090,132 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = P.sample_by_hash(corpus, _SAMPLE_RATES).select("doc_id")
     final = corpus.join(sampled, "doc_id")
     return P.pack_greedy(final, context_len=512, n_shards=8)
+
+
+# --------------------------------------------------------------------------
+# Hashed-n-gram linear classifier, mixture sampling, skew diagnostics
+# --------------------------------------------------------------------------
+
+# Deterministic stand-in for trained model weights (fixed-point 1/1024
+# units): in production these come out of a fastText/logistic training run;
+# here they are seeded so the oracle can embed the identical literal.
+_CLF_BUCKETS = 256
+_CLF_SEED = "clf"
+
+
+def _clf_weights() -> "list[int]":
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    return [int(w) for w in rng.integers(-1000, 1001, size=_CLF_BUCKETS)]
+
+
+def _clf_sql() -> str:
+    w = "[" + ", ".join(str(x) for x in _clf_weights()) + "]"
+    bucket = f"{_h60(_CLF_SEED, 'g')} % {_CLF_BUCKETS}"
+    return f"""
+WITH w AS (SELECT {w} AS wv),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         list_concat(toks, CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i + 1]))
+           ELSE [] END) AS feats
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(feats) AS BIGINT) AS n_feats,
+         CAST(coalesce(list_sum(list_transform(feats,
+              g -> wv[CAST({bucket} AS INTEGER) + 1])), 0) AS BIGINT)
+           AS weight_sum
+  FROM f, w
+)
+SELECT doc_id, n_feats, weight_sum,
+       CAST(weight_sum AS DOUBLE)
+         / (1024.0 * CAST(greatest(n_feats, 1) AS DOUBLE)) AS clf_score,
+       (CAST(weight_sum AS DOUBLE)
+         / (1024.0 * CAST(greatest(n_feats, 1) AS DOUBLE))) >= 0.0 AS clf_pass
+FROM s
+"""
+
+
+@query("classifier_score", oracle=_clf_sql)
+def classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear classifier scoring (the quality/
+    domain-filter model inference pass), weights as a broadcast literal,
+    integer-exact logits — per-row, zero shuffles."""
+    return X.hashed_classifier_score(
+        _docs(spark, sf_dir), _clf_weights(), seed=_CLF_SEED
+    )
+
+
+# integer mixture weights over the 20 fixture sources; out_rows is ~40% of
+# the sf0.01 corpus so some strata cap at keep-everything (both branches of
+# the least() exercised)
+_MIX_TARGETS = {"src0": 6, "src1": 3, "src2": 1, "src5": 5, "src11": 1}
+_MIX_OUT_ROWS = 200
+_MIX_SEED = "mix"
+
+
+def _mix_sql() -> str:
+    total_w = sum(_MIX_TARGETS.values())
+    quota_case = " ".join(
+        f"WHEN '{s}' THEN {int(_MIX_OUT_ROWS * w // total_w)}"
+        for s, w in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+r AS (SELECT source,
+             least(1000000, (CASE source {quota_case} ELSE 0 END) * 1000000 // n)
+               AS rate_ppm
+      FROM c),
+h AS (SELECT doc_id, source,
+             {_h60(_MIX_SEED, 'CAST(doc_id AS VARCHAR)')} % 1000000 AS mix_bucket
+      FROM documents)
+SELECT h.doc_id, h.source, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(h.mix_bucket AS BIGINT) AS mix_bucket
+FROM h JOIN r USING (source)
+WHERE h.mix_bucket < r.rate_ppm
+"""
+
+
+@query("corpus_mix", oracle=_mix_sql)
+def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-driven source-mixture sampling: per-stratum counts → integer
+    keep-rates computed in-plan → broadcast rate table → md5-threshold
+    membership.  The corpus itself never shuffles."""
+    return P.mix_sample(
+        _docs(spark, sf_dir),
+        _MIX_TARGETS,
+        out_rows=_MIX_OUT_ROWS,
+        strat_col="source",
+        seed=_MIX_SEED,
+    )
+
+
+_SKEW_SQL = """
+WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+SELECT key, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+         AS skew_x
+FROM c, t
+ORDER BY cnt DESC, key
+LIMIT 20
+"""
+
+
+@query("skew_report", oracle=_SKEW_SQL)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter shuffle keys of the events stream with share and
+    uniform-ratio — the pre-flight skew diagnostic for any join/groupBy on
+    user_id.  Map-side-combined count + broadcast 1-row frame +
+    TakeOrderedAndProject."""
+    ev = read_table(spark, sf_dir, "events")
+    return P.key_skew_report(ev, "user_id", top=20)

@@ -23,6 +23,8 @@ __all__ = [
     "contamination_overlap",
     "split_assign",
     "global_shuffle_index",
+    "mix_sample",
+    "key_skew_report",
 ]
 
 _SAMPLE_BUCKETS = 10_000
@@ -249,4 +251,115 @@ def contamination_overlap(
         F.when(ng > 0, nc.cast("double") / ng).otherwise(F.lit(0.0)).alias(
             "contamination_frac"
         ),
+    )
+
+
+def mix_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    out_rows: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Quota-driven data-mixture sampling: draw a deterministic sample whose
+    per-stratum composition approximates ``targets`` (integer mixture
+    weights, e.g. ``{"web": 6, "code": 3, "books": 1}``) out of a total
+    budget of ``out_rows`` rows.
+
+    This is the "data mixing" step of a training run — turn raw source
+    sizes into the target mixture — done scale-correct: per-stratum counts
+    come from one map-side-combined aggregation, quotas and keep-rates are
+    computed *in the plan* with pure integer arithmetic (quota·1e6 div
+    count, so both engines agree bit-for-bit — no float rounding), and
+    membership is the md5-threshold test of :func:`sample_by_hash` (no
+    ``rand()``, replayable).  The tiny per-stratum rate table is broadcast
+    back onto the corpus; the corpus itself never shuffles.
+
+    A stratum smaller than its quota keeps everything (rate caps at 1e6
+    millionths); strata absent from ``targets`` are dropped.  Realized
+    counts are binomial around the quota — exactness-per-quota would need
+    a global per-stratum rank (one extra shuffle), which a 100 TB mixture
+    pass does not want.
+    """
+    if out_rows <= 0:
+        raise ValueError("out_rows must be positive")
+    if not targets or any(w < 0 for w in targets.values()):
+        raise ValueError("targets must be non-negative integer weights")
+    total_w = sum(targets.values())
+    if total_w <= 0:
+        raise ValueError("targets must have positive total weight")
+    quota_map = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in sorted(targets.items())
+            for x in (k, int(out_rows * w // total_w))
+        ]
+    )
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    rates = F.broadcast(
+        counts.withColumn(
+            "__quota", F.coalesce(quota_map[F.col(strat_col)].cast("long"), F.lit(0))
+        )
+        .withColumn(
+            # integer div end-to-end: both engines agree bit-for-bit, no
+            # float rounding at any corpus size
+            "__rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("(__quota * 1000000) div __n"),
+            ),
+        )
+        .select(strat_col, "__rate_ppm")
+    )
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    return (
+        df.join(rates, strat_col)
+        .withColumn("mix_bucket", (h % 1_000_000).cast("long"))
+        .filter(F.col("mix_bucket") < F.col("__rate_ppm"))
+        .select(id_col, strat_col, F.col("__rate_ppm").alias("rate_ppm"), "mix_bucket")
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for shuffle keys: the ``top`` most frequent
+    values of ``key_col`` with absolute count, share of all rows, and the
+    ratio to a perfectly uniform key — the numbers that tell you whether a
+    join/groupBy on this key needs a salt cap or AQE skew handling *before*
+    you burn a 1000-executor hour discovering it.
+
+    Shape: map-side-combined ``groupBy(key).count()`` (one shuffle of
+    distinct keys), a 1-row global frame broadcast back, and a
+    ``TakeOrderedAndProject`` top-k — no global sort, driver receives only
+    ``top`` rows.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("cnt").cast("long").alias("__total"),
+            F.count(F.lit(1)).cast("long").alias("__n_keys"),
+        )
+    )
+    return (
+        counts.join(tot)
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("cnt").cast("double")
+                * F.col("__n_keys").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top)
     )

@@ -30,6 +30,7 @@ __all__ = [
     "source_quality",
     "word_ngrams",
     "top_ngrams",
+    "hashed_classifier_score",
     "corpus_stats",
     "LANG_MARKERS",
     "EN_STOPWORDS",
@@ -361,6 +362,60 @@ def top_ngrams(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: "list[int]",
+    seed: str = "clf",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed word-n-gram
+    features (the standard quality/ toxicity/ domain filter of corpus
+    curation): each unigram (and optionally bigram) is hashed into one of
+    ``len(weights)`` buckets, the model is the integer weight vector, and
+    the document logit is the mean bucket weight.
+
+    ``weights`` is the trained model, shipped to executors as a literal
+    array (the broadcast-lookup shape: at 100 TB the model rides along in
+    the plan, never joined).  Weights are *integers* (fixed-point, 1/1024
+    units) so the per-document sum is order-independent and exact — the
+    single float op is one final division of two exactly-representable
+    values, making the score bit-identical across engines (the DuckDB
+    oracle recomputes it from the same literal).
+
+    Shape: per-row projection, zero shuffles, all JVM codegen — the
+    feature hash is :func:`md5_hash60` (cross-engine) and the lookup is
+    ``element_at`` into the literal array.
+    """
+    n_buckets = len(weights)
+    w_lit = F.array(*[F.lit(int(w)) for w in weights])
+    toks = tokens(text_col)
+    feats = F.concat(toks, word_ngrams(text_col, 2)) if bigrams else toks
+    bucket = lambda g: md5_hash60(g, seed) % n_buckets  # noqa: E731
+    wsum = F.aggregate(
+        F.transform(feats, lambda g: F.element_at(w_lit, (bucket(g) + 1).cast("int"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    out = df.select(
+        id_col,
+        F.size(feats).cast("long").alias("n_feats"),
+        wsum.alias("weight_sum"),
+    )
+    score = F.col("weight_sum").cast("double") / (
+        F.lit(1024.0) * F.greatest(F.col("n_feats"), F.lit(1)).cast("double")
+    )
+    return out.select(
+        id_col,
+        "n_feats",
+        "weight_sum",
+        score.alias("clf_score"),
+        (score >= F.lit(float(threshold))).alias("clf_pass"),
+    )
 
 
 def corpus_stats(

@@ -656,3 +656,77 @@ def test_pq_codebooks_shape_and_determinism(spark):
     assert np.array_equal(cb1, cb2)
     with pytest.raises(ValueError):
         S.train_pq_codebooks(embs, dim=64, m_sub=7)
+
+
+def test_hashed_classifier_score_known_values(spark):
+    """The classifier logit equals a hand-computed hashed-feature weight
+    sum (unigrams + bigrams), is integer-exact, and the pass flag follows
+    the threshold."""
+    import hashlib
+
+    from pyfads import text as X
+
+    W = [((i * 37) % 2001) - 1000 for i in range(256)]  # any integer model
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a")])
+    out = X.hashed_classifier_score(df, W, seed="t").collect()[0]
+
+    def h60(s):
+        return int(hashlib.md5(f"t:{s}".encode()).hexdigest()[:15], 16)
+
+    feats = ["a", "b", "a", "a b", "b a"]
+    wsum = sum(W[h60(g) % 256] for g in feats)
+    assert out["n_feats"] == 5
+    assert out["weight_sum"] == wsum
+    assert out["clf_score"] == wsum / (1024.0 * 5)
+    assert out["clf_pass"] == (out["clf_score"] >= 0.0)
+    # unigram-only mode drops the bigram features
+    uni = X.hashed_classifier_score(df, W, seed="t", bigrams=False).collect()[0]
+    assert uni["n_feats"] == 3
+    assert uni["weight_sum"] == sum(W[h60(g) % 256] for g in ["a", "b", "a"])
+
+
+def test_mix_sample_quota_and_determinism(spark):
+    """Rates cap at keep-everything for under-quota strata, unlisted strata
+    drop, realized counts track quotas, and the sample is a pure function
+    of (id, seed)."""
+    from pyfads import pipeline as P
+
+    rows = [Row(doc_id=i, source=f"s{i % 4}") for i in range(1000)]
+    df = spark.createDataFrame(rows)  # 250 rows per source
+    out = P.mix_sample(df, {"s0": 8, "s1": 1, "s3": 40}, out_rows=100).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= {"s0", "s1", "s3"}  # s2 unlisted -> dropped
+    # s3 quota = 100*40//49 = 81 < 250 -> rate 324000 ppm; s0 quota 16,
+    # s1 quota 2. Binomial tolerance: +/- 4 sigma.
+    import math
+
+    for src, quota in [("s0", 16), ("s1", 2), ("s3", 81)]:
+        n = len(by_src.get(src, []))
+        rate = min(1.0, (quota * 1_000_000 // 250) / 1_000_000)
+        sigma = math.sqrt(250 * rate * (1 - rate))
+        assert abs(n - 250 * rate) <= 4 * sigma + 1, (src, n, 250 * rate)
+    again = P.mix_sample(df, {"s0": 8, "s1": 1, "s3": 40}, out_rows=100).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # over-quota stratum keeps everything
+    all_in = P.mix_sample(df, {"s0": 1}, out_rows=10_000).collect()
+    assert len(all_in) == 250 and all(r["rate_ppm"] == 1_000_000 for r in all_in)
+    with pytest.raises(ValueError):
+        P.mix_sample(df, {}, out_rows=10)
+    with pytest.raises(ValueError):
+        P.mix_sample(df, {"s0": 1}, out_rows=0)
+
+
+def test_key_skew_report_values(spark):
+    """Counts, shares, and uniform-ratio on a known skewed key set; top-k
+    cut is deterministic."""
+    from pyfads import pipeline as P
+
+    rows = (
+        [Row(k="hot")] * 60 + [Row(k="warm")] * 30 + [Row(k="a")] * 5 + [Row(k="b")] * 5
+    )
+    out = P.key_skew_report(spark.createDataFrame(rows), "k", top=3).collect()
+    assert [(r["key"], r["cnt"]) for r in out] == [("hot", 60), ("warm", 30), ("a", 5)]
+    assert out[0]["share"] == 0.6
+    assert out[0]["skew_x"] == 60 * 4 / 100  # 2.4x a uniform key

@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession
 # streams; nothing here is an unbounded all-pairs product.
 EXPECTED_BNLJ = {
     "ann_cosine_topk",
+    "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",
     "g5_knn_topk",
@@ -54,6 +55,7 @@ EXPECTED_BNLJ = {
 # Anything new lands here only with a written justification (VERDICT r3 #7).
 EXPECTED_SINGLE_PARTITION: set[str] = {
     "g2_global_bounds",
+    "skew_report",  # same class: partial-agg feed, <= 1 row per partition
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g8_info_loss",

@@ -353,3 +353,33 @@ def test_legacy_distance_cols_validation():
     with pytest.raises(ValueError):
         FADSConfig(qid_cols=("a", "b"), pid_col="p", arrival_col="t",
                    legacy_distance=True, legacy_distance_cols=("x",))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"distinct_pids": True}, {"legacy_distance": True}],
+    ids=["intended", "distinct_pids", "legacy_distance"],
+)
+def test_fast_engine_bit_identical_to_state(spark, kw):
+    """The batch-specialized inner loop (engine='fast', the default) emits
+    byte-for-byte the same frame as the incremental streaming core
+    (engine='state') in every distance/filter mode."""
+    pdf = _events_pdf(spark)
+    cfg = FADSConfig(
+        k=5,
+        buffer_rows=15,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+        **kw,
+    )
+    fast = run_fads_pandas(pdf, cfg, engine="fast")
+    state = run_fads_pandas(pdf, cfg, engine="state")
+    cols = list(fast.columns)
+    assert cols == list(state.columns)
+    pd.testing.assert_frame_equal(
+        fast.sort_values(cols).reset_index(drop=True),
+        state.sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )

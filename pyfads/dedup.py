@@ -38,6 +38,7 @@ __all__ = [
     "MINHASH_P",
     "MINHASH_A",
     "MINHASH_B",
+    "incremental_dedup",
 ]
 
 
@@ -517,4 +518,112 @@ def connected_components(
             id_col,
             F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
         )
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Incremental ingest dedup: admit ``batch`` documents against an
+    existing ``corpus`` — the daily-crawl-vs-historical-corpus gate of a
+    continuously-grown training set.  Returns one row per batch doc with a
+    ``keep`` verdict and the first matching drop ``reason``:
+
+    - ``exact``       — same text as a corpus doc or an earlier (lower-id)
+      batch doc (md5 content-hash semi-join; 16-byte keys, never the text);
+    - ``near_corpus`` — MinHash band collision with a corpus doc verified
+      at n-gram Jaccard >= ``threshold``;
+    - ``near_batch``  — verified near-dup of an earlier batch doc
+      (keep-first-id, same rule as :func:`minhash_near_dup_pairs` pairs);
+    - ``kept``        — none of the above.
+
+    Scale shape: the corpus is touched by exactly two shuffles (content
+    hashes; minhash signatures — both map-side-combined to one short row
+    per doc) and never joined to itself.  Cross candidates are an equi-join
+    on band keys with the corpus side *capped* at ``max_bucket`` docs per
+    bucket (first by id; overflow dropped — bounded fan-out per batch doc,
+    recall loss only on boilerplate buckets).  Batch-internal pairs reuse
+    the salt-capped self-join.  At 100 TB the corpus signatures/hashes
+    would be a bucketed table maintained incrementally (pyfads.io.
+    write_bucketed), making the per-batch cost independent of corpus size.
+    """
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    ch = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    exact_corpus = bh.join(ch, "__h", "left_semi").select(id_col)
+    first_b = bh.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    exact_batch = (
+        bh.join(first_b, "__h").filter(F.col(id_col) > F.col("__first")).select(id_col)
+    )
+    exact_ids = exact_corpus.union(exact_batch).distinct().withColumn(
+        "__exact", F.lit(True)
+    )
+
+    rows = n_perm // bands
+    banded = lambda sigs: sigs.select(  # noqa: E731
+        F.col(id_col),
+        F.posexplode(F.array(*[_band_key(b, rows) for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    # one signature frame per side, shared by the cross join and the
+    # batch-internal banding: the identical agg subtrees canonicalize to one
+    # ReusedExchange instead of re-hashing every shingle per consumer
+    sig_b = minhash_signature(batch, text_col, id_col, n_perm)
+    bands_b = banded(sig_b)
+    bands_c = banded(minhash_signature(corpus, text_col, id_col, n_perm))
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy(id_col)
+        bands_c = (
+            bands_c.withColumn("__pos", F.row_number().over(w))
+            .filter(F.col("__pos") <= max_bucket)
+            .drop("__pos")
+        )
+    cand_cb = (
+        bands_b.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+        .join(
+            bands_c.select(F.col(id_col).alias("a_id"), "band_idx", "band_key"),
+            on=["band_idx", "band_key"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh_all = shingle_sets(corpus, text_col, id_col).unionByName(
+        shingle_sets(batch, text_col, id_col)
+    )
+    near_corpus_ids = (
+        jaccard_verify(cand_cb, sh_all, id_col, threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__near_c", F.lit(True))
+    )
+    pairs_bb = minhash_band_pairs(sig_b, id_col, n_perm, bands, max_bucket)
+    near_batch_ids = (
+        jaccard_verify(pairs_bb, shingle_sets(batch, text_col, id_col), id_col, threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__near_b", F.lit(True))
+    )
+    out = (
+        batch.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_corpus_ids, id_col, "left")
+        .join(near_batch_ids, id_col, "left")
+    )
+    reason = (
+        F.when(F.col("__exact"), F.lit("exact"))
+        .when(F.col("__near_c"), F.lit("near_corpus"))
+        .when(F.col("__near_b"), F.lit("near_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        id_col,
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
     )

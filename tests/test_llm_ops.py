@@ -730,3 +730,45 @@ def test_key_skew_report_values(spark):
     assert [(r["key"], r["cnt"]) for r in out] == [("hot", 60), ("warm", 30), ("a", 5)]
     assert out[0]["share"] == 0.6
     assert out[0]["skew_x"] == 60 * 4 / 100  # 2.4x a uniform key
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Planted duplicates land in the right verdict class with the right
+    priority: exact beats near_corpus beats near_batch; novel docs keep."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{base} corpusdoc number {i}") for i in range(10)]
+        + [Row(doc_id=50, text="the quick brown fox jumps over the lazy dog today")]
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 50
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+            # near-dup of corpus doc 3 (one token changed)
+            Row(doc_id=101, text=f"{base} corpusdoc number 3x"),
+            # novel (long enough that a 1-token edit keeps jaccard >= 0.8)
+            Row(
+                doc_id=102,
+                text="completely different content about spark shuffle plans "
+                "and adaptive execution tuning for wide joins here",
+            ),
+            # near-dup of batch doc 102 (one token changed) -> near_batch
+            Row(
+                doc_id=103,
+                text="completely different content about spark shuffle plans "
+                "and adaptive execution tuning for wide joins there",
+            ),
+            # exact copy of EARLIER batch doc 102 -> exact (earlier-batch rule)
+            Row(
+                doc_id=104,
+                text="completely different content about spark shuffle plans "
+                "and adaptive execution tuning for wide joins here",
+            ),
+        ]
+    )
+    out = {r["doc_id"]: r for r in D.incremental_dedup(corpus, batch).collect()}
+    assert out[100]["reason"] == "exact" and not out[100]["keep"]
+    assert out[101]["reason"] == "near_corpus" and not out[101]["keep"]
+    assert out[102]["reason"] == "kept" and out[102]["keep"]
+    assert out[103]["reason"] == "near_batch" and not out[103]["keep"]
+    assert out[104]["reason"] == "exact" and not out[104]["keep"]

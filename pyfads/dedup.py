@@ -334,10 +334,15 @@ def jaccard_ngram_pairs(
             F.least("a_sz", "b_sz").cast("double") / F.greatest("a_sz", "b_sz")
             >= F.lit(threshold)
         )
+        .withColumn("__i", F.size(F.array_intersect("a_g", "b_g")))
         .withColumn(
+            # grams are distinct sets, so |A∪B| = |A|+|B|-|A∩B| — one hash
+            # pass per pair instead of two (array_union dropped); exact
+            # integer arithmetic, so the value (and the DuckDB oracle)
+            # is unchanged
             "jaccard",
-            F.size(F.array_intersect("a_g", "b_g")).cast("double")
-            / F.size(F.array_union("a_g", "b_g")),
+            F.col("__i").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("__i")),
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")

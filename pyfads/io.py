@@ -35,6 +35,8 @@ __all__ = [
     "write_range_layout",
     "read_jsonl",
     "write_jsonl",
+    "read_orc",
+    "write_orc",
     "register_views",
     "rate_stream",
     "csv_stream",
@@ -256,6 +258,19 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     uncompressed — for archival/interchange; parquet remains the query
     format)."""
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (Spark's built-in native reader) — the columnar
+    interchange format of Hive-era warehouses.  Same pushdown surface as
+    parquet: predicate/column pruning reach the stripe level, so migrating
+    an ORC-resident corpus into this engine needs no conversion pass."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec; stripe-level stats written)."""
+    df.write.mode(mode).orc(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

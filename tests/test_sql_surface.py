@@ -59,3 +59,25 @@ def test_jsonl_malformed_lines_null_out(spark, tmp_path):
         df.collect(), key=lambda r: (r["doc_id"] is None, r["doc_id"])
     )
     assert [r["doc_id"] for r in rows] == [1, 2, None]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyfads.io import read_orc, write_orc
+
+    docs = read_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs_orc")
+    write_orc(docs, d)
+    back = read_orc(spark, d)
+    a = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # filter + projection reach the ORC scan (stripe-level pushdown)
+    plan = (
+        back.filter(back.doc_id == 3)
+        .select("doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,3)]" in plan
+    assert "struct<doc_id:bigint,lang:string>" in plan

@@ -1350,3 +1350,44 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 20 == 7)
     corpus = docs.filter(~(F.col("doc_id") % 20 == 7))
     return D.incremental_dedup(corpus, batch)
+
+
+def _near_dup_wide_sql(threshold: float = 0.9) -> str:
+    """Exact all-pairs twin of embedding_near_dup at dim 1024 (tiled
+    fixtures): fold-form dot/norm (bit-identical to Spark's aggregate
+    fold), planted scaled copies recovered with guaranteed LSH recall
+    (scaling preserves sign bits exactly)."""
+    from pyfads.golden import _chain_dot_sql, _chain_norm_sql, _embeddings_cte
+
+    dot = _chain_dot_sql("a", "b", _DIM_WIDE)
+    na = _chain_norm_sql("a", _DIM_WIDE)
+    nb = _chain_norm_sql("b", _DIM_WIDE)
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM {_embeddings_cte(_TILE)}),
+planted AS (
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM base WHERE vec_id < 32
+),
+u0 AS (SELECT vec_id, embedding FROM base UNION ALL SELECT vec_id, embedding FROM planted),
+u AS (SELECT * FROM u0 AS a WHERE {na} > 0)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ({dot}) / ({na} * {nb}) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE ({dot}) / ({na} * {nb}) >= {threshold}
+"""
+
+
+@query("embedding_near_dup_dim1024", oracle=_near_dup_wide_sql)
+def embedding_near_dup_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at dim 1024: the fold dot/norm path exercised
+    under the LSH self-join + verify shape (same planted-copies contract as
+    the dim-64 entry)."""
+    embs = _wide_embs(spark, sf_dir)
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return S.embedding_near_dup_pairs(
+        embs.unionByName(planted), _DIM_WIDE, threshold=0.9
+    )

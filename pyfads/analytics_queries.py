@@ -170,3 +170,61 @@ def json_props_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json extraction (PERMISSIVE, struct-pruned) + per-event_type
     rollup with an exact integer-sum mean."""
     return J.props_rollup(read_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Relational analytics: star-schema revenue rollup (broadcast dims)
+# --------------------------------------------------------------------------
+
+_REVENUE_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_micros
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND o_orderstatus = 'F'
+GROUP BY n_name
+"""
+
+
+@query("revenue_by_nation", oracle=_REVENUE_SQL)
+def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-flavored star rollup: lineitem→orders→customer fact chain
+    with nation/region dims — the relational-join strategy showcase.
+
+    Join plan at 100 TB: nation (25 rows) and region (5 rows) are pinned
+    broadcast; the region filter then prunes customers *before* the fact
+    joins (Catalyst pushes the semi-filtering dim chain down), and the
+    orders/lineitem equi-join shuffles on the order key (or goes
+    shuffle-free if both sides are bucketed on it — pyfads.io.
+    write_bucketed).  Revenue is an exact integer micro-unit sum
+    (cents x basis points), order-independent under any partitioning —
+    the bit-deterministic form of sum(price * (1 - discount))."""
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.round(F.col("l_discount") * 10000).cast("long")
+    return (
+        li.withColumn("__rev", cents * (F.lit(10000) - bp))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("__rev").cast("long").alias("revenue_micros"),
+        )
+    )

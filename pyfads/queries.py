@@ -146,11 +146,16 @@ def _register_analytics() -> None:
     from pyfads import analytics_queries  # noqa: F401
 
 
+def _register_tpch() -> None:
+    from pyfads import tpch_queries  # noqa: F401
+
+
 for _reg in (
     _register_primitives,
     _register_llm_ops,
     _register_windows,
     _register_analytics,
+    _register_tpch,
 ):
     try:
         _reg()

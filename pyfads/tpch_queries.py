@@ -1,0 +1,365 @@
+"""TPC-H-class relational analytics over the fixture star schema — the
+general-purpose OLAP surface of the engine, exercised with one query per
+classic plan shape:
+
+- ``pricing_summary``    — Q1 flavor: wide partial-aggregate scan
+- ``shipping_priority``  — Q3 flavor: fact join + top-k (TakeOrdered)
+- ``order_priority``     — Q4 flavor: EXISTS semi-join with a non-equi term
+- ``customers_no_orders``— Q22 flavor: NOT EXISTS anti-join
+- ``brand_part_topk``    — top-k per group (WindowGroupLimit pushdown)
+- ``revenue_rollup``     — ROLLUP multi-level aggregate (grouping_id)
+
+Determinism discipline (same as pyfads.analytics_queries): every money
+column in the fixtures is exact in cents / basis points (verified by
+``round()`` probes), so all sums run in integer units — cents and
+cents x bp "micros" — making results bit-identical under any partitioning
+or AQE re-plan.  Averages are one final double division of two exact
+integers.  At 100 TB the BIGINT micros sums approach 2^63 only past ~1e9
+high-price rows per group; the charge sum (cents x bp x bp) therefore runs
+as DECIMAL(38,0) and is emitted as the double it rounds to (both engines
+round the same exact integer, so the doubles are bit-identical).
+
+100 TB notes per query are in each docstring; the shared posture: dims
+(region/nation) pinned broadcast, fact-fact joins shuffle on their keys
+(or go shuffle-free when bucketed via pyfads.io.write_bucketed), top-k is
+always TakeOrderedAndProject or WindowGroupLimit — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pyfads.io import epoch_ms, read_table
+from pyfads.queries import query
+
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC_BP = "CAST(round(l_discount * 10000) AS BIGINT)"
+_TAX_BP = "CAST(round(l_tax * 10000) AS BIGINT)"
+
+
+def _cents(col: str = "l_extendedprice") -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _bp(col: str) -> F.Column:
+    return F.round(F.col(col) * 10000).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Q1 flavor: pricing summary report
+# --------------------------------------------------------------------------
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)      AS sum_qty,
+       CAST(sum({_CENTS}) AS BIGINT)                        AS sum_base_cents,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS sum_disc_micros,
+       CAST(CAST(sum(CAST({_CENTS} * (10000 - {_DISC_BP}) AS DECIMAL(38,0))
+                     * (10000 + {_TAX_BP})) AS DECIMAL(38,0)) AS DOUBLE)
+           AS sum_charge_d,
+       CAST(count(*) AS BIGINT)                             AS count_order,
+       sum(CAST(l_quantity AS BIGINT)) / count(*)           AS avg_qty,
+       sum({_CENTS}) / count(*)                             AS avg_price_cents,
+       sum({_DISC_BP}) / count(*)                           AS avg_disc_bp
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_PRICING_SQL)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-flavored pricing summary: one full scan, 6 output groups.
+
+    100 TB shape: the canonical map-side-combine aggregate — partial
+    HashAggregate per scan task collapses everything to 6 rows before the
+    single tiny exchange, so the shuffle moves ~6 x tasks rows regardless
+    of input size.  The shipdate filter is pushed to the parquet scan
+    (min/max row-group pruning).  Charge (cents x bp x bp) exceeds BIGINT
+    range at large SF x group sizes, so it alone accumulates in
+    DECIMAL(38,0); both engines emit the double that exact integer rounds
+    to.  Averages are a final long/long double division — exact inputs, so
+    deterministic."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2001-06-30 00:00:00'")
+    )
+    qty = F.col("l_quantity").cast("long")
+    disc_micros = _cents() * (F.lit(10000) - _bp("l_discount"))
+    charge = disc_micros.cast("decimal(38,0)") * (F.lit(10000) + _bp("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.sum(_cents()).cast("long").alias("sum_base_cents"),
+        F.sum(disc_micros).cast("long").alias("sum_disc_micros"),
+        F.sum(charge).cast("decimal(38,0)").cast("double").alias("sum_charge_d"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+        (F.sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_cents()) / F.count(F.lit(1))).alias("avg_price_cents"),
+        (F.sum(_bp("l_discount")) / F.count(F.lit(1))).alias("avg_disc_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 flavor: shipping priority — fact join + deterministic top-k
+# --------------------------------------------------------------------------
+
+_SHIPPING_SQL = f"""
+SELECT l_orderkey,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros,
+       epoch_ms(o_orderdate) AS orderdate_ms,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micros DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", oracle=_SHIPPING_SQL)
+def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-flavored: segment-filtered customers semi-filter orders,
+    orders join lineitem, revenue per order, top 10.
+
+    100 TB shape: the mktsegment filter prunes ~4/5 of customers at the
+    scan; the filtered customer side is small relative to the facts, so
+    AQE picks broadcast for it and only the orders-lineitem equi-join
+    shuffles (on the order key — shuffle-free if bucketed).  The final
+    top-10 is `orderBy().limit()` = TakeOrderedAndProject: per-partition
+    heaps + one 10-row merge on the driver, never a global sort.  The
+    (revenue DESC, orderkey) tie-break makes the result set unique, so
+    LIMIT is deterministic on both engines."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_cents() * (F.lit(10000) - _bp("l_discount")))
+            .cast("long")
+            .alias("revenue_micros")
+        )
+        .withColumn("orderdate_ms", epoch_ms(orders, "o_orderdate"))
+        .select("l_orderkey", "revenue_micros", "orderdate_ms", "o_orderpriority")
+        .orderBy(F.desc("revenue_micros"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 flavor: order priority checking — EXISTS semi-join
+# --------------------------------------------------------------------------
+
+_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("order_priority", oracle=_PRIORITY_SQL)
+def order_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-flavored: orders in a half-year window that had at least
+    one line item shipped >30 days after the order date, counted per
+    priority — the EXISTS → LEFT SEMI join shape.
+
+    100 TB shape: the date filter prunes orders at the scan; the semi-join
+    is an equi-join on the order key carrying the non-equi lateness term
+    as a join-time filter — Spark plans shuffle/broadcast-hash semi-join
+    (no row multiplication, left side emitted at most once), and the
+    post-join aggregate collapses to 5 rows map-side."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-07-01 00:00:00'"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 flavor: customers with no orders — NOT EXISTS anti-join
+# --------------------------------------------------------------------------
+
+_NO_ORDERS_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer c
+WHERE c_acctbal > 0.0
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@query("customers_no_orders", oracle=_NO_ORDERS_SQL)
+def customers_no_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-flavored: positive-balance customers dormant since 2000
+    (no order on/after 2000-01-01), per market segment — the NOT EXISTS →
+    LEFT ANTI join shape.
+
+    100 TB shape: anti-join on the customer key; the probe side is
+    column-pruned to (o_custkey) with the date filter pushed to its scan,
+    and the aggregate collapses to 5 rows map-side.  With both tables
+    bucketed on the customer key the anti-join is shuffle-free."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+        .select("o_custkey")
+    )
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group: best-selling parts per brand (WindowGroupLimit)
+# --------------------------------------------------------------------------
+
+_BRAND_TOPK_SQL = f"""
+WITH rev AS (
+  SELECT p_brand, l_partkey,
+         CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand, l_partkey, revenue_micros, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand
+                ORDER BY revenue_micros DESC, l_partkey) AS BIGINT) AS rank
+  FROM rev
+)
+WHERE rank <= 3
+"""
+
+
+@query("brand_part_topk", oracle=_BRAND_TOPK_SQL)
+def brand_part_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand — the top-k-per-group shape every
+    analytics engine needs (reporting, leaderboard, per-key sampling).
+
+    100 TB shape: part is dimension-sized relative to lineitem, so the
+    enrich join broadcasts; revenue aggregates map-side on (brand,
+    partkey); the rank<=3 filter plans as WindowGroupLimit, which pushes
+    the per-group top-k *below* the window sort's exchange — each map task
+    forwards at most 3 rows per brand instead of sorting whole
+    partitions.  Ties broken by partkey → unique, deterministic rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(_cents() * (F.lit(10000) - _bp("l_discount")))
+            .cast("long")
+            .alias("revenue_micros")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue_micros"), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "l_partkey", "revenue_micros", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: revenue at (region, nation), (region), and grand-total levels
+# --------------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("revenue_rollup", oracle=_ROLLUP_SQL)
+def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP over the star join: per-(region, nation), per-
+    region subtotal, and grand total in one pass, disambiguated by
+    grouping_id (Spark `grouping_id()` and DuckDB `GROUPING(a, b)` share
+    the bit-vector convention).
+
+    100 TB shape: identical join plan to revenue_by_nation (broadcast
+    dims, one fact shuffle); ROLLUP expands each row to its 3 grouping
+    sets *after* the partial aggregate, so the exchange still carries
+    near-aggregated data (Spark plans Expand above the scan but the
+    partial HashAggregate below the exchange collapses per task).  NULL
+    grouping keys are coalesced to 'ALL' so row identity is total-ordered
+    for the comparator."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(read_table(spark, sf_dir, "region"))
+    joined = (
+        li.withColumn(
+            "__rev", _cents() * (F.lit(10000) - _bp("l_discount"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("__rev").cast("long").alias("revenue_micros"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_lineitems",
+            "revenue_micros",
+        )
+    )

@@ -10,6 +10,7 @@ hashing, integer sums + one exact final division instead of double ``avg``
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyfads import semistruct as J
 from pyfads import sketches as K
@@ -228,3 +229,113 @@ def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__rev").cast("long").alias("revenue_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership: portable build (bit_or words) + probe
+# --------------------------------------------------------------------------
+
+_BLOOM_WORDS = 1024
+_BLOOM_K = 4
+_BLOOM_SEED = "bloom"
+_BLOOM_MBITS = _BLOOM_WORDS * 63  # 63 usable bits per BIGINT word
+
+
+def _bloom_sql() -> str:
+    from pyfads.llm_queries import _h60
+
+    def pos(j: int) -> str:
+        h = _h60(f"{_BLOOM_SEED}{j}", "tok")
+        return (
+            f"SELECT tok, (({h}) % {_BLOOM_MBITS}) // 63 AS word_idx,"
+            f" 1::BIGINT << ((({h}) % {_BLOOM_MBITS}) % 63)::INT AS mask"
+        )
+
+    cpos = " UNION ALL ".join(f"{pos(j)} FROM corpus" for j in range(_BLOOM_K))
+    ppos = " UNION ALL ".join(f"{pos(j)} FROM probe" for j in range(_BLOOM_K))
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 10 <> 0
+),
+probe AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+),
+words AS (
+  SELECT word_idx, bit_or(mask) AS word FROM ({cpos}) GROUP BY word_idx
+),
+probed AS (
+  SELECT tok, bool_and(coalesce((word & mask) <> 0, FALSE)) AS maybe
+  FROM ({ppos}) p LEFT JOIN words USING (word_idx)
+  GROUP BY tok
+)
+SELECT tok, maybe, (tok IN (SELECT tok FROM corpus)) AS present
+FROM probed
+"""
+
+
+@query("sketch_bloom_contains", oracle=_bloom_sql)
+def sketch_bloom_contains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate: build a portable 64512-bit filter over
+    the held-in corpus token set (doc_id % 10 != 0), probe the held-out
+    tokens, and report per-token ``maybe`` (filter verdict) next to
+    ``present`` (exact ground truth) — every present token MUST be maybe
+    (no false negatives, which the exact-hash oracle proves), and the
+    maybe-but-absent surplus is the measured false-positive set.
+
+    100 TB role: the cheap pre-join membership gate — e.g. drop the ~99%
+    of crawl n-grams that cannot be benchmark contamination before the
+    exact equi-join (pyfads.pipeline.contamination).  Build is one
+    map-side-combined bit_or agg to <= 1024 BIGINT rows; probe broadcasts
+    those 8 KB and never shuffles the probe stream."""
+    from pyfads.sketches import bloom_build, bloom_probe
+    from pyfads.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    probe = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "tok", _BLOOM_WORDS, _BLOOM_K, _BLOOM_SEED)
+    probed = bloom_probe(bloom, probe, "tok", _BLOOM_WORDS, _BLOOM_K, _BLOOM_SEED)
+    present = corpus.withColumn("present", F.lit(True))
+    return probed.join(present, "tok", "left").select(
+        "tok", "maybe", F.coalesce("present", F.lit(False)).alias("present")
+    )
+
+
+# --------------------------------------------------------------------------
+# Overlapping token-window chunking
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + {_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + {_CHUNK}], ' ') AS chunk_text
+FROM s
+"""
+
+
+@query("chunk_documents", oracle=_CHUNK_SQL)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks every 48 tokens (16-token overlap) over every
+    document — map-only array ops, no shuffle, no Python."""
+    return X.chunk_documents(read_table(spark, sf_dir, "documents"), _CHUNK, _STRIDE)

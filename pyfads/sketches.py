@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from pyfads.text import md5_hash60, tokens
 
-__all__ = ["kmv_distinct_tokens"]
+__all__ = ["kmv_distinct_tokens", "bloom_build", "bloom_probe"]
 
 # md5_hash60 yields 60-bit hashes; scaling by 2^60 maps them to (0,1]
 _HASH_SPACE = float(1 << 60)
@@ -75,4 +75,98 @@ def kmv_distinct_tokens(
             "kth_hash",
             est.alias("kmv_estimate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: distributed build (bit_or word agg) + probe
+# --------------------------------------------------------------------------
+
+# 63 payload bits per BIGINT word: bit positions 0..62 keep every shift
+# <= 62, which both JVM long shifts and DuckDB BIGINT shifts evaluate
+# identically (DuckDB raises on 1 << 63, so bit 63 is left unused).
+_BITS_PER_WORD = 63
+
+
+def _bloom_positions(key: F.Column, n_words: int, k: int, seed: str):
+    """k (word_idx, bit-in-word) pairs for ``key`` — one independent
+    md5-seeded hash per probe function, mod the usable bit space."""
+    m_bits = n_words * _BITS_PER_WORD
+    for j in range(k):
+        bit = md5_hash60(key, f"{seed}{j}") % m_bits
+        yield (bit / _BITS_PER_WORD).cast("long"), bit % _BITS_PER_WORD
+
+
+def _mask(bit_col: str) -> F.Column:
+    """``1L << bit`` as a column expression (F.shiftleft only takes a
+    Python int for the shift amount)."""
+    return F.expr(f"shiftleft(1L, cast({bit_col} AS INT))")
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    n_words: int = 1024,
+    k: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Build an ``n_words * 63``-bit Bloom filter over ``keys[key_col]`` as
+    a DataFrame of (word_idx BIGINT, word BIGINT) — at most ``n_words``
+    rows regardless of input size.
+
+    Scale shape (100 TB): each key expands to ``k`` (word_idx, bitmask)
+    pairs map-side; one ``groupBy(word_idx).agg(bit_or)`` with map-side
+    combine collapses everything to <= n_words rows before the single tiny
+    exchange — the same one-pass-to-tiny-result contract as a count.  The
+    word layout is engine-portable (md5-derived positions, plain BIGINT
+    words), so a filter built by Spark can be probed by any system that
+    can md5 — unlike opaque built-in bloom aggregates.
+    """
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(w.alias("word_idx"), b.alias("bit"))
+                    for w, b in _bloom_positions(F.col(key_col), n_words, k, seed)
+                ]
+            )
+        ).alias("p")
+    ).select("p.word_idx", _mask("p.bit").alias("mask"))
+    return pairs.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    n_words: int = 1024,
+    k: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Probe ``probes[key_col]`` against a :func:`bloom_build` filter:
+    one row per probe key with ``maybe`` = all k bits set (no false
+    negatives; false-positive rate ~ (1 - e^{-kn/m})^k).
+
+    Scale shape: the filter is <= n_words rows (8 KB per 1024 words), so
+    the positions-to-words equi-join broadcasts it; probes stay fully
+    distributed and aggregate back to one row per key map-side."""
+    pos = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(w.alias("word_idx"), b.alias("bit"))
+                    for w, b in _bloom_positions(F.col(key_col), n_words, k, seed)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.word_idx", _mask("p.bit").alias("mask"))
+    hit = F.coalesce(
+        (F.col("word").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+    )
+    return (
+        pos.join(F.broadcast(bloom), "word_idx", "left")
+        .select(key_col, hit.alias("__hit"))
+        .groupBy(key_col)
+        .agg(F.bool_and("__hit").alias("maybe"))
     )

@@ -446,3 +446,41 @@ def corpus_stats(
             F.count_distinct(F.col("__src")).cast("long").alias("n_sources"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard long-document pre-tokenization step (context windows with
+    ``chunk_tokens - stride`` tokens of overlap).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens, so
+    the tail is always covered; the last chunk may be shorter.  Output one
+    row per chunk: (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Scale shape: pure per-row array ops — split once, ``sequence`` the
+    starts, ``explode``, ``slice`` + ``array_join`` per chunk.  Zero
+    shuffles, zero Python; at 100 TB this is a map-only stage whose output
+    feeds packing (pyfads.pipeline.pack_contexts) or chunk-level dedup."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -982,6 +982,20 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return P.contamination_overlap(docs, bench, n=5)
 
+@query("contamination_bloom", oracle=_CONT_SQL)
+def contamination_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same contamination check routed through the 8 KB Bloom
+    prefilter (pipeline.contamination_overlap bloom_words=1024): corpus
+    grams that cannot be benchmark grams are rejected by a broadcast
+    bitmask before the exact semi-join.  Because a Bloom filter has no
+    false negatives the result is bit-identical to `contamination` — the
+    oracle is literally the same SQL — while the exact join's probe side
+    shrinks by the rejection rate (the 100 TB shape when the benchmark
+    union is too big to broadcast raw)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return P.contamination_overlap(docs, bench, n=5, bloom_words=1024)
+
 
 _TOPK_NGRAMS_SQL = f"""
 WITH t AS (SELECT {_TOKS} AS toks FROM documents),

@@ -211,6 +211,7 @@ def contamination_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "cont",
+    bloom_words: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: the fraction of each document's
     distinct word ``n``-grams that also occur in the benchmark corpus —
@@ -222,18 +223,46 @@ def contamination_overlap(
     membership probe is a broadcast semi-join on one 8-byte key — the
     corpus side streams, nothing resembles all-pairs.  Docs shorter than
     ``n`` tokens report zero grams (and frac 0.0) via the left join.
+
+    ``bloom_words``: when the benchmark gram set is itself too large to
+    broadcast raw (a full eval-suite union at 100 TB), set this to route
+    the corpus grams through a Bloom prefilter first — the filter is
+    ``bloom_words`` BIGINT rows (8 KB per 1024) built by one bit_or agg
+    over the benchmark grams, and only the ~maybe grams reach the exact
+    semi-join.  No false negatives, so the output is IDENTICAL to the
+    unfiltered path (the registered oracle is literally the same SQL);
+    the exact join's probe-side volume drops by the bloom rejection rate.
     """
     doc_grams = _word_gram_hashes(df, n, text_col, id_col, seed)
-    bench_grams = F.broadcast(
+    bench_hashes = (
         _word_gram_hashes(benchmark, n, text_col, id_col, seed)
         .select("gram_h")
         .distinct()
     )
+    bench_grams = F.broadcast(bench_hashes)
     per_doc = doc_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
+    probe_grams = doc_grams
+    if bloom_words is not None:
+        from pyfads.sketches import bloom_build, bloom_probe
+
+        key = F.col("gram_h").cast("string")
+        bloom = bloom_build(
+            bench_hashes.select(key.alias("k")), "k", bloom_words, seed=seed
+        )
+        verdicts = bloom_probe(
+            bloom,
+            doc_grams.select(key.alias("k")).distinct(),
+            "k",
+            bloom_words,
+            seed=seed,
+        ).filter(F.col("maybe"))
+        probe_grams = doc_grams.join(
+            verdicts.select(F.col("k")), key == F.col("k"), "left_semi"
+        )
     contaminated = (
-        doc_grams.join(bench_grams, "gram_h", "left_semi")
+        probe_grams.join(bench_grams, "gram_h", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )

@@ -103,3 +103,64 @@ def test_props_rollup_handles_malformed_json(spark):
     assert agg["t1"]["n_events"] == 3 and agg["t1"]["n_null_k"] == 1
     assert agg["t1"]["sum_k"] == 12 and agg["t1"]["mean_k"] == pytest.approx(6.0)
     assert agg["t2"]["n_null_k"] == 2 and agg["t2"]["mean_k"] is None
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark):
+    """Every inserted key must probe maybe=True (the Bloom contract the
+    contamination prefilter's losslessness rests on); absent keys may
+    false-positive but at ~(1-e^{-kn/m})^k, far below 50% at this load."""
+    from pyfads.sketches import bloom_build, bloom_probe
+
+    inserted = [(f"key_{i}",) for i in range(500)]
+    absent = [(f"other_{i}",) for i in range(500)]
+    corpus = spark.createDataFrame(inserted, "k string")
+    bloom = bloom_build(corpus, "k", n_words=256, k=4)
+    probed = bloom_probe(
+        bloom, spark.createDataFrame(inserted + absent, "k string"), "k",
+        n_words=256, k=4,
+    )
+    verdicts = {r["k"]: r["maybe"] for r in probed.collect()}
+    assert all(verdicts[k] for k, in inserted), "false negative"
+    fp = sum(verdicts[k] for k, in absent)
+    assert fp < 250  # m=16128 bits, n=500, k=4 -> expected fp ~ 2%
+
+
+def test_bloom_prefilter_is_lossless(spark):
+    """contamination_overlap with and without the Bloom prefilter must
+    return identical rows (no false negatives => same exact-join result)."""
+    from pyfads.io import read_table
+    from pyfads.pipeline import contamination_overlap
+
+    docs = read_table(spark, SF_DIR, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    plain = contamination_overlap(docs, bench, n=5).collect()
+    bloomed = contamination_overlap(docs, bench, n=5, bloom_words=512).collect()
+    key = lambda r: (r["doc_id"], r["n_grams"], r["n_contaminated"])
+    assert sorted(map(key, plain)) == sorted(map(key, bloomed))
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunks reconstruct the doc: chunk 0 is the first C tokens, adjacent
+    chunks share C-S tokens, the union of chunk tokens covers every token,
+    and the tail chunk ends exactly at the last token."""
+    from pyfads.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    d1 = by_doc[1]
+    assert sorted(d1) == [0, 1, 2, 3]  # starts 0,48,96,144 (< 150)
+    assert d1[0]["chunk_text"].split(" ") == [f"t{i}" for i in range(64)]
+    assert d1[1]["chunk_text"].split(" ")[:16] == [f"t{i}" for i in range(48, 64)]
+    assert d1[3]["chunk_text"].split(" ") == [f"t{i}" for i in range(144, 150)]
+    assert d1[3]["n_chunk_tokens"] == 6
+    covered = set()
+    for r in d1.values():
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(150)}
+    assert by_doc[2][0]["chunk_text"] == "a b c" and len(by_doc[2]) == 1

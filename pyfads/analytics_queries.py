@@ -339,3 +339,69 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-token chunks every 48 tokens (16-token overlap) over every
     document — map-only array ops, no shuffle, no Python."""
     return X.chunk_documents(read_table(spark, sf_dir, "documents"), _CHUNK, _STRIDE)
+
+
+# --------------------------------------------------------------------------
+# Keyed upsert merge (latest-wins MERGE view)
+# --------------------------------------------------------------------------
+
+_UPSERT_SQL = """
+WITH existing AS (
+  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1 AS BIGINT) AS version, 0 AS __src
+  FROM documents
+),
+batch AS (
+  SELECT doc_id, 'refresh' AS source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(2 AS BIGINT) AS version, 1 AS __src
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1 AS BIGINT) AS version, 1 AS __src
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'conflict' AS source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1 AS BIGINT) AS version, 1 AS __src
+  FROM documents WHERE doc_id % 3 = 0
+),
+u AS (SELECT * FROM existing UNION ALL SELECT * FROM batch),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY version DESC, __src DESC) AS __rn
+  FROM u
+)
+SELECT doc_id, source, lang, n_chars, version FROM r WHERE __rn = 1
+"""
+
+
+@query("corpus_upsert", oracle=_UPSERT_SQL)
+def corpus_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins keyed MERGE view (pyfads.io.merge_latest): refresh rows
+    at version 2 replace their keys, brand-new keys insert, and an
+    equal-version conflict batch proves the batch-wins tie-break.  This is
+    the logical half of io.upsert_partitioned, whose physical half
+    (selective partition rewrite) is exercised in tests/test_upsert.py."""
+    from pyfads.io import merge_latest
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    batch = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("source", F.lit("refresh"))
+        .withColumn("version", F.lit(2).cast("long"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "source", F.lit("conflict")
+            )
+        )
+    )
+    return merge_latest(base, batch, "doc_id", "version")

@@ -405,3 +405,34 @@ def corpus_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_latest(base, batch, "doc_id", "version")
+
+
+# --------------------------------------------------------------------------
+# Quantile-calibrated per-stratum selection
+# --------------------------------------------------------------------------
+
+_QSELECT_SQL = """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+thr AS (
+  SELECT lang, quantile_cont(n_tokens, 0.3) AS lo_thr,
+               quantile_cont(n_tokens, 0.99) AS hi_thr
+  FROM m GROUP BY lang
+)
+SELECT doc_id, lang, n_tokens, lo_thr, hi_thr
+FROM m JOIN thr USING (lang)
+WHERE n_tokens >= lo_thr AND n_tokens <= hi_thr
+"""
+
+
+@query("quantile_select", oracle=_QSELECT_SQL)
+def quantile_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs inside their language's [P30, P99] token-count band —
+    data-calibrated trim thresholds from one tiny aggregate, broadcast
+    back; the corpus itself never shuffles."""
+    from pyfads.pipeline import select_by_stratum_quantile
+
+    return select_by_stratum_quantile(read_table(spark, sf_dir, "documents"))

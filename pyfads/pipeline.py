@@ -392,3 +392,44 @@ def key_skew_report(
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(top)
     )
+
+
+def select_by_stratum_quantile(
+    df: DataFrame,
+    lo_q: float = 0.3,
+    hi_q: float = 0.99,
+    strat_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quantile-calibrated selection: keep documents whose
+    token count lies within the stratum's [lo_q, hi_q] exact interpolated
+    quantiles — the "trim the short tail and the outlier top per
+    language" curation pass, with thresholds calibrated from the data
+    instead of hand-set constants.
+
+    Scale shape: thresholds come from ONE map-side-combined aggregate
+    (exact ``percentile``; rows over the wire = strata x partitions), the
+    tiny threshold table broadcasts back, and the filter is per-row — the
+    corpus never shuffles.  At 100 TB swap ``percentile`` for
+    ``percentile_approx`` with a documented error bound; the exact form
+    is the oracle-checkable one (matches DuckDB ``quantile_cont``)."""
+    from pyfads.text import tokens
+
+    m = df.select(
+        F.col(id_col),
+        F.col(strat_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    thr = m.groupBy(strat_col).agg(
+        F.percentile("n_tokens", F.lit(lo_q)).alias("lo_thr"),
+        F.percentile("n_tokens", F.lit(hi_q)).alias("hi_thr"),
+    )
+    return (
+        m.join(F.broadcast(thr), strat_col)
+        .filter(
+            (F.col("n_tokens") >= F.col("lo_thr"))
+            & (F.col("n_tokens") <= F.col("hi_thr"))
+        )
+        .select(id_col, strat_col, "n_tokens", "lo_thr", "hi_thr")
+    )

@@ -436,3 +436,35 @@ def quantile_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads.pipeline import select_by_stratum_quantile
 
     return select_by_stratum_quantile(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Vocabulary frequency spectrum (Zipf report)
+# --------------------------------------------------------------------------
+
+_SPECTRUM_SQL = """
+WITH tf AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang, tok
+)
+SELECT lang, freq, CAST(count(*) AS BIGINT) AS n_types
+FROM tf GROUP BY lang, freq
+"""
+
+
+@query("vocab_spectrum", oracle=_SPECTRUM_SQL)
+def vocab_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies per language (the Zipf/Heaps diagnostic a
+    tokenizer-training run reads): two map-side-combined aggregates —
+    (lang, token) counts, then (lang, freq) type counts.  Output is
+    O(distinct frequencies) ~ O(sqrt(corpus)) rows."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.col("lang"), F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return tf.groupBy("lang", "freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )

@@ -1365,6 +1365,61 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(~(F.col("doc_id") % 20 == 7))
     return D.incremental_dedup(corpus, batch)
 
+def _corpus_refresh_sql() -> str:
+    """End-to-end refresh: the incremental-dedup verdict (reused verbatim
+    as a subquery) gates admission, then a latest-wins merge appends the
+    admitted batch rows to the retained corpus."""
+    return f"""
+WITH inc AS ({_incremental_sql()}),
+existing AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1 AS BIGINT) AS version, 0 AS __src
+  FROM documents WHERE NOT ({_INC_BATCH_PRED})
+),
+brows AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(2 AS BIGINT) AS version, 1 AS __src
+  FROM documents
+  WHERE {_INC_BATCH_PRED}
+    AND doc_id IN (SELECT doc_id FROM inc WHERE keep)
+),
+u AS (SELECT * FROM existing UNION ALL SELECT * FROM brows),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY version DESC, __src DESC) AS __rn
+  FROM u
+)
+SELECT doc_id, lang, source, n_chars, version FROM r WHERE __rn = 1
+"""
+
+
+@query("corpus_refresh", oracle=_corpus_refresh_sql)
+def corpus_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete incremental-maintenance pass a living corpus runs per
+    crawl: the new batch (every 20th doc) is admitted through the full
+    incremental dedup gate (exact hash + cross-band MinHash vs the corpus
+    + batch-internal near-dup), and admitted docs merge latest-wins into
+    the retained corpus (pyfads.io.merge_latest; version 2 marks this
+    refresh).  One oracle checks the whole composition end-to-end."""
+    from pyfads.io import merge_latest
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 20 == 7
+    batch_t, corpus_t = docs.filter(pred), docs.filter(~pred)
+    verd = D.incremental_dedup(
+        corpus_t.select("doc_id", "text"), batch_t.select("doc_id", "text")
+    )
+    admitted = batch_t.join(
+        verd.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    mk = lambda df, ver: df.select(  # noqa: E731
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(ver).cast("long").alias("version"),
+    )
+    return merge_latest(mk(corpus_t, 1), mk(admitted, 2), "doc_id", "version")
+
+
 
 def _near_dup_wide_sql(threshold: float = 0.9) -> str:
     """Exact all-pairs twin of embedding_near_dup at dim 1024 (tiled

@@ -377,3 +377,121 @@ def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak="event_id",
         inclusive=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion (A followed by B within a horizon) and cohort retention
+# --------------------------------------------------------------------------
+
+
+def funnel_next_event(
+    df: DataFrame,
+    from_type: str,
+    to_type: str,
+    horizon_ms: int,
+    ts_ms_col: str = "ts_ms",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per ``from_type`` event, the timestamp of the user's next
+    ``to_type`` event and whether it lands within ``horizon_ms`` — the
+    funnel-conversion primitive, computed WITHOUT a self-join: tag
+    ``to_type`` rows' timestamps into a column and take ``min`` over the
+    forward window (1 FOLLOWING .. UNBOUNDED), so one shuffle on the user
+    key covers every A-event.  min() is order-insensitive, so intra-ms
+    ties can't change the answer; rows are totally ordered by
+    (ts, event id) for cross-engine determinism."""
+    to_ms = F.when(F.col(type_col) == to_type, F.col(ts_ms_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_ms_col, id_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(to_ms).over(w)
+    return (
+        df.withColumn("next_to_ms", nxt)
+        .filter(F.col(type_col) == from_type)
+        .select(
+            id_col,
+            user_col,
+            ts_ms_col,
+            "next_to_ms",
+            (
+                F.col("next_to_ms").isNotNull()
+                & (F.col("next_to_ms") - F.col(ts_ms_col) <= horizon_ms)
+            ).alias("converted"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_ms_col: str = "ts_ms",
+    user_col: str = "user_id",
+    week_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week offset they were active in.  Three map-side-combined
+    aggregates (first week per user; distinct user-weeks; cohort x offset
+    counts) — the user table never fans out, all integer arithmetic."""
+    # integer div, not double `/`: a double quotient can round up across an
+    # integer boundary and disagree with the oracle's BIGINT floor-div
+    wk = F.expr(f"{ts_ms_col} div {week_ms}")
+    uw = df.select(F.col(user_col), wk.alias("week")).distinct()
+    first = uw.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, user_col)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+n AS (
+  SELECT event_id, user_id, event_type, ts_ms,
+         min(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+             OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS next_to_ms
+  FROM e
+)
+SELECT event_id, user_id, ts_ms, next_to_ms,
+       (next_to_ms IS NOT NULL AND next_to_ms - ts_ms <= 3600000) AS converted
+FROM n WHERE event_type = 'click'
+"""
+
+
+@query("funnel_click_purchase", oracle=_FUNNEL_SQL)
+def funnel_click_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click → purchase within 1 hour, per click event — forward-window
+    min, no self-join."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
+    )
+    return funnel_next_event(base, "click", "purchase", 3_600_000)
+
+
+_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM uw JOIN first USING (user_id)
+GROUP BY cohort_week, week - cohort_week
+"""
+
+
+@query("cohort_retention", oracle=_RETENTION_SQL)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort x offset active-user counts over the events feed."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("user_id", epoch_ms(ev, "ts").alias("ts_ms"))
+    return cohort_retention(base)

@@ -93,3 +93,68 @@ def test_merge_latest_keeps_higher_existing_version(spark):
     batch = spark.createDataFrame([(1, "stale", 3)], "k long, v string, ver long")
     got = merge_latest(existing, batch, "k", "ver").collect()
     assert [(r["v"], r["ver"]) for r in got] == [("cur", 7)]
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    """Applying the same batch twice must leave the dataset unchanged
+    (replayable ingest: a retried batch is a no-op)."""
+    path = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(i, f"v1_{i}", 1) for i in range(50)], "doc_id long, text string, version long"
+    )
+    upsert_partitioned(spark, path, base, "doc_id", "version", N_PARTS)
+    batch = spark.createDataFrame(
+        [(i, f"v2_{i}", 2) for i in range(5)], "doc_id long, text string, version long"
+    )
+    upsert_partitioned(spark, path, batch, "doc_id", "version", N_PARTS)
+    once = sorted((r["doc_id"], r["text"], r["version"]) for r in spark.read.parquet(path).collect())
+    upsert_partitioned(spark, path, batch, "doc_id", "version", N_PARTS)
+    twice = sorted((r["doc_id"], r["text"], r["version"]) for r in spark.read.parquet(path).collect())
+    assert once == twice
+
+
+def test_streaming_ingest_upserts_corpus(spark, tmp_path):
+    """Streaming ingest into a maintained corpus: micro-batches flow
+    through foreachBatch -> upsert_partitioned, ending in the same state
+    a single batch upsert of the union would produce."""
+    import os
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    # chunk 0: initial keys; chunk 1: updates (higher version) + inserts
+    chunks = [
+        [(i, f"a_{i}", 1) for i in range(20)],
+        [(i, f"b_{i}", 2) for i in range(5)] + [(20 + i, f"n_{i}", 1) for i in range(3)],
+    ]
+    import pandas as pd
+
+    for n, rows in enumerate(chunks):
+        pd.DataFrame(rows, columns=["doc_id", "text", "version"]).to_parquet(
+            str(src_dir / f"chunk_{n}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, version long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _eid: upsert_partitioned(
+                bdf.sparkSession, corpus, bdf, "doc_id", "version", N_PARTS
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["text"], r["version"]) for r in spark.read.parquet(corpus).collect()}
+    assert len(got) == 23
+    for i in range(5):
+        assert got[i] == (f"b_{i}", 2)
+    for i in range(5, 20):
+        assert got[i] == (f"a_{i}", 1)
+    for i in range(3):
+        assert got[20 + i] == (f"n_{i}", 1)

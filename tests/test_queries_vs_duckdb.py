@@ -104,3 +104,10 @@ def test_best_cluster_strategies_agree(spark):
         .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(w, m)
+    f = (
+        P.best_fitting_cluster(li, clusters, strategy="fold", **kw)
+        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    # fold pools duplicate tuple ids with min(struct) instead of a window —
+    # including on the fixture's genuinely duplicated (orderkey, linenumber)s
+    pd.testing.assert_frame_equal(w, f)

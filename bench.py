@@ -52,6 +52,13 @@ def build_spark() -> SparkSession:
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("pyfads-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
+        # size scan splits to the FIXTURE files (largest ~11 MB at sf0.1):
+        # the 128 MB default gives 1-3 scan tasks per table, serializing
+        # every downstream stage behind a single-digit-parallelism scan.
+        # This is the local analogue of sizing maxPartitionBytes to the
+        # target SF on a cluster (SCALE.md "Global posture").
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -529,3 +529,35 @@ def chunk_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-k per-stratum sampling
+# --------------------------------------------------------------------------
+
+def _exact_k_sql() -> str:
+    from pyfads.llm_queries import _h60
+
+    h = _h60("exk", "CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang, {h} AS sample_hash FROM documents
+)
+SELECT doc_id, lang, sample_hash,
+       CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_hash, doc_id) AS rn
+  FROM m
+)
+WHERE rn <= 40
+"""
+
+
+@query("sample_exact_k", oracle=_exact_k_sql)
+def sample_exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 40 docs per language by stable hash order
+    (WindowGroupLimit: per-task top-k ahead of the shuffle)."""
+    from pyfads.pipeline import sample_exact_k
+
+    return sample_exact_k(read_table(spark, sf_dir, "documents"), k=40)

@@ -433,3 +433,29 @@ def select_by_stratum_quantile(
         )
         .select(id_col, strat_col, "n_tokens", "lo_thr", "hi_thr")
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int = 100,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "exk",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    the fixed-budget counterpart of :func:`sample_by_hash` (rate-based):
+    "give me 10k eval docs per language", reproducible across reruns and
+    cluster sizes.
+
+    Scale shape: ``row_number`` per stratum over the md5 order plans as
+    WindowGroupLimit — each map task forwards at most k rows per stratum
+    before the exchange, so the shuffle carries O(k x strata x tasks)
+    rows, never the corpus.  Growing the corpus only swaps which rows
+    rank inside k (hash order is stable per row)."""
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(strat_col), h.alias("sample_hash"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -81,3 +81,27 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,3)]" in plan
     assert "struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Production ingest shape: keep the raw line of anything that failed
+    to parse in a _corrupt_record column, split the stream into clean rows
+    and a quarantine side — nothing is silently dropped."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "BROKEN {{{\n"
+        '{"doc_id": 2, "text": "fine"}\n'
+        '{"doc_id": "not_a_number", "text": "bad type"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p),
+        schema="doc_id long, text string, _corrupt_record string",
+    ).cache()  # PERMISSIVE + corrupt column requires a cache/materialization
+    clean = df.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+    quarantine = df.filter("_corrupt_record IS NOT NULL")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    bad = [r["_corrupt_record"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("BROKEN" in b for b in bad)
+    assert len(clean.collect()) + len(bad) == 4
+    df.unpersist()

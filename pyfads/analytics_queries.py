@@ -561,3 +561,35 @@ def sample_exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads.pipeline import sample_exact_k
 
     return sample_exact_k(read_table(spark, sf_dir, "documents"), k=40)
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (prediction quality report)
+# --------------------------------------------------------------------------
+
+def _lang_confusion_sql() -> str:
+    from pyfads.llm_queries import _lang_sql
+
+    return f"""
+WITH pred AS ({_lang_sql()})
+SELECT d.lang AS lang_true, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+@query("lang_confusion", oracle=_lang_confusion_sql)
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality report: labeled language vs lang_id prediction,
+    counted per (true, predicted) cell — the confusion matrix a curation
+    run publishes before trusting a heuristic filter.  One equi-join on
+    doc_id + one map-side-combined agg to |langs|^2 rows."""
+    docs = _docs(spark, sf_dir)
+    pred = X.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -527,3 +527,39 @@ def ann_ivfpq_topk_oracle(
     return _ann_ivfpq_cached(
         oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries, tile
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _pca_components_cached(sf_dir: str, out_dim: int, sample_rows: int = 4096):
+    """Replicates similarity.train_pca outside Spark: same md5-ordered
+    bounded sample, same eigendecomposition (shared numpy helper) —
+    bitwise-identical components."""
+    import duckdb
+
+    from pyfads.similarity import _pca_from_sample
+
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    con.close()
+    rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)
+    return _pca_from_sample(m, out_dim)
+
+
+def embedding_pca_oracle(dim: int = 64, out_dim: int = 8) -> str:
+    comps = _pca_components_cached(oracle_sf_dir(), out_dim)
+    outs = []
+    for j in range(out_dim):
+        # Coefficient literals MUST go through a STRING cast: DuckDB parses
+        # bare 17-digit decimals as DECIMAL(18,17), and its DECIMAL->DOUBLE
+        # conversion is one ulp off the correctly-rounded strtod parse for
+        # some values (measured on -0.20963932573795319).  CAST('…' AS
+        # DOUBLE) is correctly rounded.  The sum runs as the same
+        # list_reduce left fold as the wide-dim oracles (order-guaranteed,
+        # expression-depth-safe).
+        cs = "[" + ", ".join(f"CAST('{comps[i, j]!r}' AS DOUBLE)" for i in range(dim)) + "]"
+        outs.append(
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> embedding[i]::DOUBLE * ({cs})[i])), (acc, x) -> acc + x) AS y{j}"
+        )
+    return f"SELECT vec_id, {', '.join(outs)} FROM embeddings"

@@ -1419,6 +1419,22 @@ def corpus_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merge_latest(mk(corpus_t, 1), mk(admitted, 2), "doc_id", "version")
 
+@query("embedding_pca8", oracle=lambda: G.embedding_pca_oracle(dim=64, out_dim=8))
+def embedding_pca8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction 64 -> 8: components trained on the
+    bounded md5-ordered sample (driver-side eigh, the FAISS-quantizer
+    contract shared with IVF/PQ training), projection as literal-
+    coefficient JVM expression chains — per-row, codegen, no UDF, no
+    shuffle.  The oracle retrains via the shared numpy helper and embeds
+    the same coefficients, so projections are bit-identical.  This is the
+    standard pre-LSH compaction step: 8-double sketches cut candidate-gen
+    shuffle bytes ~8x before exact re-rank on the full vectors."""
+    from pyfads.similarity import pca_project, train_pca
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    comps = train_pca(embs, dim=64, out_dim=8)
+    return pca_project(embs, comps)
+
 
 
 def _near_dup_wide_sql(threshold: float = 0.9) -> str:

@@ -733,3 +733,68 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def train_pca(
+    embeddings: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+) -> "np.ndarray":
+    """Train a (dim, out_dim) PCA projection on the bounded md5-ordered
+    sample (same driver-collect contract as :func:`train_ivf_centroids`):
+    mean-center the sample, eigendecompose its covariance, keep the top
+    ``out_dim`` components.  Deterministic given data: eigh of a fixed
+    matrix, components sign-fixed so the largest-|coeff| entry is
+    positive (eigenvector sign is otherwise arbitrary).
+
+    The corpus-side projection never sees numpy — the trained matrix is
+    embedded as literals in a JVM-side expression chain (and in the
+    DuckDB oracle), exactly like the IVF/PQ codebooks."""
+    return _pca_from_sample(
+        _pq_sample(embeddings, id_col, vec_col, sample_rows), out_dim
+    )
+
+
+def _pca_from_sample(m: "np.ndarray", out_dim: int) -> "np.ndarray":
+    """The numpy half of train_pca, shared with the oracle builder
+    (pyfads.golden) so both sides embed bitwise-identical coefficients."""
+    m = m - m.mean(axis=0, keepdims=True)
+    cov = (m.T @ m) / max(len(m) - 1, 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :out_dim]  # (dim, out_dim), top components first
+    for j in range(comps.shape[1]):
+        k = np.argmax(np.abs(comps[:, j]))
+        if comps[k, j] < 0:
+            comps[:, j] = -comps[:, j]
+    # quantize coefficients to float32 (the precision an ANN index ships
+    # anyway): float32 x float32-origin embedding values multiply EXACTLY
+    # in double (<= 48 mantissa bits), removing one whole class of
+    # cross-engine rounding sensitivity from the oracle comparison
+    return np.ascontiguousarray(comps.astype(np.float32).astype(np.float64))
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "y",
+) -> DataFrame:
+    """Project each vector onto the trained components: one double column
+    per output dimension, each a left-associated literal-coefficient sum
+    (bit-identical to the oracle's explicit chain; stays in whole-stage
+    codegen — components are plain literals, no UDF, no broadcast)."""
+    dim, out_dim = components.shape
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        expr = None
+        for i in range(dim):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double") * float(
+                components[i, j]
+            )
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"{out_prefix}{j}"))
+    return embeddings.select(*cols)

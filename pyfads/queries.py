@@ -10,6 +10,12 @@ Timestamp columns in the testdata are ``timestamp[us]`` parquet: Spark reads
 them as TIMESTAMP_NTZ, DuckDB as TIMESTAMP — so oracles use
 ``epoch_ms(col)`` where Spark uses :func:`pyfads.io.epoch_ms` (a
 tz-independent ``timestampdiff`` against the epoch; both floor to millis).
+
+Float-literal parity rule: embed double constants in oracle SQL as
+``CAST('<repr>' AS DOUBLE)`` (string cast).  A bare 17-digit literal
+parses as DECIMAL(18,17) in DuckDB, and its DECIMAL->DOUBLE conversion is
+one ulp off the correctly-rounded string parse for some values (measured:
+-0.20963932573795319) — enough to flip a value-hash comparison.
 """
 
 from __future__ import annotations

@@ -593,3 +593,63 @@ def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-type z-score anomaly flags (integer-moment arithmetic)
+# --------------------------------------------------------------------------
+
+_ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_cents) AS BIGINT) AS s,
+         CAST(sum(v_cents * v_cents) AS BIGINT) AS q
+  FROM c GROUP BY event_type
+)
+SELECT event_id, c.event_type, v_cents,
+       (CAST(v_cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS zscore,
+       abs((CAST(v_cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) > 3.0 AS is_outlier
+FROM c JOIN m USING (event_type)
+"""
+
+
+@query("value_zscore", oracle=_ZSCORE_SQL)
+def value_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score against its event_type's population moments, with
+    a |z| > 3 outlier flag — the anomaly-screening pass over a metric feed.
+
+    Determinism: value is exact cents, so n/sum/sum-of-squares are exact
+    BIGINTs under any partitioning; z is a fixed expression over those
+    three ints (divisions and one IEEE sqrt — both engines correctly
+    rounded).  One map-side-combined moments agg (5 rows) broadcast back;
+    the event stream never shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("q").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("v_cents").cast("double") - mean) / F.sqrt(var)
+    return c.join(F.broadcast(m), "event_type").select(
+        "event_id", "event_type", "v_cents",
+        z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_outlier"),
+    )

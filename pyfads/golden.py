@@ -563,3 +563,57 @@ def embedding_pca_oracle(dim: int = 64, out_dim: int = 8) -> str:
             f" i -> embedding[i]::DOUBLE * ({cs})[i])), (acc, x) -> acc + x) AS y{j}"
         )
     return f"SELECT vec_id, {', '.join(outs)} FROM embeddings"
+
+
+def ann_pca_lsh_topk_oracle(
+    dim: int = 64,
+    out_dim: int = 8,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB twin of similarity.ann_pca_lsh_topk: PCA components retrained
+    via the shared numpy helper (string-cast literals), projections as
+    list_reduce folds, sign-bit buckets from literal hyperplanes over the
+    projection, bucket equi-join, exact-cosine re-rank on full vectors."""
+    from pyfads.similarity import _hyperplanes
+
+    comps = _pca_components_cached(oracle_sf_dir(), out_dim)
+    planes = _hyperplanes(out_dim, n_planes, n_tables, seed)
+    norm = _chain_norm_sql("e0", dim)
+    proj_cols = []
+    for j in range(out_dim):
+        cs = "[" + ", ".join(f"CAST('{comps[i, j]!r}' AS DOUBLE)" for i in range(dim)) + "]"
+        proj_cols.append(
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> embedding[i]::DOUBLE * ({cs})[i])), (acc, x) -> acc + x) AS y{j}"
+        )
+    # one bucket expression per table: left-assoc 8-term plane dot, CASE bit
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_planes):
+            d = " + ".join(
+                f"y{x} * CAST('{planes[t, j, x]!r}' AS DOUBLE)" for x in range(out_dim)
+            )
+            bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)")
+        buckets.append(f"({t}, {' + '.join(bits)})")
+    tb_rows = ",\n    ".join(buckets)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+proj AS (SELECT vec_id, {', '.join(proj_cols)} FROM e),
+codes AS (
+  SELECT vec_id, t.table_idx, CAST(t.bucket AS BIGINT) AS bucket
+  FROM proj, LATERAL (VALUES
+    {tb_rows}
+  ) t(table_idx, bucket)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM codes q JOIN codes c USING (table_idx, bucket)
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+{_cosine_rerank_sql(dim, k)}
+"""

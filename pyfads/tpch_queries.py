@@ -363,3 +363,63 @@ def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_micros",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q17 flavor: small-quantity-order revenue (correlated aggregate, decorrelated)
+# --------------------------------------------------------------------------
+
+_SMALL_QTY_SQL = f"""
+WITH pa AS (
+  SELECT l_partkey AS pa_partkey,
+         CAST(count(*) AS BIGINT) AS n_li,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum({_CENTS}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa   ON l_partkey = pa_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * n_li < sum_qty
+GROUP BY p_brand
+"""
+
+
+@query("small_qty_revenue", oracle=_SMALL_QTY_SQL)
+def small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-flavored: revenue from line items whose quantity is below
+    20% of their part's average order quantity, per brand — the correlated
+    scalar-aggregate shape, decorrelated into a per-part aggregate + join.
+
+    Exactness trick: ``q < 0.2 * avg(q)`` is evaluated as the
+    cross-multiplied integer predicate ``5*q*n < sum_q`` — no float
+    division anywhere, so the boundary rows are bit-deterministic on both
+    engines (a double ``0.2 * avg`` could flip a row at the boundary).
+
+    100 TB shape: the per-part aggregate is map-side-combined to one row
+    per part; its join back to lineitem shuffles both sides on the part
+    key (shuffle-free if bucketed on it); part is broadcast for the brand
+    dimension."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_li"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.sum(_cents()).cast("long").alias("revenue_cents"),
+        )
+    )

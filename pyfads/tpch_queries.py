@@ -425,3 +425,64 @@ def small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents()).cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 flavor: trade volume between customer and supplier nations
+# --------------------------------------------------------------------------
+
+_TRADE_SQL = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros
+FROM lineitem
+JOIN orders    ON l_orderkey  = o_orderkey
+JOIN customer  ON o_custkey   = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier  ON l_suppkey   = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
+@query("nation_trade_matrix", oracle=_TRADE_SQL)
+def nation_trade_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-flavored: cross-border revenue per (customer nation,
+    supplier nation) pair — the two-armed star join (the same fact joined
+    through two independent dimension chains).
+
+    100 TB shape: both nation copies broadcast; supplier is
+    dimension-sized and broadcasts too, so the only fact-fact shuffle is
+    orders-lineitem on the order key.  The inequality filter runs after
+    the broadcasts, on 25x25 name pairs — no extra exchange.  Output is
+    bounded at |nations|^2 rows via one map-side-combined agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = read_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.withColumn("__rev", _cents() * (F.lit(10000) - _bp("l_discount")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("__rev").cast("long").alias("revenue_micros"),
+        )
+    )

@@ -1,6 +1,9 @@
-"""Driver-checkable queries for corpus-analytics operators added in round 4:
-text normalization, per-source curation reporting, KMV cardinality
-sketching, and semi-structured (JSON) event processing.
+"""Driver-checkable queries for corpus-analytics operators: text
+normalization, per-source curation reporting, KMV and Bloom sketches,
+semi-structured (JSON) event processing, chunking and chunk-level
+boilerplate detection, keyed upsert merge, quantile-calibrated trimming,
+vocabulary spectra, language-ID evaluation, z-score screening, snapshot
+diffing, and integer-bin reporting views.
 
 Same oracle-parity rules as :mod:`pyfads.llm_queries`: md5-based shared
 hashing, integer sums + one exact final division instead of double ``avg``

@@ -5,6 +5,7 @@ classic plan shape:
 - ``pricing_summary``    — Q1 flavor: wide partial-aggregate scan
 - ``shipping_priority``  — Q3 flavor: fact join + top-k (TakeOrdered)
 - ``order_priority``     — Q4 flavor: EXISTS semi-join with a non-equi term
+- ``nation_trade_matrix``— Q7 flavor: two-armed star join (supplier dim)
 - ``small_qty_revenue``  — Q17 flavor: correlated aggregate, decorrelated,
   with an exact integer cross-multiplied predicate
 - ``customers_no_orders``— Q22 flavor: NOT EXISTS anti-join

@@ -781,3 +781,41 @@ def event_rate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate.withColumn(
         "peak_rank", F.row_number().over(w).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user activity profile
+# --------------------------------------------------------------------------
+
+_USER_PROFILE_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms,
+       CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS span_ms,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+@query("user_profile", oracle=_USER_PROFILE_SQL)
+def user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile (counts, first/last/span, distinct
+    types, exact value sum) — the feature row a personalization or abuse
+    pipeline derives per entity.  One map-side-combined agg keyed on the
+    user; the distinct-type count rewrites to the standard two-phase
+    Expand internally."""
+    ev = read_table(spark, sf_dir, "events")
+    ms = epoch_ms(ev, "ts")
+    return ev.select(
+        "user_id", ms.alias("__ms"), "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("__vc"),
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("__ms").cast("long").alias("first_ms"),
+        F.max("__ms").cast("long").alias("last_ms"),
+        (F.max("__ms") - F.min("__ms")).cast("long").alias("span_ms"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum("__vc").cast("long").alias("value_cents"),
+    )

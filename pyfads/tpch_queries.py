@@ -487,3 +487,46 @@ def nation_trade_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__rev").cast("long").alias("revenue_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q19 flavor: disjunctive brand/quantity predicate revenue
+# --------------------------------------------------------------------------
+
+_DISJ_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("disjunctive_revenue", oracle=_DISJ_SQL)
+def disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-flavored: revenue under an OR-of-conjunctions predicate
+    mixing dimension attributes (brand) with fact attributes (quantity).
+
+    100 TB shape: Catalyst extracts the common quantity bounds
+    (1 <= q <= 30) as a pushable conjunct for the lineitem scan while the
+    full disjunction evaluates post-join; part broadcasts.  One scan, one
+    broadcast join, partial agg to a single row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(read_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(_cents() * (F.lit(10000) - _bp("l_discount")))
+            .cast("long")
+            .alias("revenue_micros"),
+        )
+    )

@@ -57,6 +57,7 @@ EXPECTED_BNLJ = {
 EXPECTED_SINGLE_PARTITION: set[str] = {
     "g2_global_bounds",
     "skew_report",  # same class: partial-agg feed, <= 1 row per partition
+    "disjunctive_revenue",  # keyless global agg: <= 1 partial row per task
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g8_info_loss",

@@ -442,6 +442,15 @@ class ForeachBatchFADS:
     One shared sequential state machine across micro-batches; call
     :meth:`flush` after ``query.stop()`` for the end-of-stream drain.
 
+    This is the parallelism-1 PARITY fallback (the reference's semantics
+    are a single sequential state machine): each micro-batch is pulled to
+    the driver with ``toPandas()``, so every micro-batch — not the whole
+    stream, but each trigger's worth of rows — must fit in driver memory.
+    Bound it with ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``.  The
+    primary executor-side path is :func:`fads_generalize_stream`
+    (``applyInPandasWithState``), which keeps state on executors and
+    scales out per key group.
+
     >>> fb = ForeachBatchFADS(cfg)
     >>> q = stream.writeStream.foreachBatch(fb).start()
     ... q.processAllAvailable(); q.stop()

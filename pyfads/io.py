@@ -340,6 +340,12 @@ def merge_latest(
     highest ``version_col`` wins, and at equal versions the batch row wins
     (upsert semantics).  Pure DataFrame logic — one row_number over the
     unioned sides, shuffle-free when both sides are bucketed on the key.
+
+    Precondition: each SIDE holds at most one row per (key, version) — the
+    tie-break orders by (version desc, side) only, so duplicate
+    (key, version) rows WITHIN a side would survive arbitrarily.  Callers
+    that cannot guarantee this should pre-dedup the side (e.g. with
+    :func:`pyfads.dedup.exact_dedup`) before merging.
     """
     cols = existing.columns
     if batch.columns != cols:
@@ -385,6 +391,15 @@ def upsert_partitioned(
     is b/n of the corpus.  Raise ``n_parts`` so one partition is a few GB;
     for transactional semantics swap the directory layout for a table
     format (the merge logic is unchanged).
+
+    Caveats (plain-parquet limits, by design): the write is NOT atomic —
+    a crash during job commit can leave some affected partitions replaced
+    and others not (re-running the same upsert repairs them: the merge is
+    idempotent, tests/test_upsert.py), and there must be no concurrent
+    writer to ``path`` while an upsert is in flight.  Both go away under a
+    table format.  The dynamic overwrite mode is scoped to THIS write via
+    a DataFrameWriter option, so concurrent jobs in the same session keep
+    their own overwrite semantics.
     """
     import os
 
@@ -398,10 +413,10 @@ def upsert_partitioned(
     )
     existing = spark.read.parquet(path).filter(F.col(part_col).isin(affected))
     merged = merge_latest(existing, batch, key_col, version_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.partitionBy(part_col).mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        merged.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
     return affected

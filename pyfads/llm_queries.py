@@ -1518,9 +1518,8 @@ def ann_pca_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_comps_cached(sf_dir: str):
     """train_pca is deterministic per sf_dir — train once per process (the
     golden builder's _pca_components_cached computes the identical matrix
-    without Spark, so reuse it)."""
-    import os
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+    without Spark, so reuse it; sf_dir is passed explicitly, never via
+    environment)."""
     return G._pca_components_cached(sf_dir, 8)
 
 

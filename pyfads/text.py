@@ -471,6 +471,11 @@ def chunk_documents(
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    # NULL text would otherwise yield one junk row (size(split(NULL)) is -1
+    # under legacy sizeOfNull, so greatest(n-1,0)=0 emits start=0) while the
+    # SQL oracle's generate_series over NULL emits none — drop NULLs so both
+    # engines agree that a NULL document has no chunks.
+    df = df.filter(F.col(text_col).isNotNull())
     return (
         df.select(
             F.col(id_col),

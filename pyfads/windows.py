@@ -142,6 +142,43 @@ def sliding_agg(
     return _window_agg(df, ts_col, width, slide, key_cols, aggs)
 
 
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    key_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Gap-session aggregation via native ``F.session_window`` — Spark's
+    built-in merging-session operator, so the SAME call works on a batch
+    DataFrame and on a watermarked streaming DataFrame (where the state
+    store merges/extends open sessions and the watermark finalizes them).
+
+    Output keys each session by its epoch-ms span, like :func:`tumbling_agg`.
+    Use :func:`sessionize` instead when per-EVENT session labels are needed
+    (session_window emits one row per closed session, not per event).
+
+    Scale shape: one shuffle on ``key_cols``; session merging happens
+    inside the state/agg exec, never as a self-join.
+    """
+    ntz = dict(df.dtypes)[ts_col] == "timestamp_ntz"
+    win = F.session_window(ts_col, gap)
+    grouped = df.groupBy(win.alias("win"), *key_cols).agg(*aggs)
+    if ntz:
+        ms = lambda f: F.expr(
+            f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.{f})"
+        )
+    else:
+        ms = lambda f: F.unix_millis(F.col(f"win.{f}"))
+    agg_cols = [c for c in grouped.columns if c != "win" and c not in key_cols]
+    return grouped.select(
+        ms("start").alias("sess_start_ms"),
+        ms("end").alias("sess_end_ms"),
+        *key_cols,
+        *agg_cols,
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -495,3 +532,46 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     base = ev.select("user_id", epoch_ms(ev, "ts").alias("ts_ms"))
     return cohort_retention(base)
+
+
+# session_window emits (first_ts, last_ts + gap) per closed session; the
+# oracle re-derives the same spans from gap sessionization + group-by-label.
+_SESSION_WINDOW_SQL = f"""
+WITH lab AS (
+  SELECT user_id, ts_ms, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM (
+    SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > {_GAP_MS}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+SELECT min(ts_ms) AS sess_start_ms, max(ts_ms) + {_GAP_MS} AS sess_end_ms,
+       user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lab GROUP BY user_id, session_seq
+"""
+
+
+@query("session_window_agg", oracle=_SESSION_WINDOW_SQL)
+def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute gap sessions via NATIVE ``F.session_window`` —
+    the streaming-ready twin of ``sessionize_events`` (the same
+    :func:`session_agg` call runs on a watermarked readStream; proven in
+    tests/test_windows.py::test_session_agg_stream_equals_batch)."""
+    ev = read_table(spark, sf_dir, "events")
+    return session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        ],
+    )

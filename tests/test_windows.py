@@ -200,3 +200,188 @@ def test_session_window_stream_matches_gap_sessionize(spark, event_files):
         got.astype({"n_sessions": "int64", "n_events": "int64"}),
         want.astype({"n_sessions": "int64", "n_events": "int64"}),
     )
+
+
+def test_sliding_stream_equals_batch(spark, event_files):
+    """sliding_agg runs unchanged on a watermarked stream: 1h windows
+    sliding every 15 min, complete-mode output == batch output."""
+    import shutil
+
+    from pyfads.windows import sliding_agg
+
+    shutil.rmtree("/tmp/ckpt_win_slide", ignore_errors=True)
+    batch_df = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    schema = read_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    got = _run_stream_to_memory(
+        spark,
+        sliding_agg(stream, "ts", "1 hour", "15 minutes", ["event_type"], aggs),
+        "win_slide",
+    ).toPandas()
+    want = sliding_agg(
+        batch_df, "ts", "1 hour", "15 minutes", ["event_type"], aggs
+    ).toPandas()
+    key = ["win_start_ms", "win_end_ms", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key + ["n"]], want[key + ["n"]])
+
+
+def test_session_agg_stream_equals_batch(spark, event_files):
+    """The registered session_window_agg operator (native F.session_window)
+    produces identical closed sessions on a stream and in batch."""
+    import shutil
+
+    from pyfads.windows import session_agg
+
+    shutil.rmtree("/tmp/ckpt_win_sagg", ignore_errors=True)
+    batch_df = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    schema = read_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    ]
+    got = _run_stream_to_memory(
+        spark,
+        session_agg(stream, "ts", "30 minutes", ["user_id"], aggs),
+        "win_sagg",
+    ).toPandas()
+    want = session_agg(batch_df, "ts", "30 minutes", ["user_id"], aggs).toPandas()
+    key = ["sess_start_ms", "sess_end_ms", "user_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["n_events", "sum_cents"]], want[key + ["n_events", "sum_cents"]]
+    )
+
+
+def test_tumbling_stream_foreachbatch_capture(spark, event_files):
+    """foreachBatch capture of the streaming tumbling agg in UPDATE mode:
+    the union of per-batch updates, last-write-wins per window, equals the
+    batch result — the sink-agnostic way to consume windowed updates."""
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_win_fb", ignore_errors=True)
+    batch_df = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    schema = read_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    captured: list[pd.DataFrame] = []
+
+    def capture(bdf, bid):
+        pdf = bdf.toPandas()
+        if len(pdf):
+            pdf["__bid"] = bid
+            captured.append(pdf)
+
+    q = (
+        agg.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", "/tmp/ckpt_win_fb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.concat(captured)
+        .sort_values("__bid")
+        .groupby(["win_start_ms", "win_end_ms", "event_type"], as_index=False)
+        .last()
+        .drop(columns="__bid")
+    )
+    want = tumbling_agg(
+        batch_df, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    ).toPandas()
+    key = ["win_start_ms", "win_end_ms", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key + ["n"]], want[key + ["n"]])
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: a row arriving after the watermark
+    passed its window is DROPPED; windows emit once finalized."""
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_win_late", ignore_errors=True)
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    import os
+    import time
+
+    base_mtime = time.time() - 1000
+
+    def write_file(name, rows, order):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(d / name, index=False)
+        # the file source orders batches by mtime; same-ms writes would make
+        # the intake order (and thus the watermark race) nondeterministic
+        os.utime(d / name, (base_mtime + order, base_mtime + order))
+
+    hour = 3600
+    # file 0: two rows in window [0h,1h); file 1: watermark-advancer at 3h
+    # (watermark := 3h+100s - 10min after this batch commits); file 2: the
+    # batch during which [0h,1h)'s state is evicted + emitted; file 3: a
+    # LATE row back in [0h,1h) that must now be dropped, plus a live row.
+    # The drop is only GUARANTEED once the window's state was evicted in an
+    # earlier batch — Spark's documented watermark semantics: a late row
+    # whose state still exists may legitimately be aggregated (measured: it
+    # is), so the late file must come two batches after the advancer.
+    write_file("f0.parquet", [(1, 100), (2, 200)], 0)
+    write_file("f1.parquet", [(3, 3 * hour + 100)], 10)
+    write_file("f2.parquet", [(6, 3 * hour + 200)], 20)
+    write_file("f3.parquet", [(4, 300), (5, 3 * hour + 300)], 30)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = tumbling_agg(stream, "ts", "1 hour", [], [F.count(F.lit(1)).alias("n")])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_late")
+        .outputMode("append")
+        .option("checkpointLocation", "/tmp/ckpt_win_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r.win_start_ms): int(r.n) for r in spark.table("win_late").collect()
+    }
+    # the late event_id=4 did NOT land in the first window (n stays 2); the
+    # [3h,4h) window is not in append output (never finalized — no later
+    # data advanced the watermark past it)
+    assert got == {0: 2}

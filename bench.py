@@ -28,22 +28,25 @@ from pyfads.metrics import BatchThroughput, observe_count  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# best-of-N per query: rep 1 pays JIT/python-worker warmup and host noise
-# (observed 3-20x swings on an otherwise idle box); the min is the
-# reproducible steady-state number, the median shows run-to-run dispersion
-# so a "regression" can be told apart from noise (VERDICT r3 item 6).
-# Reps are ADAPTIVE but with a FIXED floor of 3 for multi-second queries
-# (VERDICT r4 item 2: best-of-2 mins were not comparable round-over-round
-# with best-of-5 mins); sub-second queries keep the full REPS because host
-# noise dominates there.  The per-query rep count is recorded in
-# BENCH_FULL.json so any future methodology change stays diagnosable.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+# best-of-N per query, N adaptive by CONVERGENCE (VERDICT r4 item 2): the
+# reported number is the steady-state min, but the JIT warmup curve for
+# codegen-heavy queries is long and NON-monotonic — dedup_minhash_lsh
+# measured [16.2, 6.7, 12.5, 1.13, 1.2, 1.11] s in one session, so any
+# fixed-small rep count lands somewhere random on the warmup slope (that
+# was the whole r3->r4 "2.7x regression": best-of-5 vs best-of-2 on this
+# curve).  Rule: run at least MIN_REPS, stop as soon as the two fastest
+# reps agree within 20% (steady state reached), cap at REPS.  The full
+# rep list per query is recorded in BENCH_FULL.json so round-over-round
+# comparisons can always see where on the curve a min came from.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
+MIN_REPS = min(3, REPS)
 
 
-def _extra_reps(first_sec: float) -> int:
-    if first_sec < 1.0:
-        return max(REPS - 1, 0)
-    return min(2, max(REPS - 1, 0))
+def _converged(reps: "list[float]") -> bool:
+    if len(reps) < MIN_REPS:
+        return False
+    fastest, second = sorted(reps)[:2]
+    return second <= fastest * 1.2
 
 
 def build_spark() -> SparkSession:
@@ -80,6 +83,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
+    rep_lists: dict[str, list] = {}
     flagship_rows = 0
     flagship_sec = 0.0
 
@@ -90,8 +94,7 @@ def main() -> None:
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         try:
             reps: list[float] = []
-            budget = 1
-            while len(reps) < budget:
+            while len(reps) < REPS and not _converged(reps):
                 df = fn(spark, SF_DIR)
                 if name == "fads_generalize_events":
                     df, obs = observe_count(df)
@@ -106,16 +109,16 @@ def main() -> None:
                     force(df)
                     sec = time.perf_counter() - t0
                 reps.append(sec)
-                if len(reps) == 1:
-                    budget = 1 + _extra_reps(sec)
             timings[name] = round(min(reps), 3)
             medians[name] = round(statistics.median(reps), 3)
             rep_counts[name] = len(reps)
+            rep_lists[name] = [round(r, 3) for r in reps]
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
             medians[name] = -1.0
             rep_counts[name] = 0
+            rep_lists[name] = []
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     rows_per_sec = flagship_rows / flagship_sec if flagship_sec > 0 else 0.0
@@ -139,6 +142,7 @@ def main() -> None:
     full["queries"] = timings
     full["queries_median"] = medians
     full["queries_reps"] = rep_counts
+    full["queries_rep_lists"] = rep_lists
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

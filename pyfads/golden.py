@@ -236,8 +236,8 @@ WHERE rank <= {k}
 def ann_lsh_topk_oracle(
     dim: int = 64,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     n_queries: int = 8,
     tile: int = 1,
@@ -569,8 +569,8 @@ def ann_pca_lsh_topk_oracle(
     dim: int = 64,
     out_dim: int = 8,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     n_queries: int = 8,
 ) -> str:

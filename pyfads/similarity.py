@@ -277,8 +277,8 @@ def ann_lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -815,8 +815,8 @@ def ann_pca_lsh_topk(
     dim: int,
     out_dim: int = 8,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

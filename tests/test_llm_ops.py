@@ -827,3 +827,37 @@ def test_connected_components_random_fuzz(spark):
             for r in D.connected_components(pairs, nodes).collect()
         }
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_ann_recall_dim1024_all_paths(spark):
+    """Pin the accuracy/cost trade-off at a realistic model dim (VERDICT r4
+    item 7): recall@10 floors for every dim-1024 ANN path against the exact
+    brute-force baseline on the 16x-tiled fixtures (tiling preserves cosine,
+    so the geometry is the dim-64 worst case at 1024 width).  All paths are
+    seeded — measured values are deterministic per sf (lsh 0.725, pca_lsh
+    0.80, ivf 0.487 at 12.5% scan, ivfpq ADC 0.325 / refined 0.475)."""
+    dim, tile = 1024, 16
+    embs = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), tile)).alias("embedding")
+    )
+    q = embs.filter(F.col("vec_id") < 8)
+    exact_set = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.cosine_topk(embs, q, dim=dim, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact_set & got) / len(exact_set)
+
+    r_lsh = recall(S.ann_lsh_topk(embs, q, dim, k=10))
+    assert r_lsh >= 0.5, f"dim-1024 LSH recall {r_lsh:.2f} below floor"
+    r_pca = recall(S.ann_pca_lsh_topk(embs, q, dim, k=10))
+    assert r_pca >= 0.5, f"dim-1024 PCA-LSH recall {r_pca:.2f} below floor"
+    r_ivf = recall(S.ann_ivf_topk(embs, q, dim, k=10))
+    assert r_ivf >= 0.35, f"dim-1024 IVF recall {r_ivf:.2f} below floor"
+    r_adc = recall(S.ann_ivfpq_topk(embs, q, dim, k=10))
+    assert r_adc >= 0.15, f"dim-1024 IVF-PQ ADC recall {r_adc:.2f} below floor"
+    r_ref = recall(S.ann_ivfpq_topk(embs, q, dim, k=10, refine=4))
+    assert r_ref > r_adc, f"dim-1024 refine did not improve ({r_ref:.2f} <= {r_adc:.2f})"
+    assert r_ref >= 0.3, f"dim-1024 refined recall {r_ref:.2f} below floor"

@@ -399,6 +399,7 @@ def _ann_ivfpq_cached(
     pq_seed: int,
     n_queries: int,
     tile: int = 1,
+    refine: int = 0,
 ) -> str:
     dsub = dim // m_sub
     cents = _ivf_centroids(sf_dir, n_centroids, seed, tile)
@@ -497,14 +498,47 @@ adc AS (
                      (acc, x) -> acc + x) AS adc
   FROM terms GROUP BY q_id, neighbor_id
 )
-SELECT q_id, neighbor_id, adc, rank
+{_ivfpq_tail(dim, k, refine)}
+"""
+
+
+def _ivfpq_tail(dim: int, k: int, refine: int) -> str:
+    """Final select for the IVF-PQ oracle: pure-ADC top-k when refine == 0;
+    otherwise the refine stage — top refine*k ADC shortlist re-ranked by
+    exact chain-arithmetic cosine (bit-identical to Spark's dot_expr /
+    norm_expr path, same as _cosine_rerank_sql)."""
+    if not refine:
+        return f"""SELECT q_id, neighbor_id, adc, rank
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                                     ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
   FROM adc
 )
-WHERE rank <= {k}
-"""
+WHERE rank <= {k}"""
+    dot = _chain_dot_sql("a", "b", dim)
+    na = _chain_norm_sql("a", dim)
+    nb = _chain_norm_sql("b", dim)
+    return f""", shortlist AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {refine * k}
+),
+refined AS (
+  SELECT s.q_id, s.neighbor_id,
+         ({dot}) / ({na} * {nb}) AS cosine
+  FROM shortlist s
+  JOIN e a ON a.vec_id = s.q_id
+  JOIN e b ON b.vec_id = s.neighbor_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM refined
+)
+WHERE rank <= {k}"""
 
 
 def ann_ivfpq_topk_oracle(
@@ -518,14 +552,16 @@ def ann_ivfpq_topk_oracle(
     pq_seed: int = 11,
     n_queries: int = 8,
     tile: int = 1,
+    refine: int = 0,
 ) -> str:
-    """Fully independent DuckDB twin of similarity.ann_ivfpq_topk (refine=0):
-    both codebooks retrain deterministically at build time and ride in as
+    """Fully independent DuckDB twin of similarity.ann_ivfpq_topk: both
+    codebooks retrain deterministically at build time and ride in as
     literals; DuckDB recomputes cells, PQ codes, and the left-folded ADC
     scores from scratch.  ``tile`` > 1 widens the fixture vectors by
-    concatenation (the wide-dim variant)."""
+    concatenation (the wide-dim variant); ``refine`` > 0 mirrors the exact
+    -cosine refine stage over the top refine*k ADC shortlist."""
     return _ann_ivfpq_cached(
-        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries, tile
+        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, m_sub, ksub, pq_seed, n_queries, tile, refine
     )
 
 

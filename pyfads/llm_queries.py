@@ -622,6 +622,21 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_refined", oracle=lambda: G.ann_ivfpq_topk_oracle(refine=4))
+def ann_ivfpq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the standard exact-cosine refine stage: the top 4*k ADC
+    shortlist is re-ranked with the full vectors (chain dot/norm, so the
+    cosines are bit-identical to the brute-force baseline).  100 TB shape:
+    the full vectors are read for only refine*k rows per query — the
+    expensive scan stays on the 8-byte PQ codes.  Oracle: the same
+    codebook-literal twin extended with the shortlist re-rank
+    (golden._ivfpq_tail)."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_ivfpq_topk(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10, refine=4
+    )
+
+
 @query("ann_lsh_topk", oracle=G.ann_lsh_topk_oracle)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 — the 100 TB scale path.  Oracle: the

@@ -179,6 +179,51 @@ def session_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts_col: str,
+    right_ts_col: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """Event-time interval join (Flink's `intervalJoin` shape): every
+    (l, r) pair of the same key with
+    ``l.ts + lower_ms <= r.ts <= l.ts + upper_ms``.
+
+    Both ``*_ts_col`` must be TIMESTAMP columns (cast epoch-ms longs
+    first): the range condition is built with interval arithmetic on the
+    event-time columns so that on two watermarked streams Spark recognizes
+    the canonical stream-stream interval join and evicts state once the
+    other side's watermark passes ``ts + upper_ms``.  In batch the same
+    condition is an equi-join on ``key_cols`` with the range as a residual
+    predicate — a hash/sort-merge join on the key, NOT a nested-loop range
+    join; the range only filters within key groups.
+
+    Column discipline: ``key_cols`` appear once; all other columns keep
+    their side's name (caller renames collisions first).
+    """
+    lk = [F.col(f"l.{c}") for c in key_cols]
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"l.{c}") == F.col(f"r.{c}")
+        cond = eq if cond is None else cond & eq
+    rng = F.expr(
+        f"r.{right_ts_col} >= l.{left_ts_col} + INTERVAL {lower_ms} MILLISECONDS"
+    ) & F.expr(f"r.{right_ts_col} <= l.{left_ts_col} + INTERVAL {upper_ms} MILLISECONDS")
+    l_other = [c for c in left.columns if c not in key_cols]
+    r_other = [c for c in right.columns if c not in key_cols]
+    dup = set(l_other) & set(r_other)
+    if dup:
+        raise ValueError(f"rename colliding non-key columns first: {sorted(dup)}")
+    return (
+        left.alias("l")
+        .join(right.alias("r"), cond & rng)
+        .select(*lk, *[F.col(f"l.{c}") for c in l_other], *[F.col(f"r.{c}") for c in r_other])
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -532,6 +577,42 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     base = ev.select("user_id", epoch_ms(ev, "ts").alias("ts_ms"))
     return cohort_retention(base)
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+       p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 3600000
+"""
+
+
+@query("interval_join_events", oracle=_INTERVAL_JOIN_SQL)
+def interval_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL click->purchase pairs within 1 hour per user via
+    :func:`interval_join` (vs ``funnel_click_purchase``, which keeps only
+    the FIRST conversion).  The same call on two watermarked streams is
+    Spark's stream-stream interval join —
+    tests/test_windows.py::test_interval_join_stream_equals_batch."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    joined = interval_join(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", 0, 3_600_000
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        epoch_ms(joined, "c_ts").alias("click_ms"),
+        "purchase_id",
+        epoch_ms(joined, "p_ts").alias("purchase_ms"),
+    )
 
 
 # session_window emits (first_ts, last_ts + gap) per closed session; the

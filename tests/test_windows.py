@@ -385,3 +385,87 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # [3h,4h) window is not in append output (never finalized — no later
     # data advanced the watermark past it)
     assert got == {0: 2}
+
+
+def test_interval_join_batch_semantics(spark):
+    """Hand-computed: all (left, right) same-key pairs with r.ts in
+    [l.ts, l.ts + 10s]; boundary inclusive both ends, cross-key never."""
+    from pyfads.windows import interval_join
+
+    lrows = [(1, "2020-01-01 00:00:00"), (2, "2020-01-01 00:01:00")]
+    rrows = [
+        (1, "2020-01-01 00:00:05", 100),
+        (1, "2020-01-01 00:00:10", 101),  # exactly +10s -> included
+        (1, "2020-01-01 00:00:11", 102),  # +11s -> excluded
+        (2, "2020-01-01 00:00:59", 103),  # before left ts -> excluded
+        (2, "2020-01-01 00:01:00", 104),  # exactly equal -> included
+    ]
+    left = spark.createDataFrame(lrows, "user_id long, l_ts string").withColumn(
+        "l_ts", F.col("l_ts").cast("timestamp")
+    )
+    right = spark.createDataFrame(rrows, "user_id long, r_ts string, rid long").withColumn(
+        "r_ts", F.col("r_ts").cast("timestamp")
+    )
+    out = interval_join(left, right, ["user_id"], "l_ts", "r_ts", 0, 10_000)
+    assert sorted(r.rid for r in out.collect()) == [100, 101, 104]
+    # the plan must be a key equi-join, not a nested loop over the range
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_stream_equals_batch(spark, event_files):
+    """Stream-stream interval join (both sides watermarked) produces the
+    same click->purchase pairs as the batch interval_join."""
+    import shutil
+
+    from pyfads.windows import interval_join
+
+    shutil.rmtree("/tmp/ckpt_win_ssj", ignore_errors=True)
+    schema = read_table(spark, SF_DIR, "events").schema
+
+    def side(df, etype, idname, tsname):
+        return df.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(idname),
+            F.col("ts").cast("timestamp").alias(tsname),
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+    )
+    clicks = side(stream, "click", "click_id", "c_ts").withWatermark("c_ts", "2 hours")
+    purchases = side(stream, "purchase", "purchase_id", "p_ts").withWatermark(
+        "p_ts", "2 hours"
+    )
+    joined = interval_join(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", 0, 3_600_000
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("win_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", "/tmp/ckpt_win_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("win_ssj").collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in interval_join(
+            side(batch, "click", "click_id", "c_ts"),
+            side(batch, "purchase", "purchase_id", "p_ts"),
+            ["user_id"],
+            "c_ts",
+            "p_ts",
+            0,
+            3_600_000,
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -530,3 +530,150 @@ def disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 flavor: forecast revenue — pure selective-predicate scan + global agg
+# --------------------------------------------------------------------------
+
+_FORECAST_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum({_CENTS} * {_DISC_BP}) AS BIGINT) AS discount_micros
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND {_DISC_BP} BETWEEN 500 AND 700
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue", oracle=_FORECAST_SQL)
+def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-flavored: would-have-been revenue of discounts in a band —
+    the canonical selective-scan shape with NO join at all.
+
+    100 TB shape: the shipdate range and quantity bound push to the
+    parquet scan (row-group min/max pruning skips whole files outside the
+    year); the discount-band test runs on exact basis points, not float
+    equality.  Partial agg collapses each task to one row before the
+    single bounded exchange (audited allowlist class: <= 1 row per
+    partition)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & _bp("l_discount").between(500, 700)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(_cents() * _bp("l_discount")).cast("long").alias("discount_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 flavor: returned-item customer ranking — 3-way join + top-k
+# --------------------------------------------------------------------------
+
+_RETURNED_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS revenue_micros
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, acctbal_cents
+ORDER BY revenue_micros DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_item_ranking", oracle=_RETURNED_SQL)
+def returned_item_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-flavored: customers ranked by revenue of their RETURNED
+    line items in a half-year window, with nation context.
+
+    100 TB shape: the orderdate window prunes the orders scan and the
+    returnflag filter prunes lineitem (both pushed); the orders-lineitem
+    equi-join shuffles on the order key, the customer join on custkey, and
+    nation is a pinned broadcast.  Top-20 is TakeOrderedAndProject with a
+    total-order tie-break (revenue DESC, custkey), never a global sort."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        orders.join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .agg(
+            F.sum(_cents() * (F.lit(10000) - _bp("l_discount")))
+            .cast("long")
+            .alias("revenue_micros")
+        )
+        .select("c_custkey", "c_name", "n_name", "acctbal_cents", "revenue_micros")
+        .orderBy(F.desc("revenue_micros"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 flavor: promo revenue share — conditional aggregate ratio
+# --------------------------------------------------------------------------
+
+_PROMO_SQL = f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN {_CENTS} * (10000 - {_DISC_BP}) ELSE 0 END) AS BIGINT)
+           AS promo_micros,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS total_micros,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN {_CENTS} * (10000 - {_DISC_BP}) ELSE 0 END) AS DOUBLE)
+         / sum({_CENTS} * (10000 - {_DISC_BP})) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@query("promo_revenue_share", oracle=_PROMO_SQL)
+def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-flavored: share of revenue from PROMO-type parts in a
+    quarter — the conditional-aggregate-ratio shape.
+
+    100 TB shape: the shipdate window pushes to the lineitem scan; part
+    broadcasts (a few 100 MB even at SF100k); one partial agg to a single
+    row (audited allowlist class).  The ratio is one double division of
+    two exact integer micros sums, so it is bit-stable under any
+    partitioning."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-04-01 00:00:00'"))
+    )
+    part = F.broadcast(read_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    micros = _cents() * (F.lit(10000) - _bp("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", micros).otherwise(F.lit(0))
+    agged = li.join(part, li.l_partkey == F.col("p_partkey")).agg(
+        F.sum(promo).cast("long").alias("promo_micros"),
+        F.sum(micros).cast("long").alias("total_micros"),
+    )
+    return agged.select(
+        "promo_micros",
+        "total_micros",
+        (F.col("promo_micros").cast("double") / F.col("total_micros")).alias(
+            "promo_share"
+        ),
+    )

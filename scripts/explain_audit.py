@@ -58,6 +58,8 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "g2_global_bounds",
     "skew_report",  # same class: partial-agg feed, <= 1 row per partition
     "disjunctive_revenue",  # keyless global agg: <= 1 partial row per task
+    "forecast_revenue",  # Q6 flavor: same keyless-global-agg class
+    "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g8_info_loss",

@@ -819,3 +819,72 @@ def user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.sum("__vc").cast("long").alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (text.bm25_topk) — the oracle SQL is generated from the
+# same term list / constants so every double literal and every operation in
+# the scoring chain matches the Spark expression exactly (repr-printed
+# literals parse to the same binary64 in both engines; all ops are
+# correctly-rounded IEEE, so the fixed-order chain is bit-identical).
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["join", "dup", "vector", "window"]
+_BM25_K = 20
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    half = "'0.5'::DOUBLE"
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
+        denom = (
+            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
+            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
+        )
+        terms.append(f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id,
+       CAST(round({score} * '1000000.0'::DOUBLE) AS BIGINT) AS score_micros
+FROM base CROSS JOIN stats
+ORDER BY score_micros DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_topk", oracle=_bm25_sql())
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term bag — the retrieval
+    primitive a contamination check or RAG corpus audit runs.  One corpus
+    scan (per-doc tf via array filters — nothing explodes), one single-row
+    broadcast stats agg, one TakeOrdered; odds-form idf keeps the score a
+    fixed chain of IEEE ops both engines reproduce bit-for-bit
+    (see pyfads.text.bm25_topk)."""
+    return X.bm25_topk(
+        _docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )

@@ -489,3 +489,79 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a bag of ``query_terms``.
+
+    Scoring: for each query term t,
+        idf(t)   = (N - df_t + 0.5) / (df_t + 0.5)        (odds form — no
+                   transcendental, so the arithmetic is a fixed chain of
+                   correctly-rounded IEEE double ops that any engine
+                   reproduces bit-for-bit; the usual log() wrapper is
+                   monotone, so rankings are unchanged)
+        score_t  = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl*N/sumdl))
+    summed over the FIXED literal term order and quantized ONCE to micros
+    (BIGINT) — deterministic under any partitioning.
+
+    Scale shape (the whole point vs an exploded inverted index): tf for
+    the bounded query-term list is computed per document with array
+    filters in one projection — the corpus is scanned ONCE, nothing
+    explodes, and the only shuffles are (a) one partial-agg to a single
+    broadcast stats row (N, sumdl, df per term) and (b) the TakeOrdered
+    top-k.  At 100 TB this is a map-only scan plus two tiny exchanges.
+    For serving many ad-hoc queries, materialize `tf` per (doc, term)
+    once instead; for ONE query-at-a-time scoring, this shape is optimal.
+    """
+    toks = tokens(text_col)
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda: a 2-arg lambda (even via default args) makes
+        # F.filter bind the second parameter to the element INDEX
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+                for i in range(len(query_terms))
+            ],
+        )
+    )
+    half = F.lit(0.5)
+
+    def term_score(i: int) -> "F.Column":
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n_docs") - F.col(f"df{i}") + half) / (F.col(f"df{i}") + half)
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+        )
+        return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    return (
+        base.crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.round(score * F.lit(1_000_000.0)).cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), id_col)
+        .limit(k)
+    )

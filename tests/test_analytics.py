@@ -164,3 +164,29 @@ def test_chunk_documents_covers_and_overlaps(spark):
         covered.update(r["chunk_text"].split(" "))
     assert covered == {f"t{i}" for i in range(150)}
     assert by_doc[2][0]["chunk_text"] == "a b c" and len(by_doc[2]) == 1
+
+
+def test_bm25_ranking_semantics(spark):
+    """tf monotonicity and idf: more hits rank higher; a rare term
+    outscores an equally-frequent ubiquitous term."""
+    from pyfads.text import bm25_topk
+
+    rows = [
+        (1, "join join join pad pad pad"),
+        (2, "join pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad"),
+        (4, "rare pad pad pad pad pad"),
+        (5, "join rare pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["join"], k=5).collect()
+    ranked = [r.doc_id for r in out]
+    # doc 1 (tf=3) > docs 2/5 (tf=1) > docs 3/4 (tf=0)
+    assert ranked[0] == 1
+    assert set(ranked[1:3]) == {2, 5}
+    assert {r.doc_id: r.score_micros for r in out}[3] == 0
+    # 'rare' appears in 2/5 docs, 'join' in 3/5: for equal tf the rare
+    # term's idf is larger, so doc 4 (rare only) outscores doc 2 (join only)
+    out2 = {r.doc_id: r.score_micros for r in bm25_topk(df, ["join", "rare"], k=5).collect()}
+    assert out2[4] > out2[2]
+    assert out2[5] > out2[4]  # both terms beats either alone

@@ -39,6 +39,7 @@ EXPECTED_BNLJ = {
     "g8_info_loss",
     "g9_best_cluster",
     "g11_suppress",
+    "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
 }
 
 # Queries allowed to contain an `Exchange SinglePartition` — a shuffle that
@@ -60,6 +61,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "disjunctive_revenue",  # keyless global agg: <= 1 partial row per task
     "forecast_revenue",  # Q6 flavor: same keyless-global-agg class
     "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
+    "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g8_info_loss",

@@ -245,21 +245,22 @@ def contamination_overlap(
     )
     probe_grams = doc_grams
     if bloom_words is not None:
-        from pyfads.sketches import bloom_build, bloom_probe
+        from pyfads.sketches import bloom_build, bloom_maybe_expr
 
         key = F.col("gram_h").cast("string")
+        # bounded collect (<= bloom_words rows) of the distributed bit_or
+        # build, then the probe is a PURE MAP-SIDE FILTER via the literal
+        # lookup — r5 rework: the previous distributed probe added a
+        # corpus-gram distinct, a groupBy, and a string-keyed semi-join
+        # (three shuffles) and benched 2.6x SLOWER than no prefilter at
+        # sf0.1; the literal form adds zero shuffles, so the prefilter can
+        # only help.  bloom_probe remains for filters too large to embed.
         bloom = bloom_build(
             bench_hashes.select(key.alias("k")), "k", bloom_words, seed=seed
         )
-        verdicts = bloom_probe(
-            bloom,
-            doc_grams.select(key.alias("k")).distinct(),
-            "k",
-            bloom_words,
-            seed=seed,
-        ).filter(F.col("maybe"))
-        probe_grams = doc_grams.join(
-            verdicts.select(F.col("k")), key == F.col("k"), "left_semi"
+        words = {r["word_idx"]: r["word"] for r in bloom.collect()}
+        probe_grams = doc_grams.filter(
+            bloom_maybe_expr(words, key, bloom_words, seed=seed)
         )
     contaminated = (
         probe_grams.join(bench_grams, "gram_h", "left_semi")

@@ -170,3 +170,32 @@ def bloom_probe(
         .groupBy(key_col)
         .agg(F.bool_and("__hit").alias("maybe"))
     )
+
+
+def bloom_maybe_expr(
+    words: "dict[int, int]",
+    key: F.Column,
+    n_words: int = 1024,
+    k: int = 4,
+    seed: str = "bloom",
+) -> F.Column:
+    """Membership test against a COLLECTED Bloom filter as a pure column
+    expression: ``words`` is the (word_idx -> word) dict of a
+    :func:`bloom_build` result (<= n_words rows — a bounded collect of the
+    same class as the IVF codebook), embedded as an array literal.
+
+    This turns the probe into a map-side filter — no distinct, no join, no
+    shuffle at all — the right shape whenever the filter fits in the plan
+    (8 KB per 1024 words; fine up to millions of words).  Use
+    :func:`bloom_probe` instead when the filter itself is too large to
+    embed.  Same positions/words as the distributed probe, so verdicts are
+    identical (no false negatives either way)."""
+    lookup = F.lit([int(words.get(i, 0)) for i in range(n_words)])
+    masks = F.lit([1 << i for i in range(_BITS_PER_WORD)])
+    cond = None
+    for w, b in _bloom_positions(key, n_words, k, seed):
+        word = F.element_at(lookup, (w + 1).cast("int"))
+        mask = F.element_at(masks, (b + 1).cast("int"))
+        bit = word.bitwiseAND(mask) != 0
+        cond = bit if cond is None else cond & bit
+    return cond

@@ -535,6 +535,9 @@ def incremental_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 64,
+    corpus_hashes: "DataFrame | None" = None,
+    corpus_sigs: "DataFrame | None" = None,
+    corpus_shingles: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental ingest dedup: admit ``batch`` documents against an
     existing ``corpus`` — the daily-crawl-vs-historical-corpus gate of a
@@ -557,10 +560,19 @@ def incremental_dedup(
     recall loss only on boilerplate buckets).  Batch-internal pairs reuse
     the salt-capped self-join.  At 100 TB the corpus signatures/hashes
     would be a bucketed table maintained incrementally (pyfads.io.
-    write_bucketed), making the per-batch cost independent of corpus size.
+    write_bucketed), making the per-batch cost independent of corpus size
+    — pass them in as ``corpus_hashes`` (distinct md5 strings, column
+    ``__h``), ``corpus_sigs`` (:func:`minhash_signature` output) and
+    ``corpus_shingles`` (:func:`shingle_sets` output), and the corpus
+    text column is never read at all (output verified identical:
+    tests/test_llm_ops.py::test_incremental_dedup_presigged).
     """
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
-    ch = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    ch = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    )
     exact_corpus = bh.join(ch, "__h", "left_semi").select(id_col)
     first_b = bh.groupBy("__h").agg(F.min(id_col).alias("__first"))
     exact_batch = (
@@ -582,7 +594,12 @@ def incremental_dedup(
     # ReusedExchange instead of re-hashing every shingle per consumer
     sig_b = minhash_signature(batch, text_col, id_col, n_perm)
     bands_b = banded(sig_b)
-    bands_c = banded(minhash_signature(corpus, text_col, id_col, n_perm))
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signature(corpus, text_col, id_col, n_perm)
+    )
+    bands_c = banded(sig_c)
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_key").orderBy(id_col)
         bands_c = (
@@ -599,9 +616,12 @@ def incremental_dedup(
         .select("a_id", "b_id")
         .distinct()
     )
-    sh_all = shingle_sets(corpus, text_col, id_col).unionByName(
-        shingle_sets(batch, text_col, id_col)
+    sh_c = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_sets(corpus, text_col, id_col)
     )
+    sh_all = sh_c.unionByName(shingle_sets(batch, text_col, id_col))
     near_corpus_ids = (
         jaccard_verify(cand_cb, sh_all, id_col, threshold)
         .select(F.col("b_id").alias(id_col))

@@ -861,3 +861,29 @@ def test_ann_recall_dim1024_all_paths(spark):
     r_ref = recall(S.ann_ivfpq_topk(embs, q, dim, k=10, refine=4))
     assert r_ref > r_adc, f"dim-1024 refine did not improve ({r_ref:.2f} <= {r_adc:.2f})"
     assert r_ref >= 0.3, f"dim-1024 refined recall {r_ref:.2f} below floor"
+
+
+def test_incremental_dedup_presigged(spark):
+    """Passing precomputed corpus hashes/signatures/shingles (the bucketed
+    -table maintenance path the docstring promises at 100 TB) yields
+    verdicts identical to reading the corpus text — the corpus text column
+    is never touched by the presigged plan."""
+    docs = read_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    want = {
+        (r.doc_id, r.reason, r.keep)
+        for r in D.incremental_dedup(corpus, batch).collect()
+    }
+    hashes = corpus.select(F.md5(F.col("text")).alias("__h")).distinct()
+    sigs = D.minhash_signature(corpus)
+    sh = D.shingle_sets(corpus)
+    got_df = D.incremental_dedup(
+        corpus,
+        batch,
+        corpus_hashes=hashes,
+        corpus_sigs=sigs,
+        corpus_shingles=sh,
+    )
+    got = {(r.doc_id, r.reason, r.keep) for r in got_df.collect()}
+    assert got == want and len(want) > 0

@@ -469,3 +469,58 @@ def test_interval_join_stream_equals_batch(spark, event_files):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_matches_bruteforce_reference(spark):
+    """Property: interval_join == the quadratic per-key reference on random
+    inputs (boundary-inclusive both ends, negative lower bound allowed)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyfads.windows import interval_join
+
+    row = st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=120),    # ts seconds
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lrows=st.lists(row, min_size=0, max_size=8),
+        rrows=st.lists(row, min_size=0, max_size=8),
+        lower=st.integers(min_value=-30, max_value=10),
+        width=st.integers(min_value=0, max_value=40),
+    )
+    def run(lrows, rrows, lower, width):
+        upper = lower + width
+        left = spark.createDataFrame(
+            [(i, k, f"1970-01-01 00:{t // 60:02d}:{t % 60:02d}") for i, (k, t) in enumerate(lrows)] or [(0, 0, "1970-01-01 00:00:00")],
+            "lid long, user_id long, l_ts string",
+        ).withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(i, k, f"1970-01-01 00:{t // 60:02d}:{t % 60:02d}") for i, (k, t) in enumerate(rrows)] or [(0, 0, "1970-01-01 00:00:00")],
+            "rid long, user_id long, r_ts string",
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        if not lrows:
+            left = left.filter(F.lit(False))
+        if not rrows:
+            right = right.filter(F.lit(False))
+        got = {
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, ["user_id"], "l_ts", "r_ts", lower * 1000, upper * 1000
+            ).collect()
+        }
+        want = {
+            (li, ri)
+            for li, (lk, lt) in enumerate(lrows)
+            for ri, (rk, rt) in enumerate(rrows)
+            if lk == rk and lt + lower <= rt <= lt + upper
+        }
+        assert got == want
+
+    run()

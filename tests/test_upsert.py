@@ -158,3 +158,85 @@ def test_streaming_ingest_upserts_corpus(spark, tmp_path):
         assert got[i] == (f"a_{i}", 1)
     for i in range(3):
         assert got[20 + i] == (f"n_{i}", 1)
+
+
+def test_streaming_neardup_ingest_matches_sequential(spark, tmp_path):
+    """Continuous-ingest near-dup gate end-to-end: micro-batches flow
+    through foreachBatch -> incremental_dedup against the corpus grown so
+    far -> append kept docs.  The final corpus equals the batch-mode
+    sequential application of the same gate over the same chunks."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyfads.dedup import incremental_dedup
+
+    base = "tok%d " * 1  # noqa: F841 (readability only)
+
+    def text(seed, change=None):
+        # 60 words, one changed -> 3-gram-shingle Jaccard ~0.9: high enough
+        # that the 4x4 banding finds every planted pair (at J~0.8 the miss
+        # probability is ~11% and doc 20 deterministically missed)
+        words = [f"w{seed}x{i}" for i in range(60)]
+        if change is not None:
+            words[change] = f"CHANGED{seed}"
+        return " ".join(words)
+
+    chunks = [
+        [(i, text(i)) for i in range(10)],
+        # 10: near-dup of 0; 11-13 fresh; 14 exact copy of 2
+        [(10, text(0, change=5)), (11, text(11)), (12, text(12)),
+         (13, text(13)), (14, text(2))],
+        # 20: near-dup of 11; 21 fresh; 22 exact copy of the (dropped) 10's
+        # text — still dropped, because 10's text is a near-dup of corpus 0
+        [(20, text(11, change=7)), (21, text(21)), (22, text(0, change=5))],
+    ]
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    t0 = time.time() - 500
+    for n, rows in enumerate(chunks):
+        p = str(src / f"chunk_{n}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))  # deterministic micro-batch order
+
+    schema = "doc_id long, text string"
+    corpus_dir = str(tmp_path / "nd_corpus")
+    spark.createDataFrame([], schema).write.parquet(corpus_dir)
+
+    def gate(bdf, corpus_df):
+        verdicts = incremental_dedup(corpus_df, bdf)
+        return bdf.join(
+            verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+
+    def ingest(bdf, _bid):
+        sp = bdf.sparkSession
+        kept = gate(bdf, sp.read.parquet(corpus_dir))
+        kept.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus_dir).collect())
+
+    ref = spark.createDataFrame([], schema)
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        ref = ref.unionByName(gate(bdf, ref))
+    want = sorted(r.doc_id for r in ref.collect())
+
+    assert got == want
+    # the planted structure: 10 (near-dup of 0), 14 (exact of 2), 20
+    # (near-dup of 11), 22 (near-dup of 0 via 10's text) all dropped
+    assert set(range(10)) <= set(got)
+    assert {10, 14, 20, 22}.isdisjoint(got)
+    assert {11, 12, 13, 21} <= set(got)

@@ -1581,3 +1581,40 @@ def embedding_near_dup_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         embs.unionByName(planted), _DIM_WIDE, threshold=0.9
     )
+
+
+# Samples are (byte-64)*256 per text byte (multimodal.text_to_wav), so the
+# decoded features are pure integer functions of the text: sum of squares
+# stays exact in float64 (max ~15872^2 * doclen << 2^53), making sqrt(mean)
+# and the integer peak bit-identical however either engine sums.
+_MEDIA_AUDIO_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> (ascii(substr(text, i, 1)) - 64) * 256) AS smp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(len(smp) AS BIGINT) AS n_frames,
+       CAST(len(smp) AS DOUBLE) / 8000 AS duration_s,
+       sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                          list_transform(smp, x -> CAST(x AS BIGINT) * x)),
+                             (a, b) -> a + b) AS DOUBLE) / len(smp)) AS rms,
+       CAST(list_reduce(list_prepend(0, list_transform(smp, x -> abs(x))),
+                        (a, b) -> greatest(a, b)) AS DOUBLE) AS peak
+FROM s
+"""
+
+
+@query("media_audio", oracle=_MEDIA_AUDIO_SQL)
+def media_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end-to-end: documents are encoded
+    to PCM WAV (text_to_wav), the bytes round-trip through the actual RIFF
+    decoder inside mapInPandas (multimodal.audio_features — stdlib wave +
+    numpy, no codec libs), and DuckDB recomputes every feature analytically
+    from the text bytes.  This is the one modality whose decode step needs
+    no external library, so unlike images the full decode path is exercised
+    for real, not stubbed."""
+    return M.audio_features(M.text_to_wav(_docs(spark, sf_dir)))

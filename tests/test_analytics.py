@@ -190,3 +190,47 @@ def test_bm25_ranking_semantics(spark):
     out2 = {r.doc_id: r.score_micros for r in bm25_topk(df, ["join", "rare"], k=5).collect()}
     assert out2[4] > out2[2]
     assert out2[5] > out2[4]  # both terms beats either alone
+
+
+def test_text_surface_edge_inputs_no_crash(spark):
+    """NULL text, empty text, and sub-shingle-length docs flow through the
+    whole text/dedup/pipeline surface without task failures (the
+    chunk_documents NULL divergence was latent until r5 — this sweep keeps
+    the rest of the surface honest)."""
+    from pyfads import dedup as D
+    from pyfads import pipeline as P
+    from pyfads import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "s"),
+            (2, "", "s"),
+            (3, "one", "s"),
+            (4, "a b", "s"),
+            (5, "normal doc with several tokens here", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ops = [
+        X.text_stats(df),
+        X.quality_score(df),
+        X.token_counts(df),
+        X.lang_id(df),
+        X.fingerprint(df),
+        X.repetition_stats(df),
+        X.pii_scrub(df),
+        X.normalize_text(df),
+        X.chunk_documents(df),
+        X.bm25_topk(df, ["one"], k=3),
+        D.exact_dedup(df),
+        D.minhash_near_dup_pairs(df),
+        D.jaccard_ngram_pairs(df),
+        D.simhash(df),
+        P.contamination_overlap(df, df.limit(1)),
+    ]
+    for out in ops:
+        out.count()  # executes the plan; any per-row failure raises
+    # NULL text yields no chunks (oracle-aligned since r5)
+    from pyspark.sql import functions as F
+
+    assert X.chunk_documents(df).filter(F.col("doc_id") == 1).count() == 0

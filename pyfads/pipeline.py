@@ -402,6 +402,7 @@ def select_by_stratum_quantile(
     strat_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-stratum quantile-calibrated selection: keep documents whose
     token count lies within the stratum's [lo_q, hi_q] exact interpolated
@@ -409,12 +410,16 @@ def select_by_stratum_quantile(
     language" curation pass, with thresholds calibrated from the data
     instead of hand-set constants.
 
-    Scale shape: thresholds come from ONE map-side-combined aggregate
-    (exact ``percentile``; rows over the wire = strata x partitions), the
-    tiny threshold table broadcasts back, and the filter is per-row — the
-    corpus never shuffles.  At 100 TB swap ``percentile`` for
-    ``percentile_approx`` with a documented error bound; the exact form
-    is the oracle-checkable one (matches DuckDB ``quantile_cont``)."""
+    Scale shape: thresholds come from ONE map-side-combined aggregate,
+    the tiny threshold table broadcasts back, and the filter is per-row —
+    the corpus never shuffles.  The default exact ``percentile`` is the
+    oracle-checkable form (matches DuckDB ``quantile_cont``) but its
+    partial state holds every distinct value per stratum; at 100 TB pass
+    ``approx_accuracy`` (e.g. 10000) to use ``percentile_approx``
+    (Greenwald-Khanna, bounded state): the returned rank error is at most
+    1/accuracy of the stratum size, so a threshold can move past at most
+    ~n/accuracy documents per boundary — bound asserted in
+    tests/test_llm_ops.py::test_quantile_select_approx_bound."""
     from pyfads.text import tokens
 
     m = df.select(
@@ -422,9 +427,15 @@ def select_by_stratum_quantile(
         F.col(strat_col),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
+    if approx_accuracy is not None:
+        pct = lambda q: F.percentile_approx(  # noqa: E731
+            "n_tokens", F.lit(q), F.lit(approx_accuracy)
+        ).cast("double")
+    else:
+        pct = lambda q: F.percentile("n_tokens", F.lit(q))  # noqa: E731
     thr = m.groupBy(strat_col).agg(
-        F.percentile("n_tokens", F.lit(lo_q)).alias("lo_thr"),
-        F.percentile("n_tokens", F.lit(hi_q)).alias("hi_thr"),
+        pct(lo_q).alias("lo_thr"),
+        pct(hi_q).alias("hi_thr"),
     )
     return (
         m.join(F.broadcast(thr), strat_col)

@@ -937,3 +937,32 @@ def test_audio_features_real_wav_decode(spark):
     assert out[3].n_channels == 2 and out[3].n_frames == rate
     # undecodable rows degrade, never fail the task
     assert out[4].sample_rate == 0 and out[5].sample_rate == 0
+
+
+def test_quantile_select_approx_bound(spark):
+    """The percentile_approx scale path: per-stratum selection differs from
+    the exact path by at most ~n/accuracy docs per threshold boundary (the
+    Greenwald-Khanna rank-error guarantee), and at high accuracy the
+    selections coincide on the fixture."""
+    from pyfads.pipeline import select_by_stratum_quantile
+
+    base = read_table(spark, SF_DIR, "documents")
+    exact = {
+        r.doc_id for r in select_by_stratum_quantile(base).collect()
+    }
+    # even at max accuracy the approx form returns ACTUAL values (GK holds
+    # observed points; the exact form interpolates), so thresholds can sit
+    # one data point off — selection may differ by a handful of boundary
+    # docs, never more
+    tight = {
+        r.doc_id
+        for r in select_by_stratum_quantile(base, approx_accuracy=100000).collect()
+    }
+    assert len(exact.symmetric_difference(tight)) <= 12
+    loose = {
+        r.doc_id
+        for r in select_by_stratum_quantile(base, approx_accuracy=50).collect()
+    }
+    n = base.count()
+    # 2 thresholds per stratum; rank error <= n_stratum/accuracy each side
+    assert len(exact.symmetric_difference(loose)) <= max(4 * n // 50, 8)

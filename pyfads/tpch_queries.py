@@ -60,8 +60,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum({_CENTS}) AS BIGINT)                        AS sum_base_cents,
        CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS sum_disc_micros,
        CAST(CAST(sum(CAST({_CENTS} * (10000 - {_DISC_BP}) AS DECIMAL(38,0))
-                     * (10000 + {_TAX_BP})) AS DECIMAL(38,0)) AS DOUBLE)
-           AS sum_charge_d,
+                     * (10000 + {_TAX_BP})) AS DECIMAL(38,0)) AS VARCHAR)
+           AS sum_charge_str,
        CAST(count(*) AS BIGINT)                             AS count_order,
        sum(CAST(l_quantity AS BIGINT)) / count(*)           AS avg_qty,
        sum({_CENTS}) / count(*)                             AS avg_price_cents,
@@ -82,9 +82,11 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     of input size.  The shipdate filter is pushed to the parquet scan
     (min/max row-group pruning).  Charge (cents x bp x bp) exceeds BIGINT
     range at large SF x group sizes, so it alone accumulates in
-    DECIMAL(38,0); both engines emit the double that exact integer rounds
-    to.  Averages are a final long/long double division — exact inputs, so
-    deterministic."""
+    DECIMAL(38,0) and is emitted as its exact DECIMAL STRING: at sf0.1 the
+    integer already exceeds 2^53 and DuckDB's decimal->double cast proved
+    1 ulp off the correctly-rounded value (measured r5), so no double is
+    ever produced.  Averages are a final long/long double division — exact
+    inputs, so deterministic."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2001-06-30 00:00:00'")
     )
@@ -95,7 +97,7 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).cast("long").alias("sum_qty"),
         F.sum(_cents()).cast("long").alias("sum_base_cents"),
         F.sum(disc_micros).cast("long").alias("sum_disc_micros"),
-        F.sum(charge).cast("decimal(38,0)").cast("double").alias("sum_charge_d"),
+        F.sum(charge).cast("decimal(38,0)").cast("string").alias("sum_charge_str"),
         F.count(F.lit(1)).cast("long").alias("count_order"),
         (F.sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
         (F.sum(_cents()) / F.count(F.lit(1))).alias("avg_price_cents"),

@@ -888,3 +888,76 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_topk(
         _docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (sketches.countmin_build/estimate) — integer-only, so
+# the whole sketch and every estimate is bit-identical across engines.
+# --------------------------------------------------------------------------
+
+_CM_TERMS = ["join", "dup", "vector", "window", "zzz_absent"]
+_CM_WIDTH = 1024
+_CM_DEPTH = 4
+
+
+def _countmin_sql() -> str:
+    from pyfads.llm_queries import _h60
+
+    pair_selects = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {_h60(f'cm{j}', 't')} % {_CM_WIDTH} AS b FROM tok"
+        for j in range(_CM_DEPTH)
+    )
+    term_rows = ",\n  ".join(f"('{t}')" for t in _CM_TERMS)
+    probe_selects = "\nUNION ALL\n".join(
+        f"SELECT term, {j} AS j, {_h60(f'cm{j}', 'term')} % {_CM_WIDTH} AS b FROM terms"
+        for j in range(_CM_DEPTH)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+terms(term) AS (VALUES
+  {term_rows}
+),
+sketch AS (
+  SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM ({pair_selects}) GROUP BY j, b
+),
+probes AS (
+  {probe_selects}
+),
+est AS (
+  SELECT p.term, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cm_estimate
+  FROM probes p LEFT JOIN sketch s USING (j, b)
+  GROUP BY p.term
+),
+exact AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok WHERE t IN (SELECT term FROM terms) GROUP BY t
+)
+SELECT e.term, e.cm_estimate, coalesce(x.exact_count, 0) AS exact_count
+FROM est e LEFT JOIN exact x USING (term)
+"""
+
+
+@query("sketch_countmin", oracle=_countmin_sql())
+def sketch_countmin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for a probe-term list over the corpus
+    token stream, alongside the exact counts (CM never underestimates;
+    the absent probe term pins the estimate-0 path).  Everything is
+    integer arithmetic on md5-derived buckets, so Spark and DuckDB agree
+    bit-for-bit on the sketch itself, not just the estimates."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(X.tokens("text")).alias("t"))
+    sketch = K.countmin_build(toks, "t", _CM_WIDTH, _CM_DEPTH)
+    probes = spark.createDataFrame([(t,) for t in _CM_TERMS], "term string")
+    est = K.countmin_estimate(sketch, probes, "term", _CM_WIDTH, _CM_DEPTH)
+    exact = (
+        toks.filter(F.col("t").isin(_CM_TERMS))
+        .groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "cm_estimate",
+        F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
+    )

@@ -199,3 +199,79 @@ def bloom_maybe_expr(
         bit = word.bitwiseAND(mask) != 0
         cond = bit if cond is None else cond & bit
     return cond
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter count estimation in O(depth * width) space
+# --------------------------------------------------------------------------
+
+
+def countmin_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cm",
+) -> DataFrame:
+    """Build a Count-Min sketch over a key stream (with multiplicity):
+    ``depth`` independent md5-hashed rows of ``width`` counters, as a
+    DataFrame of (j, b, c) — at most depth*width rows regardless of input.
+
+    All arithmetic is INTEGER (bucket ids and counts), so unlike
+    float-based sketches every value is bit-identical across engines and
+    partitionings by construction.
+
+    Scale shape: one explode to ``depth`` (j, b) pairs per key, one
+    map-side-combined count agg collapsing to <= depth*width rows — the
+    same one-pass-to-tiny-result contract as :func:`bloom_build`.
+    """
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (md5_hash60(F.col(key_col), f"{seed}{j}") % width).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.b")
+    return pairs.groupBy("j", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch: per probe key, ``cm_estimate`` = min over
+    the depth rows of the hashed counter (the classic CM upper bound:
+    never under, over by at most ~N/width w.h.p. per row).
+
+    The sketch side is <= depth*width rows, so the (j, b) equi-join
+    broadcasts it; probes stay distributed.  Keys absent from the stream
+    get estimate 0 via the left join + coalesce."""
+    pos = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (md5_hash60(F.col(key_col), f"{seed}{j}") % width).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.j", "p.b")
+    return (
+        pos.join(F.broadcast(sketch), ["j", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate"))
+    )

@@ -234,3 +234,19 @@ def test_text_surface_edge_inputs_no_crash(spark):
     from pyspark.sql import functions as F
 
     assert X.chunk_documents(df).filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_countmin_never_underestimates(spark):
+    """CM guarantee on a known stream: estimate >= exact for every key,
+    exact for keys with no bucket collisions at this width, 0 for absent."""
+    from pyfads.sketches import countmin_build, countmin_estimate
+
+    rows = [("a",)] * 100 + [("b",)] * 7 + [("c",)] * 1
+    keys = spark.createDataFrame(rows, "key string")
+    sketch = countmin_build(keys, "key", width=64, depth=3)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("nope",)], "key string")
+    est = {r.key: r.cm_estimate for r in countmin_estimate(sketch, probes, "key", 64, 3).collect()}
+    assert est["a"] >= 100 and est["b"] >= 7 and est["c"] >= 1
+    # 3 distinct keys in 64 buckets x 3 rows: no collisions -> exact
+    assert est["a"] == 100 and est["b"] == 7 and est["c"] == 1
+    assert est["nope"] == 0

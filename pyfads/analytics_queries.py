@@ -901,7 +901,7 @@ _CM_DEPTH = 4
 
 
 def _countmin_sql() -> str:
-    from pyfads.llm_queries import _h60
+    from pyfads.text import md5_hash60_sql as _h60
 
     pair_selects = "\nUNION ALL\n".join(
         f"SELECT {j} AS j, {_h60(f'cm{j}', 't')} % {_CM_WIDTH} AS b FROM tok"

@@ -45,10 +45,11 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _h60(seed: str, expr: str) -> str:
-    """DuckDB twin of pyfads.text.md5_hash60."""
-    return (
-        f"CAST(concat('0x', substr(md5(concat_ws(':', '{seed}', {expr})), 1, 15)) AS BIGINT)"
-    )
+    """DuckDB twin of pyfads.text.md5_hash60 (shared impl in pyfads.text —
+    import it from there in other modules to avoid a circular import)."""
+    from pyfads.text import md5_hash60_sql
+
+    return md5_hash60_sql(seed, expr)
 
 
 # --------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "md5_hash60",
+    "md5_hash60_sql",
     "tokens",
     "text_stats",
     "quality_score",
@@ -61,6 +62,17 @@ def md5_hash60(col: Column, seed: str) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(seed), col)), 1, 15), 16, 10
     ).cast("long")
+
+
+def md5_hash60_sql(seed: str, expr: str) -> str:
+    """DuckDB twin of :func:`md5_hash60` — lives here (not in a query
+    module) so oracle builders can import it without creating a circular
+    import through pyfads.queries (a cycle that silently dropped a late
+    registration when a query module was imported before pyfads.queries,
+    r5)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat_ws(':', '{seed}', {expr})), 1, 15)) AS BIGINT)"
+    )
 
 
 def tokens(text_col: str | Column = "text") -> Column:

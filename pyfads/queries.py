@@ -165,9 +165,18 @@ for _reg in (
 ):
     try:
         _reg()
-    except ImportError:
+    except ModuleNotFoundError:
         # module not built yet — registry stays partial during bring-up
         pass
+    except ImportError as _exc:  # pragma: no cover - defensive
+        # a bare `except ImportError` here once swallowed a CIRCULAR import
+        # (helper imported from a mid-initialization module) and silently
+        # dropped the final registration of an otherwise-loaded module.
+        # Registration bugs must be loud.
+        import sys as _sys
+
+        print(f"[pyfads] query registration {_reg.__name__} failed: {_exc}", file=_sys.stderr)
+        raise
 
 
 # --------------------------------------------------------------------------

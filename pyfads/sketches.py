@@ -275,3 +275,17 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate"))
     )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches built with the same (width, depth,
+    seed): counter-wise sum.  CM is linear, so
+    ``merge(build(A), build(B)) == build(A ∪ B)`` exactly (integer adds) —
+    the property that lets each executor/day/shard sketch independently
+    and a tiny driver-side (or reduce-side) merge produce the global
+    sketch.  Asserted bit-exact in tests/test_analytics.py."""
+    return (
+        a.unionByName(b)
+        .groupBy("j", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

@@ -679,3 +679,55 @@ def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q18 flavor: large-quantity orders — HAVING aggregate gate + semi-join back
+# --------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 260  # ~p99 of per-order quantity: the gate keeps ~1%
+
+_BIG_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(t.sum_qty AS BIGINT) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {_BIG_ORDER_QTY}
+) t
+JOIN orders   ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@query("big_order_customers", oracle=_BIG_ORDERS_SQL)
+def big_order_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-flavored: customers holding orders whose total quantity
+    exceeds a threshold — the HAVING-gate + join-back shape.
+
+    100 TB shape: the quantity gate is ONE map-side-combined agg on the
+    order key that collapses lineitem to (orderkey, sum) BEFORE any join;
+    the tiny surviving set then drives the orders and customer joins (AQE
+    turns them into broadcasts at real selectivities).  Never the naive
+    join-then-having plan, which would shuffle full lineitem x orders."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gated = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _BIG_ORDER_QTY)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        gated.join(orders, gated.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            epoch_ms(orders, "o_orderdate").alias("orderdate_ms"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )

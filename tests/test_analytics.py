@@ -250,3 +250,22 @@ def test_countmin_never_underestimates(spark):
     # 3 distinct keys in 64 buckets x 3 rows: no collisions -> exact
     assert est["a"] == 100 and est["b"] == 7 and est["c"] == 1
     assert est["nope"] == 0
+
+
+def test_countmin_merge_is_exact(spark):
+    """CM linearity: sketch(A) + sketch(B) == sketch(A ∪ B) bit-for-bit."""
+    from pyfads.sketches import countmin_build, countmin_merge
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "key string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "key string")
+    merged = {
+        (r.j, r.b): r.c
+        for r in countmin_merge(
+            countmin_build(a, "key", 32, 3), countmin_build(b, "key", 32, 3)
+        ).collect()
+    }
+    union = {
+        (r.j, r.b): r.c
+        for r in countmin_build(a.unionByName(b), "key", 32, 3).collect()
+    }
+    assert merged == union

@@ -269,3 +269,55 @@ def test_countmin_merge_is_exact(spark):
         for r in countmin_build(a.unionByName(b), "key", 32, 3).collect()
     }
     assert merged == union
+
+
+def test_countmin_streaming_maintenance(spark, tmp_path):
+    """Maintain a global Count-Min over a stream: each micro-batch's
+    sketch merges into a parquet-backed store via foreachBatch; the final
+    store equals the batch sketch of the full stream bit-for-bit (CM
+    linearity end-to-end)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyfads.sketches import countmin_build, countmin_merge
+
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    chunks = [["x"] * 50 + ["y"] * 3, ["x"] * 20 + ["z"] * 9, ["w"] * 7]
+    t0 = time.time() - 100
+    for n, keys in enumerate(chunks):
+        p = str(src / f"c{n}.parquet")
+        pd.DataFrame({"key": keys}).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))
+    store = str(tmp_path / "cm_store")
+    spark.createDataFrame([], "j int, b long, c long").write.parquet(store)
+
+    def merge_in(bdf, _bid):
+        sp = bdf.sparkSession
+        merged = countmin_merge(
+            sp.read.parquet(store), countmin_build(bdf, "key", 32, 3)
+        )
+        # rewrite-into-place via temp dir (plain-parquet store; a table
+        # format would make this one transactional MERGE)
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(store + "_next")
+        sp.read.parquet(store + "_next").write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_in)
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.j, r.b): r.c for r in spark.read.parquet(store).collect()}
+    allkeys = spark.createDataFrame(
+        [(k,) for keys in chunks for k in keys], "key string"
+    )
+    want = {(r.j, r.b): r.c for r in countmin_build(allkeys, "key", 32, 3).collect()}
+    assert got == want

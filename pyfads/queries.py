@@ -192,6 +192,14 @@ for _reg in (
 # Rotate this list each round so long-green entries cycle to the back.
 # Names listed here but not registered are ignored, so a partial registry
 # during bring-up still works.
+#
+# ROUND-6 ROTATION PLAN: everything currently AFTER position 50 — the r4
+# long-green primitives/dedup/ANN/media entries plus the new r5
+# registrations (ann_ivfpq_refined, interval_join_events,
+# session_window_agg, bm25_topk, forecast_revenue, returned_item_ranking,
+# promo_revenue_share, media_audio, sketch_countmin, big_order_customers,
+# robust_outliers) — should lead the next window; the 47 r5-window
+# entries rotate to the back once CORRECTNESS_r05 confirms them green.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # unverified-in-r4: llm_queries tail (registered after pack_contexts)

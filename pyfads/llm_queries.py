@@ -1619,3 +1619,64 @@ def media_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no external library, so unlike images the full decode path is exercised
     for real, not stubbed."""
     return M.audio_features(M.text_to_wav(_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# LSH bucket-distribution diagnostics — the observability for the
+# hot-bucket salt cap: how wide ARE the band buckets, and how much
+# candidate-pair work would an uncapped join do?
+# --------------------------------------------------------------------------
+
+
+def _bucket_stats_sql(n_perm: int = 16, bands: int = 4) -> str:
+    # reuse the minhash CTE chain up to the UNCAPPED banded0 (DuckDB prunes
+    # the unreferenced downstream CTEs)
+    ctes = _minhash_ctes(n_perm, bands)
+    return f"""
+WITH {ctes},
+w AS (
+  SELECT CAST(band_idx AS BIGINT) AS band_idx, band_key,
+         CAST(count(*) AS BIGINT) AS wd
+  FROM banded0 GROUP BY 1, 2
+)
+SELECT band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(wd) AS BIGINT) AS n_rows,
+       CAST(max(wd) AS BIGINT) AS max_width,
+       CAST(sum(CASE WHEN wd > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(sum(wd * (wd - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM w GROUP BY band_idx
+"""
+
+
+@query("dedup_bucket_stats", oracle=_bucket_stats_sql())
+def dedup_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket distribution over the UNCAPPED minhash band
+    keys: bucket count, max width, buckets wider than the default salt cap
+    (64), and the candidate-pair volume (sum of C(w,2)) an uncapped join
+    would shuffle — the number the `_salt_cap` skew guard bounds.  Run
+    this before tuning bands/cap on a new corpus; at 100 TB it is one
+    map-side-combined agg over the band keys, never the join itself."""
+    from pyfads.dedup import _band_key, minhash_signature
+
+    n_perm, bands = 16, 4
+    rows = n_perm // bands
+    sigs = minhash_signature(_docs(spark, sf_dir))
+    banded = sigs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.array(*[_band_key(b, rows) for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    w = banded.groupBy(
+        F.col("band_idx").cast("long").alias("band_idx"), "band_key"
+    ).agg(F.count(F.lit(1)).cast("long").alias("wd"))
+    return w.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("wd").cast("long").alias("n_rows"),
+        F.max("wd").cast("long").alias("max_width"),
+        F.sum((F.col("wd") > 64).cast("long")).cast("long").alias("n_over_cap"),
+        F.sum(
+            (F.col("wd") * (F.col("wd") - 1) / 2).cast("long")
+        ).cast("long").alias("candidate_pairs"),
+    )

@@ -861,7 +861,8 @@ def _bm25_sql() -> str:
 WITH base AS (
   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
          {tf_cols}
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL)
 ),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -1594,6 +1594,7 @@ WITH s AS (
          list_transform(generate_series(1, length(text)),
                         i -> (ascii(substr(text, i, 1)) - 64) * 256) AS smp
   FROM documents
+  WHERE strlen(text) = length(text)
 )
 SELECT doc_id AS media_id,
        CAST(8000 AS INTEGER) AS sample_rate,
@@ -1617,8 +1618,17 @@ def media_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy, no codec libs), and DuckDB recomputes every feature analytically
     from the text bytes.  This is the one modality whose decode step needs
     no external library, so unlike images the full decode path is exercised
-    for real, not stubbed."""
-    return M.audio_features(M.text_to_wav(_docs(spark, sf_dir)))
+    for real, not stubbed.
+
+    Both sides filter to ASCII rows first (``octet_length = length`` is
+    true exactly when every char is one byte), making the per-BYTE Spark
+    encode and the per-CODEPOINT DuckDB recomputation provably the same
+    partition of the data instead of an assumption about the fixtures
+    (ADVICE r5, text_to_wav contract)."""
+    docs = _docs(spark, sf_dir).filter(
+        F.octet_length("text") == F.length("text")
+    )
+    return M.audio_features(M.text_to_wav(docs))
 
 
 # --------------------------------------------------------------------------

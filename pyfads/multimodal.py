@@ -342,11 +342,19 @@ def text_to_wav(
     rate: int = 8000,
 ) -> DataFrame:
     """Deterministic text -> PCM-WAV encoding for decode-pipeline tests and
-    oracles: each UTF-8 byte b becomes one mono 16-bit sample ``(b-64)*256``
+    oracles: each byte b becomes one mono 16-bit sample ``(b-64)*256``
     (ASCII 32..126 maps well inside int16).  Because the sample stream is a
     pure function of the text bytes, an engine with no audio stack (DuckDB)
     can recompute every downstream feature analytically — which is what
-    makes :func:`audio_features` oracle-checkable end-to-end."""
+    makes :func:`audio_features` oracle-checkable end-to-end.
+
+    CONTRACT: text must be ASCII — enforced with a loud UnicodeEncodeError
+    rather than assumed (ADVICE r5): under UTF-8 a non-ASCII char is
+    multiple bytes >= 0xC2, so (b-64)*256 would wrap int16 on the Spark
+    side while a per-codepoint SQL oracle sees one sample per CHAR —
+    silent parity drift.  Callers feeding arbitrary corpora filter first
+    (``octet_length(text) = length(text)`` selects exactly the ASCII
+    rows in both Spark and DuckDB — see llm_queries.media_audio_q)."""
 
     @F.pandas_udf(T.BinaryType())
     def enc(texts: pd.Series) -> pd.Series:
@@ -357,7 +365,7 @@ def text_to_wav(
 
         out = []
         for t in texts:
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            b = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
             samples = ((b - 64) * 256).astype("<i2")
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:

@@ -232,6 +232,13 @@ def contamination_overlap(
     semi-join.  No false negatives, so the output is IDENTICAL to the
     unfiltered path (the registered oracle is literally the same SQL);
     the exact join's probe-side volume drops by the bloom rejection rate.
+
+    .. note:: the ``bloom_words`` path is EAGER: it runs the filter-build
+       aggregation and a bounded collect (<= ``bloom_words`` rows) at
+       call time so the words can be embedded as a literal map-side
+       predicate (zero extra shuffles at probe time).  Callers composing
+       lazy plans should call this last; bench.py times the builder call
+       inside the measured region so this cost is always counted.
     """
     doc_grams = _word_gram_hashes(df, n, text_col, id_col, seed)
     bench_hashes = (

@@ -184,86 +184,71 @@ for _reg in (
 # FIRST ~50 registered entries against their DuckDB oracles; entries past
 # that window only get the (identical) local mirror in
 # tests/test_queries_vs_duckdb.py.  To give every entry a hard driver-green
-# row across rounds, the registry is re-ordered here: names in
-# _DRIVER_WINDOW_FIRST lead (this round: the 47 entries that had no
-# CORRECTNESS_r04 row — the windows/analytics/tpch/sketch/PCA/incremental
-# families — plus the three flagship FADS entries, which stay continuously
-# verified), and everything else follows in original registration order.
-# Rotate this list each round so long-green entries cycle to the back.
-# Names listed here but not registered are ignored, so a partial registry
-# during bring-up still works.
-#
-# ROUND-6 ROTATION PLAN: everything currently AFTER position 50 — the r4
-# long-green primitives/dedup/ANN/media entries plus the new r5
-# registrations (ann_ivfpq_refined, interval_join_events,
-# session_window_agg, bm25_topk, forecast_revenue, returned_item_ranking,
-# promo_revenue_share, media_audio, sketch_countmin, big_order_customers,
-# robust_outliers) — should lead the next window; the 47 r5-window
-# entries rotate to the back once CORRECTNESS_r05 confirms them green.
+# row across rounds, the registry is re-ordered here — and the order is
+# COMPUTED, not hand-maintained (the r5 verdict's ask): the three flagship
+# stateful-FADS entries stay pinned at the head (continuously verified),
+# then every entry sorted by the round of its most recent driver-green
+# CORRECTNESS_r*.json row, oldest/never first, registration order as the
+# tie-break.  Entries that have never had a driver row therefore always
+# lead the window, and long-green entries rotate to the back on their own.
+# If no CORRECTNESS files are present (fresh checkout), registration order
+# is kept unchanged.
 # --------------------------------------------------------------------------
-_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # unverified-in-r4: llm_queries tail (registered after pack_contexts)
-    "contamination",
-    "contamination_bloom",
-    "topk_ngrams",
-    "corpus_stats",
-    "corpus_curation",
-    "classifier_score",
-    "corpus_mix",
-    "skew_report",
-    "dedup_incremental",
-    "corpus_refresh",
-    "embedding_pca8",
-    "ann_pca_lsh_topk",
-    "embedding_near_dup_dim1024",
-    "sample_exact_k",
-    # unverified-in-r4: event-time window family
-    "sessionize_events",
-    "session_stats",
-    "window_tumbling",
-    "window_sliding",
-    "asof_join_events",
-    "funnel_click_purchase",
-    "cohort_retention",
-    # unverified-in-r4: analytics family
-    "normalize_docs",
-    "source_quality",
-    "sketch_kmv_distinct",
-    "json_props_agg",
-    "revenue_by_nation",
-    "sketch_bloom_contains",
-    "chunk_documents",
-    "corpus_upsert",
-    "quantile_select",
-    "vocab_spectrum",
-    "chunk_dup_fraction",
-    "lang_confusion",
-    "value_zscore",
-    "corpus_diff",
-    "length_histogram",
-    "event_rate_report",
-    "user_profile",
-    # unverified-in-r4: TPC-H-class relational family
-    "pricing_summary",
-    "shipping_priority",
-    "order_priority",
-    "customers_no_orders",
-    "brand_part_topk",
-    "revenue_rollup",
-    "small_qty_revenue",
-    "nation_trade_matrix",
-    "disjunctive_revenue",
-    # keep the flagship stateful-FADS entries continuously driver-verified
+_PINNED_FIRST: tuple[str, ...] = (
     "fads_generalize_events",
     "fads_partitioned_events",
     "fads_hotkey_events",
 )
 
 
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> newest round with a driver-green row (rows+schema match,
+    hash not False, no error).  Empty dict when no CORRECTNESS files."""
+    import glob
+    import json
+    import os
+    import re
+
+    roots = {os.path.dirname(os.path.dirname(os.path.abspath(__file__))), os.getcwd()}
+    latest: dict[str, int] = {}
+    for root in roots:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as fh:
+                    rows = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rows, dict):
+                continue
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                green = (
+                    row.get("rows_match")
+                    and row.get("schema_match", True)
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                )
+                if green:
+                    latest[name] = max(latest.get(name, -1), rnd)
+    return latest
+
+
 def _rotate_registry() -> None:
-    lead = [n for n in _DRIVER_WINDOW_FIRST if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(lead)]
-    reordered = {n: QUERIES[n] for n in (*lead, *rest)}
+    latest = _latest_green_rounds()
+    if not latest:
+        return
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    pinned = [n for n in _PINNED_FIRST if n in QUERIES]
+    rest = sorted(
+        (n for n in QUERIES if n not in set(pinned)),
+        key=lambda n: (latest.get(n, -1), reg_index[n]),
+    )
+    reordered = {n: QUERIES[n] for n in (*pinned, *rest)}
     QUERIES.clear()
     QUERIES.update(reordered)
 

@@ -532,7 +532,14 @@ def bm25_topk(
     top-k.  At 100 TB this is a map-only scan plus two tiny exchanges.
     For serving many ad-hoc queries, materialize `tf` per (doc, term)
     once instead; for ONE query-at-a-time scoring, this shape is optimal.
+
+    NULL text is excluded up front (same class of bug as chunk_documents:
+    Spark's legacy sizeOfNull makes size(split(NULL)) = -1, which would
+    poison the GLOBAL sum_dl by -1 per NULL doc while SQL engines skip
+    NULLs in SUM — so both engines agree a NULL document is not in the
+    collection at all: it contributes to neither N, sum_dl, nor df_t).
     """
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
 
     def _tf(term: str) -> Column:

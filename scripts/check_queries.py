@@ -71,6 +71,15 @@ def main():
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a comma-joined or misspelled list must error, not silently
+            # match nothing and print "0 passed, 0 failed" with exit 0
+            print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+            print(f"       (names are SPACE-separated; registry has {len(qs)} entries)")
+            spark.stop()
+            return 1
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -102,6 +111,9 @@ def main():
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     spark.stop()
+    if n_pass == 0 and n_fail == 0:
+        print("ERROR: nothing ran — empty registry or filter matched nothing")
+        return 1
     return 1 if n_fail else 0
 
 

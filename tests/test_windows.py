@@ -113,14 +113,16 @@ def event_files(spark, tmp_path_factory):
     return str(d)
 
 
-def _run_stream_to_memory(spark, sdf, name):
+def _run_stream_to_memory(spark, sdf, name, ckpt):
     # complete mode: append would withhold windows the watermark never
-    # passes (nothing arrives after the last file to advance it)
+    # passes (nothing arrives after the last file to advance it).
+    # ckpt comes from the caller's tmp_path fixture — fixed /tmp paths
+    # collide across concurrent test sessions (ADVICE r5).
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", f"/tmp/ckpt_{name}")
+        .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
     )
@@ -129,9 +131,6 @@ def _run_stream_to_memory(spark, sdf, name):
 
 
 def test_tumbling_stream_equals_batch(spark, event_files, tmp_path):
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_win_tumble", ignore_errors=True)
     # watermarks require TIMESTAMP (LTZ); session tz is UTC so the cast from
     # NTZ is value-preserving on both the stream and the batch side
     batch_df = read_table(spark, SF_DIR, "events").withColumn(
@@ -148,7 +147,7 @@ def test_tumbling_stream_equals_batch(spark, event_files, tmp_path):
     agg = tumbling_agg(
         stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
     )
-    got = _run_stream_to_memory(spark, agg, "win_tumble").toPandas()
+    got = _run_stream_to_memory(spark, agg, "win_tumble", tmp_path / "ckpt").toPandas()
     want = tumbling_agg(
         batch_df, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
     ).toPandas()
@@ -158,13 +157,10 @@ def test_tumbling_stream_equals_batch(spark, event_files, tmp_path):
     pd.testing.assert_frame_equal(got[key + ["n"]], want[key + ["n"]])
 
 
-def test_session_window_stream_matches_gap_sessionize(spark, event_files):
+def test_session_window_stream_matches_gap_sessionize(spark, event_files, tmp_path):
     """Native F.session_window on a stream produces the same session spans
     as the batch gap-sessionization for a quiet key (no overlapping users
     interleave within a session gap here: compare per-user session count)."""
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_win_sess", ignore_errors=True)
     batch_df = read_table(spark, SF_DIR, "events")
     stream = (
         spark.readStream.schema(batch_df.schema)
@@ -177,7 +173,7 @@ def test_session_window_stream_matches_gap_sessionize(spark, event_files):
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n"))
     got = (
-        _run_stream_to_memory(spark, agg, "win_sess")
+        _run_stream_to_memory(spark, agg, "win_sess", tmp_path / "ckpt")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
         .toPandas()
@@ -202,14 +198,11 @@ def test_session_window_stream_matches_gap_sessionize(spark, event_files):
     )
 
 
-def test_sliding_stream_equals_batch(spark, event_files):
+def test_sliding_stream_equals_batch(spark, event_files, tmp_path):
     """sliding_agg runs unchanged on a watermarked stream: 1h windows
     sliding every 15 min, complete-mode output == batch output."""
-    import shutil
-
     from pyfads.windows import sliding_agg
 
-    shutil.rmtree("/tmp/ckpt_win_slide", ignore_errors=True)
     batch_df = read_table(spark, SF_DIR, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -226,6 +219,7 @@ def test_sliding_stream_equals_batch(spark, event_files):
         spark,
         sliding_agg(stream, "ts", "1 hour", "15 minutes", ["event_type"], aggs),
         "win_slide",
+        tmp_path / "ckpt",
     ).toPandas()
     want = sliding_agg(
         batch_df, "ts", "1 hour", "15 minutes", ["event_type"], aggs
@@ -236,14 +230,11 @@ def test_sliding_stream_equals_batch(spark, event_files):
     pd.testing.assert_frame_equal(got[key + ["n"]], want[key + ["n"]])
 
 
-def test_session_agg_stream_equals_batch(spark, event_files):
+def test_session_agg_stream_equals_batch(spark, event_files, tmp_path):
     """The registered session_window_agg operator (native F.session_window)
     produces identical closed sessions on a stream and in batch."""
-    import shutil
-
     from pyfads.windows import session_agg
 
-    shutil.rmtree("/tmp/ckpt_win_sagg", ignore_errors=True)
     batch_df = read_table(spark, SF_DIR, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -263,6 +254,7 @@ def test_session_agg_stream_equals_batch(spark, event_files):
         spark,
         session_agg(stream, "ts", "30 minutes", ["user_id"], aggs),
         "win_sagg",
+        tmp_path / "ckpt",
     ).toPandas()
     want = session_agg(batch_df, "ts", "30 minutes", ["user_id"], aggs).toPandas()
     key = ["sess_start_ms", "sess_end_ms", "user_id"]
@@ -273,13 +265,10 @@ def test_session_agg_stream_equals_batch(spark, event_files):
     )
 
 
-def test_tumbling_stream_foreachbatch_capture(spark, event_files):
+def test_tumbling_stream_foreachbatch_capture(spark, event_files, tmp_path):
     """foreachBatch capture of the streaming tumbling agg in UPDATE mode:
     the union of per-batch updates, last-write-wins per window, equals the
     batch result — the sink-agnostic way to consume windowed updates."""
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_win_fb", ignore_errors=True)
     batch_df = read_table(spark, SF_DIR, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -305,7 +294,7 @@ def test_tumbling_stream_foreachbatch_capture(spark, event_files):
     q = (
         agg.writeStream.foreachBatch(capture)
         .outputMode("update")
-        .option("checkpointLocation", "/tmp/ckpt_win_fb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -329,9 +318,6 @@ def test_tumbling_stream_foreachbatch_capture(spark, event_files):
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode watermark semantics: a row arriving after the watermark
     passed its window is DROPPED; windows emit once finalized."""
-    import shutil
-
-    shutil.rmtree("/tmp/ckpt_win_late", ignore_errors=True)
     d = tmp_path / "late_stream"
     d.mkdir()
 
@@ -373,7 +359,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         agg.writeStream.format("memory")
         .queryName("win_late")
         .outputMode("append")
-        .option("checkpointLocation", "/tmp/ckpt_win_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -413,14 +399,11 @@ def test_interval_join_batch_semantics(spark):
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
 
 
-def test_interval_join_stream_equals_batch(spark, event_files):
+def test_interval_join_stream_equals_batch(spark, event_files, tmp_path):
     """Stream-stream interval join (both sides watermarked) produces the
     same click->purchase pairs as the batch interval_join."""
-    import shutil
-
     from pyfads.windows import interval_join
 
-    shutil.rmtree("/tmp/ckpt_win_ssj", ignore_errors=True)
     schema = read_table(spark, SF_DIR, "events").schema
 
     def side(df, etype, idname, tsname):
@@ -446,7 +429,7 @@ def test_interval_join_stream_equals_batch(spark, event_files):
         joined.writeStream.format("memory")
         .queryName("win_ssj")
         .outputMode("append")
-        .option("checkpointLocation", "/tmp/ckpt_win_ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )

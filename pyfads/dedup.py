@@ -39,6 +39,8 @@ __all__ = [
     "MINHASH_A",
     "MINHASH_B",
     "incremental_dedup",
+    "write_signature_store",
+    "read_signature_store",
 ]
 
 
@@ -526,8 +528,57 @@ def connected_components(
     )
 
 
-def incremental_dedup(
+def write_signature_store(
     corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize the corpus-side dedup state once so per-batch ingest
+    never re-reads (let alone re-shingles) the corpus text — the real
+    100 TB shape of :func:`incremental_dedup`, where the corpus is
+    petabytes but its signature store is three narrow tables:
+
+    - ``hashes``   — distinct md5 content hashes (16 bytes/doc);
+    - ``sigs``     — :func:`minhash_signature` output (``n_perm`` longs/doc);
+    - ``shingles`` — :func:`shingle_sets` output (the Jaccard-verify side;
+      the one store proportional to text size — at extreme scale replace
+      with a second, longer minhash signature as the verifier).
+
+    Per-batch cost then depends only on batch size + store size, not
+    corpus text size; after each refresh, append the admitted batch's
+    signatures (``mode="append"``) instead of rebuilding.  On a cluster,
+    write ``sigs`` through pyfads.io.write_bucketed on the band keys so
+    the candidate join is corpus-side shuffle-free.
+    """
+    corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct().write.mode(
+        mode
+    ).parquet(f"{path}/hashes")
+    minhash_signature(corpus, text_col, id_col, n_perm, k).write.mode(mode).parquet(
+        f"{path}/sigs"
+    )
+    shingle_sets(corpus, text_col, id_col, k).write.mode(mode).parquet(
+        f"{path}/shingles"
+    )
+    return path
+
+
+def read_signature_store(spark, path: str) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """(hashes, sigs, shingles) frames of a :func:`write_signature_store`
+    dataset — pass them to :func:`incremental_dedup` as ``corpus_hashes``/
+    ``corpus_sigs``/``corpus_shingles`` (with ``corpus=None``)."""
+    return (
+        spark.read.parquet(f"{path}/hashes"),
+        spark.read.parquet(f"{path}/sigs"),
+        spark.read.parquet(f"{path}/shingles"),
+    )
+
+
+def incremental_dedup(
+    corpus: "DataFrame | None",
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -565,8 +616,18 @@ def incremental_dedup(
     ``__h``), ``corpus_sigs`` (:func:`minhash_signature` output) and
     ``corpus_shingles`` (:func:`shingle_sets` output), and the corpus
     text column is never read at all (output verified identical:
-    tests/test_llm_ops.py::test_incremental_dedup_presigged).
+    tests/test_llm_ops.py::test_incremental_dedup_presigged).  With all
+    three supplied (e.g. from :func:`read_signature_store`), ``corpus``
+    may be ``None`` — the corpus dataframe is not referenced at all.
     """
+    if corpus is None and (
+        corpus_hashes is None or corpus_sigs is None or corpus_shingles is None
+    ):
+        raise ValueError(
+            "corpus=None requires corpus_hashes, corpus_sigs AND "
+            "corpus_shingles (a signature store) — a partial store would "
+            "silently need the corpus text"
+        )
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = (
         corpus_hashes

@@ -889,6 +889,33 @@ def test_incremental_dedup_presigged(spark):
     assert got == want and len(want) > 0
 
 
+def test_incremental_dedup_signature_store_roundtrip(spark, tmp_path):
+    """write_signature_store -> parquet -> read_signature_store feeds
+    incremental_dedup with corpus=None and yields verdicts identical to
+    the direct corpus-text path; a partial store raises instead of
+    silently needing the corpus."""
+    import pytest
+
+    docs = read_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    want = {
+        (r.doc_id, r.reason, r.keep)
+        for r in D.incremental_dedup(corpus, batch).collect()
+    }
+    path = D.write_signature_store(corpus, str(tmp_path / "store"))
+    ch, cs, csh = D.read_signature_store(spark, path)
+    got = {
+        (r.doc_id, r.reason, r.keep)
+        for r in D.incremental_dedup(
+            None, batch, corpus_hashes=ch, corpus_sigs=cs, corpus_shingles=csh
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError, match="signature store"):
+        D.incremental_dedup(None, batch, corpus_hashes=ch)
+
+
 def test_audio_features_real_wav_decode(spark):
     """REAL audio decode end-to-end (PCM WAV needs only stdlib wave +
     numpy): synthesized sine/silence/stereo clips round-trip through the

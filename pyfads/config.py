@@ -76,8 +76,13 @@ class FADSConfig:
         if len(set(self.qid_cols)) != len(self.qid_cols):
             raise ValueError("qid_cols must be distinct (duplicate names would "
                              "collide in <col>_lo/<col>_hi output columns)")
-        if self.pid_col in self.qid_cols or self.arrival_col in self.qid_cols:
-            raise ValueError("pid_col/arrival_col must not be QID columns")
+        # pid_col MAY be a QID: the reference's own job does exactly that
+        # (TransactionGeneralizationJob.java:66-72 — keys {0,1,5} with
+        # pidKey=0), and nothing downstream needs the scalar pid in the
+        # output (releases resolve by position/pending-index; the pid
+        # column simply generalizes to <pid>_lo/<pid>_hi like any QID).
+        if self.arrival_col in self.qid_cols:
+            raise ValueError("arrival_col must not be a QID column")
         if self.legacy_distance_cols is not None and len(
             self.legacy_distance_cols
         ) != len(self.qid_cols):

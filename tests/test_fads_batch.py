@@ -137,7 +137,11 @@ def test_config_validation():
     with pytest.raises(ValueError):
         FADSConfig(qid_cols=("a", "a"))
     with pytest.raises(ValueError):
-        FADSConfig(qid_cols=("event_id", "value"), pid_col="event_id")
+        FADSConfig(qid_cols=("ts_millis", "value"), arrival_col="ts_millis")
+    # pid-as-QID is VALID — the reference's own job keys on {0,1,5} with
+    # pidKey=0 (TransactionGeneralizationJob.java:66-72); exercised
+    # end-to-end in test_fads_stream.py::test_end_to_end_taxi_job_gz_to_parquet
+    FADSConfig(qid_cols=("event_id", "value"), pid_col="event_id")
 
 
 # -- distinct_pids option (reference Generalizer.java:205-216, intended) ----

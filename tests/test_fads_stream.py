@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from pyfads import FADSConfig
 from pyfads.fads_batch import fads_generalize, run_fads_pandas
 from pyfads.fads_core import FADSState
@@ -596,3 +598,140 @@ def test_stream_multibatch_ttl_flush_parity(spark, tmp_path_factory):
     # first chunk boundary (i.e. expiry-on-restore is observable)
     no_ttl = fads_oracle(rows, FADSConfig(**{**cfg.__dict__, "reuse_ms": 10**9}))
     assert any(expected[r] != no_ttl[r] for r in expected if r >= per_chunk)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end taxi parity job (VERDICT r5 item 3): the reference's ONE job
+# shape — TransactionGeneralizationJob.java:36-79 — composed as a single
+# Structured Streaming query: gzipped taxi CSV source (P1) -> line parse
+# (P2) -> arrival enrichment (P4) -> throughput listener (P5) -> stateful
+# FADS generalizer k=10/buffer=30/QIDs {0,1,5}=(rideId,taxiId,endTime),
+# pid=rideId (P6) -> parquet sink (P7), asserted row-for-row against the
+# pure-Python FADSState oracle.
+# ---------------------------------------------------------------------------
+
+
+def _taxi_csv_lines(n: int = 120) -> list[str]:
+    """Deterministic NYCTaxiRideSource-format CSV: token order
+    rideId,START|END,time,time,lon,lat,lon,lat,passengerCnt,taxiId,driverId
+    (NYCTaxiRideSource.java:204-244).  The parsed startTime is strictly
+    increasing in line order so event time doubles as the replayable
+    arrival clock; a few rows carry empty lon/lat (reference maps them to
+    0.0, :231-234) and a few are END lines (time pair swapped on parse)."""
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2020, 3, 1, tzinfo=timezone.utc)
+    fmt = lambda d: d.strftime("%Y-%m-%d %H:%M:%S")
+    lines = []
+    for i in range(n):
+        clock = base + timedelta(seconds=7 * i)
+        later = fmt(clock + timedelta(seconds=300 + i))
+        if i % 10 == 3:  # END event: parse swaps (time1, time2)
+            kind, t1, t2 = "END", later, fmt(clock)
+        else:
+            kind, t1, t2 = "START", fmt(clock), later
+        lon = "" if i % 17 == 5 else f"-73.9{i % 100:02d}"
+        lat = "" if i % 17 == 5 else f"40.7{i % 100:02d}"
+        lines.append(
+            f"{i + 1},{kind},{t1},{t2},{lon},{lat},-73.800,40.600,"
+            f"{1 + i % 4},{100 + i % 7},{5000 + i}"
+        )
+    return lines
+
+
+def test_end_to_end_taxi_job_gz_to_parquet(spark, tmp_path):
+    import gzip
+    import time as _t
+
+    from pyfads.io import read_taxi_csv
+    from pyfads.metrics import ThroughputListener
+    from pyfads.schema import fads_output_schema
+
+    # P1 fixture: nycTaxiRides split over 3 gz files, mtime-ordered so the
+    # file source replays them as 3 ordered micro-batches
+    lines = _taxi_csv_lines(120)
+    src_dir = tmp_path / "taxi_gz"
+    src_dir.mkdir()
+    for i, lo in enumerate(range(0, len(lines), 40)):
+        p = src_dir / f"nycTaxiRides_{i}.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write("\n".join(lines[lo : lo + 40]) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    # reference job parameters: Generalizer(10, 30, 60000, keys={0,1,5},
+    # pidKey=0) over the 11-field tuple -> QIDs (rideId, taxiId, endTime),
+    # pid rideId (which is itself a QID, as in the reference)
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("rideId", "taxiId", "endTime"),
+        pid_col="rideId",
+        arrival_col="arrival_ms",
+    )
+
+    from pyfads.io import parse_taxi_lines
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(str(src_dir))
+    )  # P1: throttling is the source's concern in Spark (rate_stream)
+    parsed = parse_taxi_lines(raw)  # P2
+    enriched = parsed.withColumn(
+        "arrival_ms", F.col("startTime")
+    )  # P4: event time as the deterministic replay clock
+    listener = ThroughputListener("TaxiJob")  # P5
+    spark.streams.addListener(listener)
+    released = fads_generalize_stream(enriched, cfg, flush_after_ms=3_600_000)  # P6
+    out_dir, ckpt = str(tmp_path / "out_parquet"), str(tmp_path / "ckpt")
+    q = (
+        released.writeStream.format("parquet")  # P7
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    out_schema = fads_output_schema(enriched.schema, cfg)
+    expected_n = len(lines) - cfg.buffer_rows
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline:
+            if spark.read.schema(out_schema).parquet(out_dir).count() >= expected_n:
+                break
+            _t.sleep(2)
+        got = spark.read.schema(out_schema).parquet(out_dir).collect()
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+
+    # P5: the logger observed the stream's input rows flowing through
+    assert listener.rows_total >= len(lines)
+
+    # pure-Python oracle over the batch-parsed fixture in arrival order
+    pdf = (
+        read_taxi_csv(spark, str(src_dir))
+        .withColumn("arrival_ms", F.col("startTime"))
+        .toPandas()
+        .sort_values(["arrival_ms", "rideId"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == len(lines)
+    st = FADSState(cfg)
+    rel = st.process(
+        pdf["rideId"].to_numpy(),
+        pdf[list(cfg.qid_cols)].to_numpy(dtype=np.float64),
+        pdf["arrival_ms"].to_numpy(dtype=np.int64),
+    )
+    by_pid = dict(zip(pdf["rideId"], pdf["driverId"]))
+    expected = {
+        (int(by_pid[pid]), *map(float, lo), *map(float, hi))
+        for pid, lo, hi in zip(rel.row_ids, rel.lo, rel.hi)
+    }
+    got_set = {
+        (
+            int(r["driverId"]),
+            float(r["rideId_lo"]), float(r["taxiId_lo"]), float(r["endTime_lo"]),
+            float(r["rideId_hi"]), float(r["taxiId_hi"]), float(r["endTime_hi"]),
+        )
+        for r in got
+    }
+    assert got_set == expected and len(got_set) == expected_n

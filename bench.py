@@ -74,7 +74,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _ensure_sf1(dst: str) -> None:
+    """Materialize the deterministic 10x scale-up fixtures (scripts/
+    make_sf1.py) if absent — probe data only, oracles stay on /root/testdata."""
+    if os.path.exists(os.path.join(dst, "documents.parquet")):
+        return
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    import make_sf1
+
+    make_sf1.build(dst)
+
+
 def main() -> None:
+    global SF_DIR, REPS, MIN_REPS
+
+    # --sf1: whole-suite superlinearity sweep (VERDICT r5 item 5) — run
+    # every query ONCE against the 10x fixtures and write BENCH_SF1.json;
+    # compare ratios against BENCH_FULL.json's sf0.1 steady-state mins
+    # (SCALE.md records the read).  Repeatable: the fixtures build lazily
+    # and are reused across rounds.
+    sf1_mode = "--sf1" in sys.argv
+    detail_name = "BENCH_FULL.json"
+    if sf1_mode:
+        SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        _ensure_sf1(SF_DIR)
+        REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+        MIN_REPS = min(3, REPS)
+        detail_name = "BENCH_SF1.json"
+
     from __spark_entry__ import queries
 
     spark = build_spark()
@@ -130,7 +159,10 @@ def main() -> None:
             rep_counts[name] = 0
             rep_lists[name] = []
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    if sf1_mode:
+        sf = 1.0
+    else:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     rows_per_sec = flagship_rows / flagship_sec if flagship_sec > 0 else 0.0
     summary = {
         "metric": "fads_pipeline_wall_sec",
@@ -153,7 +185,7 @@ def main() -> None:
     full["queries_median"] = medians
     full["queries_reps"] = rep_counts
     full["queries_rep_lists"] = rep_lists
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
@@ -161,7 +193,7 @@ def main() -> None:
     # the driver's tail-capture window — slowest queries first, the rest
     # summarized by count + pointer to BENCH_FULL.json.
     out = dict(summary)
-    out["detail"] = "BENCH_FULL.json"
+    out["detail"] = detail_name
     out["queries"] = {}
     budget = 1700
     for name in sorted(timings, key=lambda n: -timings[n]):

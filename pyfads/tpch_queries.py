@@ -3,14 +3,35 @@ general-purpose OLAP surface of the engine, exercised with one query per
 classic plan shape:
 
 - ``pricing_summary``    — Q1 flavor: wide partial-aggregate scan
+- ``min_cost_supplier``  — Q2 flavor: correlated min + argmin join-back
 - ``shipping_priority``  — Q3 flavor: fact join + top-k (TakeOrdered)
 - ``order_priority``     — Q4 flavor: EXISTS semi-join with a non-equi term
+- ``forecast_revenue``   — Q6 flavor: selective-predicate scan, no join
 - ``nation_trade_matrix``— Q7 flavor: two-armed star join (supplier dim)
+- ``nation_market_share``— Q8 flavor: conditional share of a deep star join
+- ``product_profit``     — Q9 flavor: signed profit by nation x year
+- ``returned_item_ranking`` — Q10 flavor: 3-way join + top-k
+- ``important_part_values`` — Q11 flavor: group agg vs scalar-total threshold
+- ``priority_shipping_buckets`` — Q12 flavor: two-bucket conditional counts
+- ``customer_order_distribution`` — Q13 flavor: outer join + double agg
+- ``promo_revenue_share``— Q14 flavor: conditional-aggregate ratio
+- ``top_supplier_revenue`` — Q15 flavor: view + scalar max + join-back
+- ``supplier_part_variety`` — Q16 flavor: distinct agg + NOT IN anti-join
 - ``small_qty_revenue``  — Q17 flavor: correlated aggregate, decorrelated,
   with an exact integer cross-multiplied predicate
+- ``big_order_customers``— Q18 flavor: HAVING aggregate gate + join-back
+- ``disjunctive_revenue``— Q19 flavor: OR-of-conjunctions predicate
+- ``excess_shipping_suppliers`` — Q20 flavor: nested agg + IN-subquery chain
+- ``sole_latest_supplier`` — Q21 flavor: EXISTS + NOT EXISTS, decorrelated
 - ``customers_no_orders``— Q22 flavor: NOT EXISTS anti-join
 - ``brand_part_topk``    — top-k per group (WindowGroupLimit pushdown)
 - ``revenue_rollup``     — ROLLUP multi-level aggregate (grouping_id)
+
+With Q5 (``revenue_by_nation`` in pyfads.analytics_queries), all 22
+classic TPC-H query shapes are represented (Q2/Q9/Q11/Q12/Q16/Q20/Q21
+adapted to the fixtures' reduced schema — no partsupp table, no
+shipmode/commitdate/receiptdate columns — keeping each query's canonical
+plan shape).
 
 Determinism discipline (same as pyfads.analytics_queries): every money
 column in the fixtures is exact in cents / basis points (verified by
@@ -730,4 +751,619 @@ def big_order_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
             F.col("sum_qty").cast("long").alias("sum_qty"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 flavor: minimum-cost supplier per part (correlated min + argmin join-back)
+# --------------------------------------------------------------------------
+# The fixtures carry no partsupp table, so the part-supplier offer relation
+# is derived from lineitem: a supplier's "offer" for a part is the minimum
+# extended price (exact cents) it ever shipped that part at.  Same plan
+# shape as TPC-H Q2: per-key min aggregate, argmin row recovered with a
+# deterministic tie-break, dimension joins for supplier/nation context.
+
+_MIN_COST_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS offer_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT o.l_partkey, o.l_suppkey, o.offer_cents, s_name, n_name
+  FROM offers o
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_brand, offer_cents, l_suppkey AS s_suppkey, s_name, n_name
+FROM (
+  SELECT eu.*, p_partkey, p_brand,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY offer_cents, l_suppkey) AS rn
+  FROM eu JOIN part ON l_partkey = p_partkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+)
+WHERE rn = 1
+"""
+
+
+@query("min_cost_supplier", oracle=_MIN_COST_SQL)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-flavored: the cheapest EUROPE supplier for each mid-size
+    STANDARD part — correlated-minimum + argmin join-back (offers derived
+    from lineitem since the fixtures have no partsupp).
+
+    100 TB shape: the offer aggregate map-side-combines to one row per
+    (part, supplier); supplier/nation/region are broadcast; the argmin is
+    a WindowGroupLimit (rn = 1 pushes the per-part top-1 below the window
+    exchange).  Tie-break (offer, suppkey) makes the winner unique."""
+    li = read_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents()).cast("long").alias("offer_cents")
+    )
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part").filter(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+        )
+    )
+    eu = (
+        offers.join(supp, offers.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(part, offers.l_partkey == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("offer_cents", "l_suppkey")
+    return (
+        eu.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "offer_cents",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 flavor: national market share per year (conditional share of a join)
+# --------------------------------------------------------------------------
+
+_MARKET_SHARE_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                     THEN {_CENTS} * (10000 - {_DISC_BP}) ELSE 0 END) AS BIGINT)
+           AS nation_micros,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS total_micros,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                     THEN {_CENTS} * (10000 - {_DISC_BP}) ELSE 0 END) AS DOUBLE)
+         / sum({_CENTS} * (10000 - {_DISC_BP})) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey  = o_orderkey
+JOIN customer  ON o_custkey   = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN part      ON l_partkey   = p_partkey
+JOIN supplier  ON l_suppkey   = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+GROUP BY o_year
+"""
+
+
+@query("nation_market_share", oracle=_MARKET_SHARE_SQL)
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-flavored: NATION_5 suppliers' share of STANDARD-part
+    revenue sold to AMERICA-region customers, per order year — the
+    conditional-share-of-a-deep-star-join shape.
+
+    100 TB shape: five of the six joins are broadcasts (part, supplier,
+    both nation copies, region); only orders-lineitem shuffles.  The share
+    is one double division of two exact integer sums per year group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = read_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_regionkey").alias("cn_region"),
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    micros = _cents() * (F.lit(10000) - _bp("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_5", micros).otherwise(F.lit(0))
+    agged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == F.col("r_regionkey"))
+        .join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nat).cast("long").alias("nation_micros"),
+            F.sum(micros).cast("long").alias("total_micros"),
+        )
+    )
+    return agged.select(
+        "o_year",
+        "nation_micros",
+        "total_micros",
+        (F.col("nation_micros").cast("double") / F.col("total_micros")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 flavor: product profit by supplier nation and year
+# --------------------------------------------------------------------------
+# No partsupp.ps_supplycost in the fixtures: unit cost is the part's
+# retail price (exact cents), so profit = discounted revenue micros minus
+# qty * retail_cents * 10000 — all integer, possibly negative.
+
+_PROFIT_SQL = f"""
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_CENTS} * (10000 - {_DISC_BP})
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT) * 10000)
+            AS BIGINT) AS profit_micros
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+@query("product_profit", oracle=_PROFIT_SQL)
+def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-flavored: profit (revenue minus cost-of-goods, here the
+    part's exact retail cents) per supplier nation and order year, for
+    parts matching a name LIKE pattern (Q9's '%green%').
+
+    100 TB shape: part (post-LIKE filter), supplier, and nation broadcast;
+    orders-lineitem is the one shuffle; profit accumulates as BIGINT
+    micros (signed — margins can be negative) with map-side combine to
+    |nations| x |years| rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    orders = read_table(spark, sf_dir, "orders")
+    profit = _cents() * (F.lit(10000) - _bp("l_discount")) - F.col(
+        "l_quantity"
+    ).cast("long") * F.round(F.col("p_retailprice") * 100).cast("long") * F.lit(10000)
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_micros"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 flavor: important part values (group agg vs scalar-total threshold)
+# --------------------------------------------------------------------------
+
+_IMPORTANT_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM vals)
+SELECT l_partkey, value_cents
+FROM vals CROSS JOIN tot
+WHERE value_cents * 500 > total_cents
+"""
+
+
+@query("important_part_values", oracle=_IMPORTANT_SQL)
+def important_part_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-flavored: parts whose shipped value through NATION_3
+    suppliers exceeds 1/500 of that nation's total — the group-aggregate
+    vs scalar-subquery-threshold shape.
+
+    Exactness: the fraction test is the cross-multiplied integer predicate
+    ``value * 500 > total`` — no float threshold, so boundary parts are
+    bit-deterministic.
+
+    100 TB shape: supplier+nation broadcast prune the scan to one
+    nation's suppliers; one map-side-combined agg per part; the total is
+    a 1-row re-aggregation cross-joined back (broadcast of one row), so
+    the threshold filter is map-side — no second pass over lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(
+        read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    vals = (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents()).cast("long").alias("value_cents"))
+    )
+    tot = F.broadcast(vals.agg(F.sum("value_cents").cast("long").alias("total_cents")))
+    return (
+        vals.crossJoin(tot)
+        .filter(F.col("value_cents") * 500 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 flavor: priority buckets per line status (two-bucket conditional counts)
+# --------------------------------------------------------------------------
+
+_PRIORITY_BUCKETS_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@query("priority_shipping_buckets", oracle=_PRIORITY_BUCKETS_SQL)
+def priority_shipping_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-flavored: per line status (the fixtures' stand-in for
+    ship mode), how many 1997-shipped lines belonged to high- vs
+    low-priority orders — the two-bucket conditional-count shape.
+
+    100 TB shape: the shipdate year pushes to the lineitem scan; the
+    orders side is column-pruned to (o_orderkey, o_orderpriority); one
+    equi-join shuffle on the order key (shuffle-free when bucketed), then
+    a 2-row map-side-combined aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 flavor: customer order-count distribution (outer join + double agg)
+# --------------------------------------------------------------------------
+
+_CUST_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("customer_order_distribution", oracle=_CUST_DIST_SQL)
+def customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-flavored: the distribution of per-customer order counts
+    (excluding one priority class, the fixtures' stand-in for the comment
+    exclusion) — LEFT OUTER join preserving zero-order customers, then a
+    second aggregation over the first's result.
+
+    100 TB shape: outer join shuffles on the customer key; count(col)
+    ignores the NULLs the outer join manufactures, so zero-order
+    customers land in the c_count=0 bucket; the second aggregate is over
+    one row per customer and collapses map-side to the handful of
+    distinct counts."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 flavor: top supplier(s) by quarterly revenue (view + scalar max)
+# --------------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_CENTS} * (10000 - {_DISC_BP})) AS BIGINT) AS total_micros
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_micros
+FROM revenue
+JOIN supplier ON s_suppkey = supplier_no
+CROSS JOIN (SELECT max(total_micros) AS max_micros FROM revenue)
+WHERE total_micros = max_micros
+"""
+
+
+@query("top_supplier_revenue", oracle=_TOP_SUPPLIER_SQL)
+def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-flavored: the supplier(s) achieving the maximum revenue
+    in 1997Q1 — the view + scalar-max + equality-join-back shape.
+
+    100 TB shape: the revenue view is one map-side-combined agg to one
+    row per supplier; the max is a 1-row re-aggregation broadcast back
+    (never a global sort); supplier is a broadcast dim.  Exact integer
+    micros make the equality test safe — a double revenue could miss the
+    max row to 1 ulp."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-04-01 00:00:00'"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents() * (F.lit(10000) - _bp("l_discount")))
+        .cast("long")
+        .alias("total_micros")
+    )
+    mx = F.broadcast(revenue.agg(F.max("total_micros").alias("max_micros")))
+    supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.crossJoin(mx)
+        .filter(F.col("total_micros") == F.col("max_micros"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_micros")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 flavor: supplier variety per part attributes (distinct agg + NOT IN)
+# --------------------------------------------------------------------------
+
+_VARIETY_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("supplier_part_variety", oracle=_VARIETY_SQL)
+def supplier_part_variety_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-flavored: how many distinct suppliers ship each (brand,
+    type, size) combination, excluding one brand, PROMO types, and
+    negative-balance suppliers (the fixtures' stand-in for Q16's
+    complaint-comment NOT IN subquery).
+
+    100 TB shape: the part-supplier relation is lineitem collapsed to
+    distinct (partkey, suppkey) pairs — one map-side-combined distinct;
+    part and the (tiny) excluded-supplier list broadcast, the exclusion
+    planning as a broadcast LEFT ANTI join; count(DISTINCT) re-shuffles
+    once on the group keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+    )
+    bad_supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(part, ps.l_partkey == F.col("p_partkey"))
+        .join(bad_supp, ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 flavor: high-volume suppliers of a part class (nested agg + semi-joins)
+# --------------------------------------------------------------------------
+
+_EXCESS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 1
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+  )
+"""
+
+
+@query("excess_shipping_suppliers", oracle=_EXCESS_SQL)
+def excess_shipping_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-flavored: region-1 suppliers that moved more than 50
+    units of some PROMO part during 1997 — the nested-aggregate +
+    IN-subquery-chain shape (Q20's availqty threshold becomes a shipped-
+    quantity threshold; the fixtures have no partsupp).
+
+    100 TB shape: the inner aggregate map-side-combines to one row per
+    (supplier, part); the PROMO part list and the qualifying supplier set
+    are both broadcast semi-joins; supplier+nation are dimension-sized.
+    Nothing rescans lineitem twice."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    promo = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    movers = (
+        li.join(promo, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        read_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    )
+    return (
+        supp.join(nation, supp.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(movers), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 flavor: sole-latest supplier on multi-supplier orders
+# (EXISTS another supplier + NOT EXISTS a later one, via double aggregation)
+# --------------------------------------------------------------------------
+
+_SOLE_LATEST_SQL = """
+WITH t AS (
+  SELECT l_orderkey, l_suppkey, max(epoch_ms(l_shipdate)) AS smax_ms
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, max(smax_ms) AS omax_ms,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM t GROUP BY l_orderkey
+),
+at_max AS (
+  SELECT t.l_orderkey, t.l_suppkey
+  FROM t JOIN o USING (l_orderkey)
+  WHERE o.n_supp >= 2 AND t.smax_ms = o.omax_ms
+),
+blamed AS (
+  SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+  FROM at_max GROUP BY l_orderkey
+  HAVING count(*) = 1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+@query("sole_latest_supplier", oracle=_SOLE_LATEST_SQL)
+def sole_latest_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-flavored: on finished multi-supplier orders, the supplier
+    that was UNIQUELY last to ship (EXISTS another supplier on the order,
+    NOT EXISTS one shipping as late), counted per supplier, top 10 — the
+    double-correlated-subquery shape, decorrelated into two aggregation
+    passes instead of two correlated rescans of lineitem.
+
+    100 TB shape: pass 1 collapses lineitem to one row per (order,
+    supplier) map-side; pass 2 is per-order over that (already tiny)
+    frame; both shuffle on the order key — with lineitem bucketed by
+    orderkey the whole chain is shuffle-free until the final per-supplier
+    count.  The top-10 is TakeOrderedAndProject with a total-order
+    tie-break."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    t = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(epoch_ms(li, "l_shipdate")).alias("smax_ms"))
+    )
+    o = t.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.max("smax_ms").alias("omax_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    at_max = (
+        t.join(o, t.l_orderkey == F.col("o_key"))
+        .filter((F.col("n_supp") >= 2) & (F.col("smax_ms") == F.col("omax_ms")))
+        .select("l_orderkey", "l_suppkey")
+    )
+    blamed = (
+        at_max.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count(F.lit(1)).alias("n_at_max"),
+        )
+        .filter(F.col("n_at_max") == 1)
+    )
+    supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        blamed.join(supp, blamed.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
     )

@@ -40,6 +40,11 @@ EXPECTED_BNLJ = {
     "g9_best_cluster",
     "g11_suppress",
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
+    # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
+    # frame cross-joined back (the canonical decorrelation) — bounded at
+    # any scale, the probe side streams
+    "important_part_values",
+    "top_supplier_revenue",
 }
 
 # Queries allowed to contain an `Exchange SinglePartition` — a shuffle that
@@ -62,6 +67,8 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "forecast_revenue",  # Q6 flavor: same keyless-global-agg class
     "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
     "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
+    "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
+    "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g8_info_loss",

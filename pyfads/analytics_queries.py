@@ -940,6 +940,59 @@ FROM est e LEFT JOIN exact x USING (term)
 """
 
 
+_HLL_SEED = "hll"
+
+
+def _hll_sql() -> str:
+    from pyfads.llm_queries import _h60
+    from pyfads.sketches import _HLL_P, _hll_consts
+
+    m, wbits, maxrank, numerator = _hll_consts(_HLL_P)
+    h = _h60(_HLL_SEED, "tok")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT lang, {h} AS h FROM toks),
+r AS (
+  SELECT lang, CAST(h % {m} AS INT) AS bucket,
+         CASE WHEN h // {m} = 0 THEN {maxrank}
+              ELSE {maxrank} - length(bin(h // {m})) END AS rank
+  FROM h
+),
+regs AS (SELECT lang, bucket, MAX(rank) AS register FROM r GROUP BY lang, bucket),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_registers_set,
+         CAST(sum(register) AS BIGINT) AS register_sum,
+         CAST(sum(1::BIGINT << ({maxrank} - register)) AS BIGINT) AS z_present
+  FROM regs GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+  FROM toks GROUP BY lang
+)
+SELECT e.lang, n_exact, n_registers_set, register_sum,
+       '{numerator!r}'::DOUBLE /
+         CAST(z_present + ({m} - n_registers_set) * {1 << maxrank} AS DOUBLE)
+         AS hll_estimate
+FROM exact e JOIN agg USING (lang)
+"""
+
+
+@query("sketch_hll", oracle=_hll_sql)
+def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via the cross-engine
+    HyperLogLog (m=256 registers over the shared md5 hash): exact count
+    next to integer register checksums and the raw HLL estimate.  The
+    registers are bit-identical in Spark and DuckDB, so the float
+    estimate (one shared-literal divide) hash-matches to the ulp —
+    engine-native HLLs (approx_count_distinct / approx_distinct) can't do
+    this.  KMV (sketch_kmv_distinct) runs on the same token stream for a
+    direct accuracy/cost comparison."""
+    return K.hll_distinct_tokens(_docs(spark, sf_dir), seed=_HLL_SEED)
+
+
 @query("sketch_countmin", oracle=_countmin_sql())
 def sketch_countmin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point estimates for a probe-term list over the corpus

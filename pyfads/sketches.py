@@ -5,11 +5,13 @@ values of a uniform hash over the distinct items; the k-th smallest hash
 ``m_k`` (scaled to [0,1]) estimates the cardinality as ``(k-1)/m_k``
 (Bar-Yossef et al., "Counting distinct elements in a data stream", 2002).
 
-Unlike HyperLogLog (whose register layout is engine-specific and
+Unlike ENGINE-NATIVE HyperLogLog (whose register layout is private and
 non-portable), KMV over a shared md5-based hash is **bit-deterministic
 across engines** — the same items always produce the same k smallest
 hashes — so the estimate itself is DuckDB-oracle-checkable, not just
-"approximately right".
+"approximately right".  The HLL at the bottom of this module applies the
+same trick to HLL itself: fixed hash, fixed bucket/rank rule, integer
+harmonic sum — portable registers, ulp-exact estimate.
 
 Scale shape (100 TB): the per-stratum k-smallest is expressed as
 ``row_number() OVER (PARTITION BY stratum ORDER BY h) <= k``, which Spark
@@ -25,7 +27,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from pyfads.text import md5_hash60, tokens
 
-__all__ = ["kmv_distinct_tokens", "bloom_build", "bloom_probe"]
+__all__ = [
+    "kmv_distinct_tokens",
+    "bloom_build",
+    "bloom_probe",
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge",
+    "hll_distinct_tokens",
+]
 
 # md5_hash60 yields 60-bit hashes; scaling by 2^60 maps them to (0,1]
 _HASH_SPACE = float(1 << 60)
@@ -288,4 +298,137 @@ def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("j", "b")
         .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog: cross-engine-deterministic register sketch
+# --------------------------------------------------------------------------
+
+# HLL over the shared md5_hash60 hash (Flajolet et al., "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm", 2007).
+# Engine-native HLLs (Spark approx_count_distinct's HLL++, DuckDB
+# approx_distinct) use private hash/register layouts and cannot be
+# cross-checked; this one fixes the hash (md5_hash60), the bucket split
+# (low p bits) and the rank rule (leading zeros of the remaining
+# 60-p bits, via length(bin(w)) — identical in Spark and DuckDB), so the
+# REGISTERS are bit-identical across engines and the estimate is one
+# shared-literal multiply + one IEEE division — oracle-checkable to the
+# last ulp like the KMV/Bloom/Count-Min sketches above.
+#
+# The emitted estimate is the RAW HLL estimator alpha_m * m^2 / sum(2^-reg)
+# (no small/large-range corrections: both need transcendentals (ln), which
+# are not reproducible across engines — see PAPERS.md on portable floats).
+# The scaled harmonic sum is kept in exact integer form: each register
+# contributes 2^(maxrank - reg) with maxrank = 60 - p + 1 <= 53, so the
+# per-stratum sum stays below 2^(p + 53) < 2^62 for p <= 8 — no float
+# accumulation anywhere, hence partition-order independence for free.
+
+_HLL_P = 8  # m = 256 registers; standard error 1.04/sqrt(m) ~ 6.5%
+
+
+def _hll_consts(p: int):
+    m = 1 << p
+    wbits = 60 - p  # md5_hash60 is 60-bit
+    maxrank = wbits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)  # Flajolet's alpha_m, m >= 128
+    # one pre-multiplied literal so both engines do a single division
+    numerator = alpha * float(m) * float(m) * float(1 << maxrank)
+    return m, wbits, maxrank, numerator
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    strat_col: str = "lang",
+    p: int = _HLL_P,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-stratum HLL registers: one row per PRESENT (stratum, bucket)
+    with ``register`` = max rank seen.  Absent buckets are implicit zeros
+    (the estimator adds them back), so the sketch frame is at most
+    ``m`` rows per stratum — trivially broadcastable / storable.
+
+    Scale shape: one hash-partitioned aggregate on (stratum, bucket) with
+    map-side combine — each map task emits at most m rows per stratum no
+    matter how many input rows it saw.  No distinct() needed: max() is
+    idempotent, duplicates cost nothing.
+    """
+    m, wbits, maxrank, _ = _hll_consts(p)
+    h = df.select(
+        F.col(strat_col), md5_hash60(F.col(key_col), seed).alias("h")
+    )
+    w = F.expr(f"h div {m}")
+    rank = F.when(w == F.lit(0), F.lit(maxrank)).otherwise(
+        F.lit(maxrank) - F.length(F.bin(w))
+    )
+    return (
+        h.select(
+            F.col(strat_col),
+            (F.col("h") % m).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(strat_col, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, strat_col: str = "lang", p: int = _HLL_P
+) -> DataFrame:
+    """Fold a register frame into per-stratum estimates.  Returns
+    ``n_registers_set`` and ``register_sum`` (integer checksums asserting
+    the registers themselves, not just the float) plus ``hll_estimate``."""
+    m, wbits, maxrank, numerator = _hll_consts(p)
+    agg = registers.groupBy(strat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_set"),
+        F.sum("register").cast("long").alias("register_sum"),
+        F.sum(F.expr(f"shiftleft(1L, {maxrank} - register)"))
+        .cast("long")
+        .alias("z_present"),
+    )
+    total = F.col("z_present") + (F.lit(m) - F.col("n_registers_set")) * F.lit(
+        1 << maxrank
+    )
+    return agg.select(
+        strat_col,
+        "n_registers_set",
+        "register_sum",
+        (F.lit(numerator) / total.cast("double")).alias("hll_estimate"),
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, strat_col: str = "lang") -> DataFrame:
+    """Merge two register frames built with the same (p, seed):
+    bucket-wise max.  HLL registers form a semilattice under max, so
+    ``merge(build(A), build(B)) == build(A ∪ B)`` exactly — shard/day/
+    executor sketches combine losslessly (asserted bit-exact in
+    tests/test_analytics.py)."""
+    return (
+        a.unionByName(b)
+        .groupBy(strat_col, "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_distinct_tokens(
+    df: DataFrame,
+    strat_col: str = "lang",
+    text_col: str = "text",
+    p: int = _HLL_P,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-stratum distinct-token cardinality: exact count next to the HLL
+    estimate — same token stream as :func:`kmv_distinct_tokens` so the two
+    sketch families are directly comparable on accuracy and cost."""
+    toks = df.select(
+        F.col(strat_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    regs = hll_registers(toks, "__tok", strat_col=strat_col, p=p, seed=seed)
+    est = hll_estimate(regs, strat_col=strat_col, p=p)
+    exact = toks.distinct().groupBy(strat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return exact.join(est, strat_col).select(
+        strat_col, "n_exact", "n_registers_set", "register_sum", "hll_estimate"
     )

@@ -352,3 +352,64 @@ def test_robust_outliers_known_values(spark):
     assert med_val == 350.0  # interpolated between 300 and 400 cents
     flagged = sorted(r.vc for r in out if r.is_out)
     assert flagged == [100000]  # only the wild value; 1.0..5.0 all inside
+
+
+def test_hll_accuracy_and_registers(spark):
+    """HLL raw estimate lands within ~4 standard errors (1.04/sqrt(256)
+    ~ 6.5% each) of the exact cardinality on a 5k-item stream, and the
+    register checksums are internally consistent."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import hll_distinct_tokens
+
+    n = 5000
+    docs = spark.range(n).select(
+        F.lit("en").alias("lang"), F.concat(F.lit("tok"), F.col("id")).alias("text")
+    )
+    row = hll_distinct_tokens(docs).collect()[0]
+    assert row.n_exact == n
+    assert 0 < row.n_registers_set <= 256
+    assert row.register_sum >= row.n_registers_set  # every register >= 1
+    assert abs(row.hll_estimate - n) / n < 0.26
+
+
+def test_hll_merge_is_exact(spark):
+    """HLL semilattice: max-merge of shard sketches == whole-stream sketch
+    bit-for-bit (register-level equality, not just estimate closeness)."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import hll_merge, hll_registers
+
+    items = spark.range(2000).select(
+        F.lit("g").alias("lang"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    a = items.filter(F.col("key").substr(2, 9).cast("long") % 2 == 0)
+    b = items.filter(F.col("key").substr(2, 9).cast("long") % 2 == 1)
+    merged = {
+        (r.lang, r.bucket): r.register
+        for r in hll_merge(
+            hll_registers(a, "key"), hll_registers(b, "key")
+        ).collect()
+    }
+    whole = {
+        (r.lang, r.bucket): r.register
+        for r in hll_registers(items, "key").collect()
+    }
+    assert merged == whole
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Register state ignores multiplicity: 1 copy or 50 copies of each
+    item give the identical sketch (max is idempotent) — the property that
+    makes distinct() unnecessary in the build path."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import hll_registers
+
+    once = spark.range(300).select(
+        F.lit("g").alias("lang"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    many = once.crossJoin(spark.range(50).select(F.lit(1).alias("_")))
+    r1 = {(r.bucket): r.register for r in hll_registers(once, "key").collect()}
+    r2 = {(r.bucket): r.register for r in hll_registers(many, "key").collect()}
+    assert r1 == r2

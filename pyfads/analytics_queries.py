@@ -940,6 +940,38 @@ FROM est e LEFT JOIN exact x USING (term)
 """
 
 
+_INVIDX_SQL = """
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (SELECT DISTINCT term, doc_id FROM toks0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+top AS (SELECT * FROM dfreq ORDER BY df DESC, term LIMIT 100),
+r AS (
+  SELECT t.term, t.doc_id,
+         row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+  FROM toks t JOIN top USING (term)
+),
+p AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+  FROM r WHERE rn <= 20 GROUP BY term
+)
+SELECT top.term, df, postings_csv, md5(postings_csv) AS postings_md5
+FROM top JOIN p USING (term)
+"""
+
+
+@query("inverted_index", oracle=_INVIDX_SQL)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (top-100 df terms, 20-doc posting
+    prefix + md5 checksum).  The serve-many-queries complement to the
+    scan-side bm25_topk; posting prefixes ride WindowGroupLimit so
+    stop-word posting lists never shuffle whole."""
+    return X.inverted_index(_docs(spark, sf_dir))
+
+
 _HLL_SEED = "hll"
 
 

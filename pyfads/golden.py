@@ -44,6 +44,16 @@ def oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _table_path(sf_dir: str, table: str) -> str:
+    """DuckDB-readable path for ``{sf_dir}/{table}.parquet``: the fixture
+    tables are single files, but Spark-written fixtures (scripts/make_sf1.py)
+    are DIRECTORIES of part files — DuckDB needs an explicit glob for
+    those (found by the r6 sf1 sweep: ann_pca_lsh_topk's codebook read
+    failed on /tmp/sf1)."""
+    p = f"{sf_dir}/{table}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _lit(x: float) -> str:
     """Shortest-round-trip double literal (DuckDB parses correctly rounded)."""
     return repr(float(x))
@@ -66,7 +76,7 @@ def _events_rows(sf_dir: str):
     con = duckdb.connect()
     rows = con.sql(
         "SELECT event_id, CAST(user_id AS DOUBLE), value, epoch_ms(ts), event_type "
-        f"FROM '{sf_dir}/events.parquet'"
+        f"FROM '{_table_path(sf_dir, 'events')}'"
     ).fetchall()
     con.close()
     return rows
@@ -296,7 +306,7 @@ def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, samp
     from pyfads.similarity import _kmeans_spherical
 
     con = duckdb.connect()
-    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'").fetchall()
     con.close()
     # mirror the Spark path exactly: ann_ivf_topk drop_zero_norm-filters the
     # corpus BEFORE train_ivf_centroids samples it (tiling preserves
@@ -369,7 +379,7 @@ def _pq_codebooks(sf_dir: str, dim: int, m_sub: int, ksub: int, pq_seed: int, ti
     from pyfads.similarity import _kmeans_l2
 
     con = duckdb.connect()
-    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'").fetchall()
     con.close()
     rows = [r for r in rows if (np.asarray(r[1], dtype=np.float64) ** 2).sum() > 0]
     rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
@@ -575,7 +585,7 @@ def _pca_components_cached(sf_dir: str, out_dim: int, sample_rows: int = 4096):
     from pyfads.similarity import _pca_from_sample
 
     con = duckdb.connect()
-    rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    rows = con.sql(f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'").fetchall()
     con.close()
     rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
     m = np.asarray([r[1] for r in rows[:sample_rows]], dtype=np.float64)

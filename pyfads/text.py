@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "md5_hash60",
@@ -583,4 +583,65 @@ def bm25_topk(
         )
         .orderBy(F.desc("score_micros"), id_col)
         .limit(k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    top_terms: int = 100,
+    postings_cap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index build: per-term document frequency plus the first
+    ``postings_cap`` doc ids of the (sorted) posting list, for the
+    ``top_terms`` highest-df terms.  Complements :func:`bm25_topk`: BM25
+    is the scan-side one-query shape; this is the materialize-once index
+    for serving many queries.
+
+    Output per term: exact ``df``, ``postings_csv`` (capped sorted-prefix,
+    comma-joined) and ``postings_md5`` — the checksum asserts list-level
+    parity without emitting unbounded rows.
+
+    Scale shape: distinct (term, doc) is one hash aggregate; the top-df
+    term pick is TakeOrdered (per-partition top-k, no global sort); the
+    posting prefixes come from a row_number window that Spark plans as
+    WindowGroupLimit — each map task keeps at most ``postings_cap`` doc
+    ids per term BEFORE the shuffle, so a stop-word's billion-document
+    posting list never moves.  The full (uncapped) index at 100 TB would
+    be written as a bucketed table keyed on term, not collected per row.
+
+    NULL text is excluded (same collection rule as bm25_topk).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("term"), F.col(id_col))
+        .distinct()
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), "term").limit(top_terms)
+    w = Window.partitionBy("term").orderBy(id_col)
+    prefix = (
+        toks.join(F.broadcast(top.select("term")), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv")
+        )
+    )
+    return (
+        top.join(prefix, "term")
+        .select(
+            "term",
+            "df",
+            "postings_csv",
+            F.md5(F.col("postings_csv")).alias("postings_md5"),
+        )
     )

@@ -413,3 +413,41 @@ def test_hll_duplicate_insensitive(spark):
     r1 = {(r.bucket): r.register for r in hll_registers(once, "key").collect()}
     r2 = {(r.bucket): r.register for r in hll_registers(many, "key").collect()}
     assert r1 == r2
+
+
+def test_inverted_index_small(spark):
+    """Posting prefixes, df exactness, cap behavior, and checksum
+    consistency on a hand-checkable corpus."""
+    from pyspark.sql import functions as F
+
+    from pyfads.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a"),
+            (3, "a c c"),  # duplicate token in one doc counts once
+            (4, None),  # NULL doc is not in the collection
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in inverted_index(docs, top_terms=2, postings_cap=2).collect()}
+    assert set(out) == {"a", "c"} or set(out) == {"a", "b"}  # df tie b/c broken by term asc
+    assert set(out) == {"a", "b"}  # 'b' < 'c' on the df=1 tie
+    assert out["a"].df == 3 and out["a"].postings_csv == "1,2"  # capped at 2
+    assert out["b"].df == 1 and out["b"].postings_csv == "1"
+    import hashlib
+
+    assert out["a"].postings_md5 == hashlib.md5(b"1,2").hexdigest()
+
+
+def test_inverted_index_plan_uses_window_group_limit(spark):
+    """The posting-prefix window must plan as WindowGroupLimit (per-task
+    top-k before the shuffle) — the property that keeps a stop-word's
+    posting list from ever moving whole."""
+    from pyfads.io import read_table
+    from pyfads.text import inverted_index
+
+    df = inverted_index(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -1,0 +1,91 @@
+"""Iterative graph analytics over DataFrames: fixed-point PageRank.
+
+Companion to :func:`pyfads.dedup.connected_components` (the other
+edge-iteration algorithm in the repo): where CC labels near-dup
+components, PageRank ranks nodes by link centrality — on the near-dup
+graph that surfaces the "hub" documents a template/boilerplate family
+radiates from, the docs worth human review before a dedup sweep deletes
+their whole component.
+
+Determinism: classic PageRank iterates double arithmetic whose
+accumulation order varies with partitioning — useless for a cross-engine
+value-hash oracle.  This implementation runs ENTIRELY in scaled 64-bit
+integer arithmetic: ranks carry a fixed 1e12 mass scale, the damping
+factor is the rational 17/20 (= 0.85), and every division is a floor div.
+floor(a/b) is exact on both engines, so after any number of iterations the
+ranks are bit-identical under any partitioning, any engine (the DuckDB
+oracle unrolls the same iterations as chained CTEs).  Mass is *not*
+exactly conserved (each floor drops < 1 unit per edge — bounded error,
+deterministic), which is the standard price of fixed-point iteration.
+
+Scale shape (100 TB): the iteration state is one (node, rank) frame of
+edge-endpoint size only.  Each iteration = one equi-join of the
+degree-annotated edge list with the rank frame + one map-side-combined
+sum — two bounded shuffles, no broadcast of anything unbounded, no
+driver-side data beyond the single node-count scalar (computed once,
+like connected_components' convergence scalar).  ``localCheckpoint``
+truncates lineage so the 10-deep plan stays flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+_SCALE = 10**12  # total rank mass; rank*17 stays far below 2^63
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    iterations: int = 10,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """PageRank over an undirected pair list (each pair becomes two
+    directed edges), restricted to edge endpoints.  Returns one row per
+    node: ``(doc_id, degree, pagerank_scaled)`` with
+    ``pagerank_scaled`` ~ rank * ``scale`` as BIGINT.
+
+    Update rule (damping d = 17/20, N = node count, R = scale):
+        rank0(v)   = R // N
+        rank(v)    = (3*R) // (20*N)  +  sum over in-edges (u,v) of
+                     (rank(u) * 17) // (20 * outdeg(u))
+    An undirected graph has no dangling nodes and every node has an
+    in-edge, so the aggregation covers all nodes each round.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # degree-annotated edges are reused every iteration — checkpoint once
+    edeg = edges.join(deg, "u").localCheckpoint(eager=True)
+    n = deg.count()  # the one driver scalar (node count, not data)
+    base = (3 * scale) // (20 * n)
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(scale // n).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for i in range(iterations):
+        contrib = edeg.join(ranks.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"),
+            F.expr("(rank * 17) div (20 * outdeg)").alias("c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base) + F.sum("c")).cast("long").alias("rank")
+        )
+        # checkpoint every 3rd round: enough to keep the plan flat, 3x
+        # fewer eager materializations than per-round (a 3-join lineage
+        # segment is still codegen-friendly)
+        if i % 3 == 2 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.join(deg.withColumnRenamed("u", "node"), "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("outdeg").cast("long").alias("degree"),
+            F.col("rank").alias("pagerank_scaled"),
+        )
+    )

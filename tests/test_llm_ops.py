@@ -993,3 +993,33 @@ def test_quantile_select_approx_bound(spark):
     n = base.count()
     # 2 thresholds per stratum; rank error <= n_stratum/accuracy each side
     assert len(exact.symmetric_difference(loose)) <= max(4 * n // 50, 8)
+
+
+def test_pagerank_star_hub_and_symmetry(spark):
+    """On a star graph the hub out-ranks every leaf and all leaves tie
+    exactly (integer arithmetic — EXACT equality, not approximate)."""
+    from pyfads.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a_id long, b_id long"
+    )
+    rows = {r.doc_id: r for r in pagerank(star).collect()}
+    assert rows[0].degree == 5
+    leaf_ranks = {rows[i].pagerank_scaled for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # exact tie
+    assert rows[0].pagerank_scaled > leaf_ranks.pop()
+
+
+def test_pagerank_partition_invariant(spark):
+    """Fixed-point ranks are identical under any input partitioning —
+    the property float PageRank cannot give."""
+    from pyspark.sql import functions as F
+
+    from pyfads.graph import pagerank
+
+    edges = spark.range(200).select(
+        (F.col("id") % 40).alias("a_id"), ((F.col("id") * 7 + 1) % 40).alias("b_id")
+    ).filter(F.col("a_id") != F.col("b_id"))
+    one = {(r.doc_id, r.pagerank_scaled) for r in pagerank(edges.coalesce(1)).collect()}
+    many = {(r.doc_id, r.pagerank_scaled) for r in pagerank(edges.repartition(13)).collect()}
+    assert one == many

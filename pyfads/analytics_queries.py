@@ -940,6 +940,54 @@ FROM est e LEFT JOIN exact x USING (term)
 """
 
 
+# (name, spark dtype, kind) — must mirror what Spark reports for the
+# parquet read so the dtype literal column matches cross-engine
+_PROFILE_ORDERS_SPEC = [
+    ("o_orderkey", "bigint", "num"),
+    ("o_custkey", "bigint", "num"),
+    ("o_orderstatus", "string", "str"),
+    ("o_totalprice", "double", "num"),
+    ("o_orderdate", "timestamp_ntz", "ts"),
+    ("o_orderpriority", "string", "str"),
+]
+
+
+def _profile_orders_sql() -> str:
+    blocks = []
+    for name, dtype, kind in _PROFILE_ORDERS_SPEC:
+        if kind == "num":
+            lo, hi = f"CAST(min({name}) AS DOUBLE)", f"CAST(max({name}) AS DOUBLE)"
+            slo = shi = "NULL::VARCHAR"
+        elif kind == "ts":
+            lo = f"CAST(min(epoch_ms({name})) AS DOUBLE)"
+            hi = f"CAST(max(epoch_ms({name})) AS DOUBLE)"
+            slo = shi = "NULL::VARCHAR"
+        else:
+            lo = hi = "NULL::DOUBLE"
+            slo, shi = f"min({name})", f"max({name})"
+        blocks.append(
+            f"""SELECT '{name}' AS column_name, '{dtype}' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({name}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {lo} AS min_num, {hi} AS max_num,
+       {slo} AS min_str, {shi} AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query("profile_orders", oracle=_profile_orders_sql)
+def profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table (nulls, exact
+    distinct, typed min/max) — one scan, one aggregate, one row per
+    column.  See :mod:`pyfads.profile` for the float-rendering and
+    100 TB approx_count_distinct notes."""
+    from pyfads.profile import profile_table
+
+    return profile_table(read_table(spark, sf_dir, "orders"))
+
+
 _INVIDX_SQL = """
 WITH toks0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term

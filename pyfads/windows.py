@@ -656,3 +656,80 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
         ],
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    ts_ms_col: str = "ts_ms",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each ordered (prev_type -> type) bigram, the transition count, the
+    total out-count of ``prev_type``, and the transition probability.
+
+    The probability is ``n_trans / n_from`` as ONE division of two exact
+    integers — deterministic to the ulp on any engine (no running float
+    sums).  Sequences are totally ordered by (ts, event id), so intra-ms
+    ties cannot flip a bigram between engines.
+
+    Scale shape: one shuffle on the user key for the lag window, then two
+    map-side-combined aggregates on the (tiny) type-pair key space.  The
+    user-sequence window never materializes whole sequences — lag(1) is
+    constant memory per row.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col, id_col)
+    bi = (
+        df.withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    out_tot = bi.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from")
+    )
+    return bi.join(out_tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias(
+            "p_trans"
+        ),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+b AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM e
+),
+bi AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM b WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM bi GROUP BY prev_type
+)
+SELECT bi.prev_type, bi.next_type, bi.n_trans, tot.n_from,
+       CAST(bi.n_trans AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p_trans
+FROM bi JOIN tot USING (prev_type)
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_SQL)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user event sequences (lag-1 bigrams;
+    exact integer counts, single-division probabilities)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
+    )
+    return event_transitions(base)

@@ -451,3 +451,27 @@ def test_inverted_index_plan_uses_window_group_limit(spark):
     df = inverted_index(read_table(spark, "/root/testdata/sf0.001", "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_profile_table_small(spark):
+    """Null counts, exact distincts, and typed min/max routing (numeric
+    vs string vs timestamp) on a mixed-type frame."""
+    import datetime
+
+    from pyfads.profile import profile_table
+
+    rows = [
+        (1, "x", 2.5, datetime.datetime(2024, 1, 1)),
+        (2, None, -1.0, datetime.datetime(2024, 1, 2)),
+        (2, "y", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, s string, v double, t timestamp_ntz"
+    )
+    p = {r.column_name: r for r in profile_table(df).collect()}
+    assert p["k"].n_rows == 3 and p["k"].n_null == 0 and p["k"].n_distinct == 2
+    assert p["k"].min_num == 1.0 and p["k"].max_num == 2.0 and p["k"].min_str is None
+    assert p["s"].n_null == 1 and p["s"].min_str == "x" and p["s"].max_str == "y"
+    assert p["s"].min_num is None
+    assert p["v"].n_null == 1 and p["v"].min_num == -1.0 and p["v"].max_num == 2.5
+    assert p["t"].n_null == 1 and p["t"].min_num == 1704067200000.0

@@ -507,3 +507,27 @@ def test_interval_join_matches_bruteforce_reference(spark):
         assert got == want
 
     run()
+
+
+def test_event_transitions_small(spark):
+    """Bigram counts and single-division probabilities on a hand-checked
+    two-user sequence; ties within a millisecond break by event_id."""
+    from pyfads.windows import event_transitions
+
+    rows = [
+        # user 1: a -> b -> b
+        (1, 1, "a", 1000),
+        (2, 1, "b", 2000),
+        (3, 1, "b", 3000),
+        # user 2: a -> c (same ms: order by event_id)
+        (4, 2, "a", 1000),
+        (5, 2, "c", 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ms long"
+    )
+    out = {(r.prev_type, r.next_type): r for r in event_transitions(df).collect()}
+    assert out[("a", "b")].n_trans == 1 and out[("a", "b")].n_from == 2
+    assert out[("a", "c")].n_trans == 1 and out[("a", "c")].p_trans == 0.5
+    assert out[("b", "b")].n_trans == 1 and out[("b", "b")].p_trans == 1.0
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "b")}

@@ -566,6 +566,44 @@ def sample_exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_k(read_table(spark, sf_dir, "documents"), k=40)
 
 
+_PRIO_K = 200
+
+
+def _priority_sql(k: int = _PRIO_K) -> str:
+    from pyfads.llm_queries import _h60
+
+    h = _h60("prio", "CAST(doc_id AS VARCHAR)")
+    # float chain mirrors pyfads.pipeline.sample_priority_k EXACTLY:
+    # u = h/2^60 first, THEN w/u (w*2^60/h rounds differently)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         CAST(n_chars AS DOUBLE)
+           / (CAST({h} AS DOUBLE) / 1152921504606846976.0) AS priority
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+top AS (SELECT * FROM base ORDER BY priority DESC, doc_id LIMIT {k + 1}),
+tau AS (
+  SELECT CASE WHEN count(*) <= {k} THEN 0.0::DOUBLE
+         ELSE min(priority) END AS tau
+  FROM top
+),
+samp AS (SELECT * FROM top ORDER BY priority DESC, doc_id LIMIT {k})
+SELECT doc_id, weight, priority, greatest(weight, tau.tau) AS est_weight
+FROM samp, tau
+"""
+
+
+@query("sample_priority", oracle=_priority_sql)
+def sample_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): 200 docs weighted by
+    n_chars with unbiased subset-sum estimator weights max(w, tau).
+    TakeOrdered top-(k+1), broadcast 1-row tau — O(k) rows move."""
+    from pyfads.pipeline import sample_priority_k
+
+    return sample_priority_k(read_table(spark, sf_dir, "documents"), k=_PRIO_K)
+
+
 # --------------------------------------------------------------------------
 # Language-ID confusion matrix (prediction quality report)
 # --------------------------------------------------------------------------

@@ -478,3 +478,60 @@ def sample_exact_k(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def sample_priority_k(
+    df: DataFrame,
+    k: int = 200,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a weighted
+    without-replacement sample of k rows that supports UNBIASED subset-sum
+    estimation — "sample 10k docs but keep the token-mass accounting
+    honest", the weighted counterpart of :func:`sample_exact_k`.
+
+    Each row gets priority q = w / u with u = hash/2^60 in (0,1]; the k
+    highest-priority rows are kept, and each keeps the estimator weight
+    ``max(w, tau)`` where tau is the (k+1)-th priority.  Subset sums of
+    ``est_weight`` are unbiased for the true subset weight (their Thm 1),
+    with near-optimal variance among k-sample schemes.
+
+    Determinism: u derives from the shared md5 hash and q is ONE IEEE
+    multiply+divide — identical on any engine/partitioning; ties broken by
+    id.  Weights must be positive; NULL/non-positive rows are excluded.
+
+    Scale shape: the top-(k+1) cut is ``orderBy().limit()`` ->
+    TakeOrderedAndProject (per-task top-k, then one O(k) merge — NO global
+    sort); tau is a broadcast 1-row min over those k+1 rows.  O(k) rows
+    move regardless of corpus size.  If the population has at most k rows
+    everything is kept and tau = 0, so ``est_weight == weight`` exactly
+    (the DLT small-population case).
+    """
+    u = md5_hash60(F.col(id_col).cast("string"), seed).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            (F.col(weight_col).cast("double") / u).alias("priority"),
+        )
+    )
+    top = base.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+    tau = F.broadcast(
+        top.agg(
+            F.when(F.count(F.lit(1)) <= k, F.lit(0.0))
+            .otherwise(F.min("priority"))
+            .alias("tau")
+        )
+    )
+    samp = top.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
+    return samp.crossJoin(tau).select(
+        id_col,
+        "weight",
+        "priority",
+        F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+    )

@@ -40,6 +40,7 @@ EXPECTED_BNLJ = {
     "g9_best_cluster",
     "g11_suppress",
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
+    "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
     # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
     # frame cross-joined back (the canonical decorrelation) — bounded at
     # any scale, the probe side streams

@@ -1023,3 +1023,44 @@ def test_pagerank_partition_invariant(spark):
     one = {(r.doc_id, r.pagerank_scaled) for r in pagerank(edges.coalesce(1)).collect()}
     many = {(r.doc_id, r.pagerank_scaled) for r in pagerank(edges.repartition(13)).collect()}
     assert one == many
+
+
+def test_sample_priority_estimator_properties(spark):
+    """DLT guarantees on a small population: est_weight >= weight,
+    small-population case (n <= k) keeps everything with est == weight,
+    and the est_weight total is within sampling error of the true mass."""
+    from pyspark.sql import functions as F
+
+    from pyfads.pipeline import sample_priority_k
+
+    docs = spark.range(1, 1001).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_chars")
+    )
+    out = sample_priority_k(docs, k=100)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r.est_weight >= r.weight for r in rows)
+    true_total = docs.agg(F.sum("n_chars")).first()[0]
+    est_total = sum(r.est_weight for r in rows)
+    assert abs(est_total - true_total) / true_total < 0.5  # k=100 of 1000
+    # n <= k: everything kept, tau = 0, estimator degenerates to exact
+    small = sample_priority_k(docs.filter(F.col("doc_id") <= 20), k=100).collect()
+    assert len(small) == 20
+    assert all(r.est_weight == r.weight for r in small)
+    # weight <= 0 / NULL rows are excluded
+    weird = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") <= 500, F.lit(None)).otherwise(F.lit(0))
+    )
+    assert sample_priority_k(weird, k=10).count() == 0
+
+
+def test_sample_priority_plan_is_take_ordered(spark):
+    """The top-k cut must plan as TakeOrderedAndProject, never a global
+    sort of the corpus."""
+    from pyfads.io import read_table
+    from pyfads.pipeline import sample_priority_k
+
+    df = sample_priority_k(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [priority" not in plan.replace("TakeOrderedAndProject", "")

@@ -1111,6 +1111,60 @@ def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.hll_distinct_tokens(_docs(spark, sf_dir), seed=_HLL_SEED)
 
 
+_HDR_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+p AS (SELECT event_type, vc FROM v WHERE vc >= 1),
+b AS (
+  SELECT event_type,
+         CASE WHEN vc < 32 THEN vc
+              ELSE (length(bin(vc)) - 5) * 16
+                   + vc // (1::BIGINT << (length(bin(vc)) - 5)) END AS bucket,
+         CASE WHEN vc < 32 THEN vc
+              ELSE (vc // (1::BIGINT << (length(bin(vc)) - 5)))
+                   * (1::BIGINT << (length(bin(vc)) - 5)) END AS lower
+  FROM p
+),
+hist AS (
+  SELECT event_type, bucket, lower, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY event_type, bucket, lower
+),
+c AS (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events
+  FROM hist GROUP BY event_type
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+sel AS (
+  SELECT c.event_type, qs.q_pct, tot.n_events,
+         CAST(min(c.lower) AS BIGINT) AS est_cents
+  FROM c JOIN tot USING (event_type), qs
+  WHERE c.cum >= (qs.q_pct * tot.n_events + 99) // 100
+  GROUP BY c.event_type, qs.q_pct, tot.n_events
+)
+SELECT event_type, q_pct, n_events, est_cents,
+       CAST(est_cents AS DOUBLE) / CAST('100.0' AS DOUBLE) AS est_value
+FROM sel
+"""
+
+
+@query("sketch_hdr_quantiles", oracle=_HDR_SQL)
+def sketch_hdr_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of events.value per event_type from the mergeable HDR
+    histogram sketch (integer cents, octave + 4-bit sub-buckets, <= 1/16
+    relative error) — the order-independent, cross-engine-exact
+    alternative to t-digest/approx_percentile.  See
+    :func:`pyfads.sketches.hdr_histogram`."""
+    ev = read_table(spark, sf_dir, "events")
+    hist = K.hdr_histogram(ev, "value", "event_type")
+    return K.hdr_quantiles(hist)
+
+
 @query("sketch_countmin", oracle=_countmin_sql())
 def sketch_countmin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point estimates for a probe-term list over the corpus

@@ -432,3 +432,109 @@ def hll_distinct_tokens(
     return exact.join(est, strat_col).select(
         strat_col, "n_exact", "n_registers_set", "register_sum", "hll_estimate"
     )
+
+
+# --------------------------------------------------------------------------
+# HDR histogram: mergeable quantile sketch, pure integer
+# --------------------------------------------------------------------------
+
+# HdrHistogram-style bucketing (Gil Tene's High Dynamic Range histogram;
+# same family as DDSketch, Karppa & Pagh "HDR sketching" lineage) over
+# integer cents: exact below 32, then one bucket per (octave, top-4-bits)
+# — relative error <= 1/16 per bucket, counts are plain BIGINTs, merge is
+# addition (linear, like Count-Min).  Every operation is integer
+# arithmetic (bit_length via length(bin(x)), shifts via floor-div by a
+# power of two), so the sketch AND its quantile answers are bit-identical
+# across engines/partitionings — unlike t-digest/GK, whose state depends
+# on input order, or engine-native approx_percentile.
+
+_HDR_SUB_BITS = 4
+_HDR_LINEAR = 1 << (_HDR_SUB_BITS + 1)  # exact region: vc < 32
+
+
+def _hdr_bucket_cols(vc: "F.Column"):
+    """(bucket, lower) columns for a positive BIGINT cents column."""
+    o = F.length(F.bin(vc))  # bit_length, vc >= 1
+    shift = F.greatest(o - F.lit(_HDR_SUB_BITS + 1), F.lit(0))
+    pow2 = F.expr(f"shiftleft(1L, greatest(length(bin(vc)) - {_HDR_SUB_BITS + 1}, 0))")
+    top = F.expr(
+        f"vc div shiftleft(1L, greatest(length(bin(vc)) - {_HDR_SUB_BITS + 1}, 0))"
+    )
+    bucket = F.when(vc < _HDR_LINEAR, vc).otherwise(
+        shift.cast("long") * (1 << _HDR_SUB_BITS) + top
+    )
+    lower = F.when(vc < _HDR_LINEAR, vc).otherwise(top * pow2)
+    return bucket.cast("long").alias("bucket"), lower.cast("long").alias("lower")
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    strat_col: str = "event_type",
+    cents: int = 100,
+) -> DataFrame:
+    """Per-stratum HDR histogram over ``round(value * cents)``: one row
+    per present (stratum, bucket) with its ``lower`` bound (in cents) and
+    ``cnt``.  Non-positive / NULL values are excluded (the sketch covers
+    positive magnitudes; shift the domain first if you need zeros).
+
+    Scale: one map-side-combined aggregate; at most a few hundred buckets
+    per stratum regardless of row count."""
+    vc = F.round(F.col(value_col) * cents).cast("long")
+    b, lo = _hdr_bucket_cols(F.col("vc"))
+    return (
+        df.select(F.col(strat_col), vc.alias("vc"))
+        .filter(F.col("vc") >= 1)
+        .select(F.col(strat_col), b, lo)
+        .groupBy(strat_col, "bucket", "lower")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame, strat_col: str = "event_type") -> DataFrame:
+    """Histogram merge: counter-wise sum (linear, like Count-Min)."""
+    return (
+        a.unionByName(b)
+        .groupBy(strat_col, "bucket", "lower")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    qs: "tuple[int, ...]" = (50, 90, 99),
+    strat_col: str = "event_type",
+    cents: int = 100,
+) -> DataFrame:
+    """Quantile answers from an HDR histogram: for each integer percent q,
+    the lower bound of the first bucket whose cumulative count reaches
+    rank ceil(q*n/100).  Integer ranks (``(q*n + 99) div 100``), integer
+    bounds; the only float is the final cents->unit division.
+
+    Returns ``(strat, q_pct, n_events, est_cents, est_value)``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strat_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    tot = hist.groupBy(strat_col).agg(F.sum("cnt").cast("long").alias("n_events"))
+    qdf = F.broadcast(
+        cum.sparkSession.createDataFrame([(q,) for q in qs], "q_pct int")
+    )
+    ranked = (
+        cum.join(F.broadcast(tot), strat_col)
+        .crossJoin(qdf)
+        .filter(F.col("cum") >= F.expr("(q_pct * n_events + 99) div 100"))
+        .groupBy(strat_col, "q_pct", "n_events")
+        .agg(F.min("lower").alias("est_cents"))
+    )
+    return ranked.select(
+        strat_col,
+        "q_pct",
+        "n_events",
+        "est_cents",
+        (F.col("est_cents").cast("double") / F.lit(float(cents))).alias("est_value"),
+    )

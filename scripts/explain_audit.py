@@ -41,6 +41,7 @@ EXPECTED_BNLJ = {
     "g11_suppress",
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
     "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
+    "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
     # frame cross-joined back (the canonical decorrelation) — bounded at
     # any scale, the probe side streams

@@ -475,3 +475,102 @@ def test_profile_table_small(spark):
     assert p["s"].min_num is None
     assert p["v"].n_null == 1 and p["v"].min_num == -1.0 and p["v"].max_num == 2.5
     assert p["t"].n_null == 1 and p["t"].min_num == 1704067200000.0
+
+
+def test_hll_streaming_maintenance(spark, tmp_path):
+    """Maintain a global HLL register store over a stream via foreachBatch
+    max-merge; the final store equals the batch sketch of the full stream
+    register-for-register (semilattice merge end-to-end)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyfads.sketches import hll_merge, hll_registers
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    chunks = [
+        [f"k{i}" for i in range(0, 400)],
+        [f"k{i}" for i in range(300, 700)],  # overlap: max-merge, not add
+        [f"k{i}" for i in range(650, 900)],
+    ]
+    t0 = time.time() - 100
+    for n, keys in enumerate(chunks):
+        p = str(src / f"c{n}.parquet")
+        pd.DataFrame({"lang": "en", "key": keys}).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))
+    store = str(tmp_path / "hll_store")
+    spark.createDataFrame([], "lang string, bucket int, register int").write.parquet(
+        store
+    )
+
+    def merge_in(bdf, _bid):
+        sp = bdf.sparkSession
+        merged = hll_merge(sp.read.parquet(store), hll_registers(bdf, "key"))
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(store + "_next")
+        sp.read.parquet(store + "_next").write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema("lang string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_in)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.lang, r.bucket): r.register for r in spark.read.parquet(store).collect()}
+    whole = spark.createDataFrame(
+        [("en", k) for ch in chunks for k in ch], "lang string, key string"
+    )
+    want = {(r.lang, r.bucket): r.register for r in hll_registers(whole, "key").collect()}
+    assert got == want
+
+
+def test_hdr_quantile_accuracy_and_merge(spark):
+    """HDR sketch quantiles land within the 1/16 relative-error bound of
+    exact quantiles, and shard merge equals the whole-stream histogram
+    bit-for-bit (additive counts)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import hdr_histogram, hdr_merge, hdr_quantiles
+
+    vals = [round(0.01 * (i**1.7 % 40000 + 1), 2) for i in range(1, 4001)]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    hist = hdr_histogram(df)
+    out = {r.q_pct: r for r in hdr_quantiles(hist).collect()}
+    arr = np.array(vals)
+    for q in (50, 90, 99):
+        exact = float(np.quantile(arr, q / 100, method="inverted_cdf"))
+        est = out[q].est_value
+        assert est <= exact * 1.001  # lower bound never overshoots
+        assert est >= exact * (1 - 1 / 16) - 0.02
+        assert out[q].n_events == 4000
+    # merge = whole
+    a = df.filter(F.col("value") < 100.0)
+    b = df.filter(F.col("value") >= 100.0)
+    merged = {
+        (r.bucket): (r.lower, r.cnt)
+        for r in hdr_merge(hdr_histogram(a), hdr_histogram(b)).collect()
+    }
+    whole = {(r.bucket): (r.lower, r.cnt) for r in hist.collect()}
+    assert merged == whole
+
+
+def test_hdr_exact_region(spark):
+    """Values below 32 cents occupy exact one-cent buckets: quantiles of
+    small values are EXACT, not approximate."""
+    from pyfads.sketches import hdr_histogram, hdr_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 0.01)] * 50 + [("a", 0.17)] * 45 + [("a", 0.31)] * 5,
+        "event_type string, value double",
+    )
+    out = {r.q_pct: r.est_cents for r in hdr_quantiles(hdr_histogram(df)).collect()}
+    assert out[50] == 1 and out[90] == 17 and out[99] == 31

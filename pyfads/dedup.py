@@ -713,3 +713,92 @@ def incremental_dedup(
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join via prefix filtering — the
+    SSJoin/PPJoin family (Chaudhuri-Ganti-Kaushik ICDE'06, Xiao et al.
+    WWW'08): the deterministic, no-false-negative complement to the
+    probabilistic MinHash-LSH path.  Guarantees every pair with
+    J(A,B) >= t is returned (LSH can miss pairs between band boundaries;
+    this cannot), at the cost of a larger candidate set on low-similarity
+    corpora.
+
+    Prefix-filter theorem: order each doc's distinct shingles by GLOBAL
+    frequency (rarest first); if J(A,B) >= t, the first
+    ``|X| - ceil(t*|X|) + 1`` shingles of A and B must share an element —
+    so candidates come from an equi-join on prefix shingles only, plus a
+    size filter (t*|B| <= |A| <= |B|/t).  Verification is exact set
+    intersection; the threshold test is the integer cross-multiplication
+    ``den*inter >= num*uni`` — no float ever decides membership.
+
+    Scale shape: the only shuffles are (a) the global shingle-frequency
+    agg, (b) a per-doc window (bounded by doc length) for prefix ranks,
+    and (c) the prefix equi-join, whose key distribution is rarest-first
+    by construction — the frequency ordering is itself the skew guard
+    (a stop-shingle lands in a prefix only for docs made almost entirely
+    of stop-shingles).  Verification joins touch candidates only.
+    """
+    t_num, t_den = threshold_num, threshold_den
+    ds = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("g")
+    )
+    sz = ds.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("s"))
+    gf = ds.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "g")
+    ranked = (
+        ds.join(gf, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, id_col)
+        # prefix length p = s - ceil(t*s) + 1;  ceil(n*s/d) = (n*s + d - 1) div d
+        .filter(
+            F.col("rn")
+            <= F.col("s") - F.expr(f"({t_num} * s + {t_den} - 1) div {t_den}") + 1
+        )
+        .select(F.col(id_col), F.col("g"), F.col("s"))
+    )
+    a = ranked.select(
+        F.col(id_col).alias("a_id"), F.col("g"), F.col("s").alias("sa")
+    )
+    b = ranked.select(
+        F.col(id_col).alias("b_id"), F.col("g"), F.col("s").alias("sb")
+    )
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # size filter: J >= t forces t*s_max <= s_min
+        .filter(
+            F.lit(t_den) * F.least("sa", "sb") >= F.lit(t_num) * F.greatest("sa", "sb")
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    arr = ds.groupBy(id_col).agg(F.sort_array(F.collect_list("g")).alias("gs"))
+    va = arr.select(F.col(id_col).alias("a_id"), F.col("gs").alias("ga"))
+    vb = arr.select(F.col(id_col).alias("b_id"), F.col("gs").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "uni", (F.size("ga") + F.size("gb")).cast("long") - F.col("inter")
+        )
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("uni"))
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            "uni",
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -325,6 +325,47 @@ def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, nodes=docs.select("doc_id"))
 
 
+# Brute-force EXACT oracle for the prefix-filter join: all pairs with
+# shingle-set Jaccard >= 4/5, computed with no candidate pruning at all —
+# the prefix filter is lossless, so the two must match row-for-row.
+_PREFIX_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+  FROM t
+),
+ds AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+  FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT i.a_id, i.b_id, i.inter,
+         CAST(sa.s + sb.s - i.inter AS BIGINT) AS uni
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.a_id
+  JOIN sz sb ON sb.doc_id = i.b_id
+)
+SELECT a_id, b_id, inter, uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM j WHERE 5 * inter >= 4 * uni
+"""
+
+
+@query("dedup_prefix_jaccard", oracle=_PREFIX_JACCARD_SQL.format(toks=_TOKS))
+def dedup_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard >= 0.8 self-join via prefix filtering
+    (SSJoin/PPJoin) — the no-false-negative complement to the LSH path;
+    integer cross-multiplication decides the threshold, never a float.
+    The oracle is the UNPRUNED brute-force join: prefix filtering is
+    lossless, so the outputs must match row-for-row."""
+    return D.prefix_jaccard_pairs(_docs(spark, sf_dir))
+
+
 def _pagerank_sql(iterations: int = 10, k: int = 50, **kw) -> str:
     """Unrolled fixed-point PageRank over the verified minhash pair graph:
     the same integer update rule as pyfads.graph.pagerank, one chained

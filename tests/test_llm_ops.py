@@ -1064,3 +1064,38 @@ def test_sample_priority_plan_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [priority" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_prefix_jaccard_exactness_vs_bruteforce(spark):
+    """Prefix filtering is lossless: the pruned join equals the unpruned
+    all-pairs Jaccard join on a corpus with planted near-dups."""
+    from pyspark.sql import functions as F
+
+    from pyfads.dedup import prefix_jaccard_pairs, shingles
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = []
+    for i in range(40):
+        words = base.split()
+        # rotate + tweak one word so similarity varies across pairs
+        words[i % len(words)] = f"w{i % 7}"
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id, r.inter, r.uni)
+        for r in prefix_jaccard_pairs(df).collect()
+    }
+    # brute force: all pairs over distinct shingle sets
+    ds = df.select("doc_id", F.array_distinct(shingles("text")).alias("gs"))
+    a = ds.select(F.col("doc_id").alias("a_id"), F.col("gs").alias("ga"))
+    b = ds.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn("uni", (F.size("ga") + F.size("gb")).cast("long") - F.col("inter"))
+        .filter(5 * F.col("inter") >= 4 * F.col("uni"))
+    )
+    want = {(r.a_id, r.b_id, r.inter, r.uni) for r in brute.collect()}
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises the threshold

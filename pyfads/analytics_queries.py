@@ -1111,6 +1111,39 @@ def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.hll_distinct_tokens(_docs(spark, sf_dir), seed=_HLL_SEED)
 
 
+def _zorder_sql() -> str:
+    from pyfads.layout import zorder_sql
+
+    z = zorder_sql("user_id", "round(value * 100)")
+    return f"""
+WITH z AS (
+  SELECT {z} AS zk, CAST(user_id AS BIGINT) AS a,
+         CAST(round(value * 100) AS BIGINT) AS b
+  FROM events
+)
+SELECT CAST(zk // {1 << 24} AS BIGINT) AS z_cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(a) AS BIGINT) AS a_lo, CAST(max(a) AS BIGINT) AS a_hi,
+       CAST(min(b) AS BIGINT) AS b_lo, CAST(max(b) AS BIGINT) AS b_hi
+FROM z GROUP BY 1
+"""
+
+
+@query("zorder_events", oracle=_zorder_sql)
+def zorder_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality diagnostic over events (user_id x value-cents):
+    per z-cell row counts and per-dimension bounds — the integer Morton
+    key is bit-identical cross-engine, and narrow two-dimensional cell
+    bounds are what make footer-stats pruning work after a z-sorted
+    write.  See :mod:`pyfads.layout`."""
+    from pyfads.layout import zorder_cell_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return zorder_cell_stats(
+        ev, F.col("user_id"), F.round(F.col("value") * 100)
+    )
+
+
 _HDR_SQL = """
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events

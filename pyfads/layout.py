@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_cell_stats"]
+__all__ = ["zorder_key", "zorder_sql", "zorder_cell_stats"]
 
 
 def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:

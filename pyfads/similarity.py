@@ -890,3 +890,55 @@ def ann_pca_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Codebook store: train once, serve many (FAISS index-artifact shape)
+# --------------------------------------------------------------------------
+
+
+def write_codebook_store(
+    spark, path: str, centroids: np.ndarray, pq_codebooks: np.ndarray
+) -> None:
+    """Persist IVF centroids (n_centroids, dim) and PQ codebooks
+    (m_sub, ksub, dsub) as plain parquet tables — the trained-model
+    artifact of the IVF-PQ index.  Doubles round-trip parquet exactly, so
+    a store-loaded index scores BIT-IDENTICALLY to a freshly-trained one
+    (asserted in tests/test_llm_ops.py).  The tables are engine-portable:
+    anything that reads parquet can load the index."""
+    crows = [
+        (int(c), int(j), float(v))
+        for c, row in enumerate(centroids)
+        for j, v in enumerate(row)
+    ]
+    spark.createDataFrame(crows, "cell int, j int, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/centroids")
+    brows = [
+        (int(s), int(k), int(j), float(v))
+        for s, book in enumerate(pq_codebooks)
+        for k, code in enumerate(book)
+        for j, v in enumerate(code)
+    ]
+    spark.createDataFrame(
+        brows, "sub int, code int, j int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def read_codebook_store(spark, path: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Load a :func:`write_codebook_store` artifact back into the exact
+    numpy arrays (shapes inferred; a few-KB bounded collect)."""
+    c = spark.read.parquet(path + "/centroids").collect()
+    nc = max(r.cell for r in c) + 1
+    dim = max(r.j for r in c) + 1
+    cents = np.zeros((nc, dim))
+    for r in c:
+        cents[r.cell, r.j] = r.v
+    b = spark.read.parquet(path + "/codebooks").collect()
+    ms = max(r.sub for r in b) + 1
+    ks = max(r.code for r in b) + 1
+    ds = max(r.j for r in b) + 1
+    books = np.zeros((ms, ks, ds))
+    for r in b:
+        books[r.sub, r.code, r.j] = r.v
+    return cents, books

@@ -35,6 +35,9 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "hll_distinct_tokens",
+    "hdr_histogram",
+    "hdr_quantiles",
+    "hdr_merge",
 ]
 
 # md5_hash60 yields 60-bit hashes; scaling by 2^60 maps them to (0,1]

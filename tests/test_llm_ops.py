@@ -1099,3 +1099,21 @@ def test_prefix_jaccard_exactness_vs_bruteforce(spark):
     want = {(r.a_id, r.b_id, r.inter, r.uni) for r in brute.collect()}
     assert got == want
     assert len(want) > 0  # the fixture actually exercises the threshold
+
+
+def test_codebook_store_roundtrip_bitexact(spark, tmp_path):
+    """The persisted IVF/PQ index artifact loads back to the EXACT numpy
+    arrays (parquet doubles round-trip), so a store-served query scores
+    bit-identically to a freshly-trained one."""
+    import numpy as np
+
+    from pyfads.similarity import read_codebook_store, write_codebook_store
+
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(32, 64))
+    books = rng.normal(size=(8, 16, 8))
+    path = str(tmp_path / "cb")
+    write_codebook_store(spark, path, cents, books)
+    c2, b2 = read_codebook_store(spark, path)
+    assert c2.shape == cents.shape and b2.shape == books.shape
+    assert (c2 == cents).all() and (b2 == books).all()  # exact, not close

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus build, composed from pyfads operators.
+
+The canonical LLM-data flow: raw documents -> normalize -> quality gate ->
+exact dedup -> near-dup survivors -> benchmark-contamination gate ->
+source-mixture sample -> chunk -> packed contexts -> parquet, with stage
+counts printed as a funnel report.
+
+Every stage is the same oracle-checked operator the query registry
+exposes; this script is the composition proof that they snap together.
+
+Usage:
+    python examples/corpus_pipeline.py [sf_dir] [out_dir]
+    # defaults: /root/testdata/sf0.001, /tmp/pyfads_corpus_out
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pyfads_corpus_out"
+
+    from pyfads import dedup as D
+    from pyfads import pipeline as P
+    from pyfads import text as X
+    from pyfads.io import read_table
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("pyfads-corpus-pipeline")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    funnel: list[tuple[str, int]] = []
+
+    docs = read_table(spark, sf_dir, "documents")
+    funnel.append(("raw", docs.count()))
+
+    # 1. canonical form + quality gate
+    norm = X.normalize_text(docs).select(
+        "doc_id", F.col("text_norm").alias("text")
+    ).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    passing = X.quality_score(norm).filter(F.col("quality_score") >= 0.5)
+    kept = norm.join(passing.select("doc_id"), "doc_id")
+    funnel.append(("quality", kept.count()))
+
+    # 2. exact dedup, then near-dup survivors (one doc per component)
+    # (exact_dedup returns (doc_id, text, n_copies) — rejoin the metadata)
+    exact = D.exact_dedup(kept).select("doc_id", "text").join(
+        kept.select("doc_id", "lang", "source"), "doc_id"
+    )
+    funnel.append(("exact_dedup", exact.count()))
+    pairs = D.minhash_near_dup_pairs(exact).select("a_id", "b_id")
+    groups = D.connected_components(pairs, nodes=exact.select("doc_id"))
+    survivors = exact.join(
+        groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id"),
+        "doc_id",
+    )
+    funnel.append(("near_dup_survivors", survivors.count()))
+
+    # 3. benchmark-contamination gate (self-benchmark demo: first 5 docs)
+    bench = docs.select("doc_id", "text").filter(F.col("doc_id") < 5)
+    overlap = P.contamination_overlap(survivors, bench)
+    clean = survivors.join(
+        overlap.filter(F.col("n_contaminated") > 0).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    funnel.append(("decontaminated", clean.count()))
+
+    # 4. source-mixture sample (equal mixture weights across sources)
+    sources = [r.source for r in clean.select("source").distinct().collect()]
+    budget = max(len(sources), clean.count() // 2)
+    mixed = P.mix_sample(
+        clean, {s: 1 for s in sources}, out_rows=budget, strat_col="source"
+    ).select("doc_id").join(clean, "doc_id")
+    funnel.append(("mixed", mixed.count()))
+
+    # 5. chunk + pack chunks into fixed-length training contexts
+    chunks = X.chunk_documents(mixed, chunk_tokens=64, stride=48)
+    funnel.append(("chunks", chunks.count()))
+    packed = P.pack_greedy(
+        chunks.select(
+            (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        context_len=256,
+    )
+    funnel.append(
+        ("packed_contexts", packed.select("shard", "bin_idx").distinct().count())
+    )
+
+    packed.write.mode("overwrite").parquet(out + "/contexts")
+    chunks.write.mode("overwrite").parquet(out + "/chunks")
+
+    print("\n=== corpus funnel ===")
+    for stage, n in funnel:
+        print(f"{stage:>20}: {n}")
+    print(f"written: {out}/chunks, {out}/contexts")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,32 @@ pipeline and the relational primitives inside its stateful Generalizer
 (SURVEY.md §2) as idiomatic Spark DataFrame / Structured Streaming code,
 plus the large-scale training-data-pipeline extensions (dedup, similarity
 search, text analysis, multimodal plumbing).
+
+Module map (import the submodule you need — they are deliberately NOT
+re-exported here so `import pyfads` stays cheap):
+
+- ``pyfads.fads_batch`` / ``pyfads.fads_stream`` / ``pyfads.fads_core`` —
+  the FADS generalizer: parity, partitioned, hot-key-salted, streaming.
+- ``pyfads.primitives`` — the Generalizer's relational primitives G1-G11.
+- ``pyfads.io`` — sources/sinks: throttled gz-CSV, rate/csv streams,
+  parquet, bucketed + range layouts, upsert merge.
+- ``pyfads.dedup`` — exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  prefix-filter-exact dedup, connected components, signature store.
+- ``pyfads.similarity`` — cosine / LSH / IVF / IVF-PQ (+store) / PCA ANN.
+- ``pyfads.text`` — stats, quality, lang-id, fingerprints, chunking,
+  BM25, inverted index, hashed classifier.
+- ``pyfads.pipeline`` — sampling (stratified/exact-k/priority/mixture),
+  splits, shuffle rank, packing, contamination.
+- ``pyfads.sketches`` — KMV, Bloom, Count-Min, portable HLL, HDR
+  quantiles (all cross-engine deterministic).
+- ``pyfads.windows`` — sessionization, tumbling/sliding, as-of +
+  interval joins, funnels, cohorts, event transitions.
+- ``pyfads.graph`` — fixed-point PageRank.  ``pyfads.layout`` — Z-order.
+- ``pyfads.profile`` — table profiling.  ``pyfads.semistruct`` — JSON.
+- ``pyfads.multimodal`` — image/audio/frame plumbing (Arrow batches).
+- ``pyfads.metrics`` — throughput observers (P5).
+- ``pyfads.queries`` — the oracle-checked query registry
+  (``__spark_entry__`` re-exports it for the driver).
 """
 
 from pyfads.config import FADSConfig

@@ -1,0 +1,120 @@
+"""The reference job as a CLI: gz taxi CSV -> FADS -> parquet.
+
+Drop-in for `TransactionGeneralizationJob.main`
+(reference TransactionGeneralizationJob.java:35-79): the same P1-P7 chain
+the reference wires — throttled gz CSV source, line parse with START/END
+time swap, arrival enrichment, throughput logging, the stateful FADS
+generalizer (defaults k=10, buffer=30, reuse 60000 ms, QIDs {0,1,5} =
+rideId/taxiId/endTime, pid=rideId), parquet sink — composed as ONE
+Structured Streaming query (the composed form is parity-tested row-for-row
+against the pure-Python oracle in tests/test_fads_stream.py).
+
+Usage:
+    python -m pyfads.taxi_job INPUT_DIR OUTPUT_DIR \
+        [--k 10] [--buffer 30] [--reuse-ms 60000] \
+        [--qids rideId,taxiId,endTime] [--pid rideId] \
+        [--checkpoint DIR] [--cpus 4]
+
+INPUT_DIR holds nycTaxiRides-format .gz (or plain) CSV files; the query
+drains everything present (availableNow) and exits — run it again to pick
+up new files (state restores from the checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m pyfads.taxi_job", description=__doc__.split("\n")[0]
+    )
+    ap.add_argument("input_dir")
+    ap.add_argument("output_dir")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--buffer", type=int, default=30)
+    ap.add_argument("--reuse-ms", type=int, default=60_000)
+    ap.add_argument("--qids", default="rideId,taxiId,endTime")
+    ap.add_argument("--pid", default="rideId")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cpus", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from pyfads.config import FADSConfig
+    from pyfads.fads_stream import fads_generalize_stream
+    from pyfads.io import parse_taxi_lines
+    from pyfads.metrics import ThroughputListener
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .appName("pyfads-taxi-job")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = FADSConfig(
+        k=args.k,
+        buffer_rows=args.buffer,
+        reuse_ms=args.reuse_ms,
+        qid_cols=tuple(args.qids.split(",")),
+        pid_col=args.pid,
+        arrival_col="arrival_ms",
+    )
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="pyfads_taxi_ckpt_")
+
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(args.input_dir)
+    parsed = parse_taxi_lines(raw)  # P2: START/END dispatch, empty -> 0.0
+    enriched = parsed.withColumn("arrival_ms", F.col("startTime"))  # P4
+    listener = ThroughputListener("TaxiJob")  # P5
+    spark.streams.addListener(listener)
+    released = fads_generalize_stream(enriched, cfg)  # P6 (G1-G14 inside)
+
+    q = (
+        released.writeStream.format("parquet")  # P7
+        .option("path", args.output_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    # With a ProcessingTimeTimeout armed, the query schedules state-cleanup
+    # batches forever, so availableNow/processAllAvailable never terminate
+    # (see .claude/skills/verify + tests/test_fads_stream.py): drain by
+    # polling the sink until the released count is stable, then stop.
+    import time
+
+    from pyfads.schema import fads_output_schema
+
+    out_schema = fads_output_schema(enriched.schema, cfg)
+
+    def _count() -> int:
+        try:
+            return spark.read.schema(out_schema).parquet(args.output_dir).count()
+        except Exception:
+            return 0
+
+    last, stable_since = -1, time.time()
+    while True:
+        n = _count()
+        if n != last:
+            last, stable_since = n, time.time()
+        elif time.time() - stable_since > 15:
+            break
+        time.sleep(2)
+    # let any in-flight (state-cleanup) micro-batch finish before stopping —
+    # stopping mid-commit logs a noisy CANNOT_WRITE_STATE_STORE error
+    deadline = time.time() + 30
+    while q.status.get("isTriggerActive") and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    print(f"released {last} generalized rows -> {args.output_dir} (ckpt: {ckpt})")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

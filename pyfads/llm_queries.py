@@ -1414,6 +1414,54 @@ WHERE h.mix_bucket < r.rate_ppm
 """
 
 
+_MIXT_OUT_ROWS = 200
+
+
+def _mix_temp_sql() -> str:
+    # same float chain as pipeline.mix_temperature: sqrt per stratum,
+    # left fold over the lang-SORTED weight list, one multiply + divide +
+    # floor per stratum.  sqrt is IEEE correctly-rounded, so every
+    # intermediate is bit-identical across engines.
+    budget = repr(float(1_000_000 * _MIXT_OUT_ROWS))
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+f AS (
+  SELECT list_reduce(
+           list_prepend(CAST('0.0' AS DOUBLE),
+                        list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+           (acc, x) -> acc + x) AS tot
+  FROM c
+),
+r AS (
+  SELECT c.lang,
+         least(1000000::BIGINT,
+               CAST(floor(CAST('{budget}' AS DOUBLE)
+                          * (sqrt(CAST(c.n AS DOUBLE)) / f.tot)
+                          / CAST(c.n AS DOUBLE)) AS BIGINT)) AS rate_ppm
+  FROM c, f
+),
+h AS (SELECT doc_id, lang,
+             {{h}} % 1000000 AS mix_bucket
+      FROM documents)
+SELECT h.doc_id, h.lang, r.rate_ppm, CAST(h.mix_bucket AS BIGINT) AS mix_bucket
+FROM h JOIN r USING (lang)
+WHERE h.mix_bucket < r.rate_ppm
+""".format(h=_h60("mixt", "CAST(doc_id AS VARCHAR)"))
+
+
+@query("corpus_mix_temp", oracle=_mix_temp_sql)
+def corpus_mix_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=1/2) mixture sampling per language: target share
+    count^0.5 / sum(count^0.5) — upsample tail languages, downsample the
+    head, the multilingual-corpus standard.  sqrt keeps the float chain
+    IEEE-exact cross-engine; the stratum fold runs lang-sorted in both
+    engines.  See :func:`pyfads.pipeline.mix_temperature`."""
+    return P.mix_temperature(
+        _docs(spark, sf_dir), out_rows=_MIXT_OUT_ROWS, strat_col="lang", seed="mixt"
+    )
+
+
 @query("corpus_mix", oracle=_mix_sql)
 def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota-driven source-mixture sampling: per-stratum counts → integer

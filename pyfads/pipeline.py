@@ -535,3 +535,72 @@ def sample_priority_k(
         "priority",
         F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
     )
+
+
+def mix_temperature(
+    df: DataFrame,
+    out_rows: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mixt",
+) -> DataFrame:
+    """Temperature-based mixture sampling with alpha = 1/2: target share of
+    stratum L is count_L^alpha / sum(count^alpha) — the standard
+    multilingual-corpus rebalancing (upsample tails, downsample heads)
+    popularized by multilingual LM training recipes.
+
+    alpha is FIXED at 1/2 because sqrt is an IEEE correctly-rounded
+    operation — unlike pow(x, alpha) for general alpha, every engine
+    computes the identical double, which keeps the realized per-stratum
+    keep-rates (and therefore the sample itself) bit-deterministic and
+    oracle-checkable.  The sum over strata is a left fold over the
+    LANG-SORTED weight list (F.aggregate here, list_reduce in the DuckDB
+    twin), so accumulation order is fixed; each rate is then one multiply
+    + one divide + one floor to integer millionths.
+
+    Scale shape: one map-side-combined count per stratum; the fold runs
+    over the tiny per-stratum frame collected INTO THE PLAN as a sorted
+    array (never to the driver); membership is the same md5-threshold
+    test as :func:`mix_sample` — the corpus itself never shuffles.
+    """
+    if out_rows <= 0:
+        raise ValueError("out_rows must be positive")
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    folded = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(strat_col).alias("s"), F.col("__n")))
+        ).alias("__a")
+    ).select(
+        F.col("__a"),
+        F.aggregate(
+            F.transform("__a", lambda x: F.sqrt(x["__n"].cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__tot"),
+    )
+    budget = float(1_000_000 * out_rows)
+    rates = F.broadcast(
+        folded.select(F.explode("__a").alias("e"), "__tot").select(
+            F.col("e.s").alias(strat_col),
+            F.floor(
+                F.lit(budget)
+                * (F.sqrt(F.col("e.__n").cast("double")) / F.col("__tot"))
+                / F.col("e.__n").cast("double")
+            )
+            .cast("long")
+            .alias("__raw_ppm"),
+        )
+        .select(
+            strat_col,
+            F.least(F.lit(1_000_000).cast("long"), F.col("__raw_ppm")).alias(
+                "rate_ppm"
+            ),
+        )
+    )
+    h = md5_hash60(F.col(id_col).cast("string"), seed)
+    return (
+        df.join(rates, strat_col)
+        .withColumn("mix_bucket", (h % 1_000_000).cast("long"))
+        .filter(F.col("mix_bucket") < F.col("rate_ppm"))
+        .select(id_col, strat_col, "rate_ppm", "mix_bucket")
+    )

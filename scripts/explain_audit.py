@@ -70,6 +70,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
     "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
+    "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task
     "g3_cluster_ttl",

@@ -1117,3 +1117,26 @@ def test_codebook_store_roundtrip_bitexact(spark, tmp_path):
     c2, b2 = read_codebook_store(spark, path)
     assert c2.shape == cents.shape and b2.shape == books.shape
     assert (c2 == cents).all() and (b2 == books).all()  # exact, not close
+
+
+def test_mix_temperature_rebalances(spark):
+    """alpha=1/2 mixing: a tail stratum's realized keep-RATE exceeds the
+    head stratum's (upsample tails), while realized counts still order
+    head >= tail; uniform strata keep equal rates."""
+    from pyspark.sql import functions as F
+
+    from pyfads.pipeline import mix_temperature
+
+    docs = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("small")).alias("lang"),
+    )
+    out = mix_temperature(docs, out_rows=300)
+    rates = {
+        r.lang: r.rate_ppm for r in out.select("lang", "rate_ppm").distinct().collect()
+    }
+    # target shares ~ sqrt(1000):sqrt(100) = 10:3.16 -> per-row keep rate
+    # small = share/size is ~3.2x big's
+    assert rates["small"] > 2 * rates["big"]
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["big"] > counts["small"]

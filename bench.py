@@ -113,6 +113,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
     rep_lists: dict[str, list] = {}
+    build_secs: dict[str, float] = {}
     flagship_rows = 0
     flagship_sec = 0.0
 
@@ -144,9 +145,20 @@ def main() -> None:
                         flagship_rows = int(obs.get["rows"])
                         flagship_sec = sec
                 else:
+                    # builder timed separately so BENCH_FULL records the
+                    # build/execute split: eager builder work (codebook
+                    # training, Bloom build, CC convergence loop) is real
+                    # cost and stays in the total, but the split shows how
+                    # much a persisted artifact (signature/codebook store)
+                    # would amortize away.
                     t0 = time.perf_counter()
-                    force(fn(spark, SF_DIR))
+                    df = fn(spark, SF_DIR)
+                    t1 = time.perf_counter()
+                    force(df)
                     sec = time.perf_counter() - t0
+                    b = round(t1 - t0, 3)
+                    if name not in build_secs or b < build_secs[name]:
+                        build_secs[name] = b
                 reps.append(sec)
             timings[name] = round(min(reps), 3)
             medians[name] = round(statistics.median(reps), 3)
@@ -185,6 +197,7 @@ def main() -> None:
     full["queries_median"] = medians
     full["queries_reps"] = rep_counts
     full["queries_rep_lists"] = rep_lists
+    full["queries_build"] = build_secs  # builder share of the best rep's era
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

@@ -574,3 +574,29 @@ def test_hdr_exact_region(spark):
     )
     out = {r.q_pct: r.est_cents for r in hdr_quantiles(hdr_histogram(df)).collect()}
     assert out[50] == 1 and out[90] == 17 and out[99] == 31
+
+
+def test_hdr_bucket_invariants_exhaustive(spark):
+    """Over every cent value 1..200000: bucket ids are monotone in value,
+    lower <= value, and bucket width <= lower/16 outside the exact region
+    — the relative-error guarantee, checked exhaustively in one pass."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import _hdr_bucket_cols
+
+    vc = spark.range(1, 200_001).select(F.col("id").alias("vc"))
+    b, lo = _hdr_bucket_cols(F.col("vc"))
+    out = vc.select("vc", b, lo)
+    bad = out.filter(
+        (F.col("lower") > F.col("vc"))
+        | ((F.col("vc") >= 32) & (F.col("vc") - F.col("lower") > F.col("lower") / 16))
+        | ((F.col("vc") < 32) & (F.col("lower") != F.col("vc")))
+    ).count()
+    assert bad == 0
+    # monotone: bucket of vc+1 never below bucket of vc
+    from pyspark.sql import Window
+
+    w = out.select(
+        "vc", "bucket", F.lead("bucket").over(Window.orderBy("vc")).alias("nxt")
+    )
+    assert w.filter(F.col("nxt") < F.col("bucket")).count() == 0

@@ -1186,6 +1186,64 @@ FROM sel
 """
 
 
+_HDR_DECILE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+p AS (SELECT event_type, vc FROM v WHERE vc >= 1),
+b AS (
+  SELECT event_type,
+         CASE WHEN vc < 32 THEN vc
+              ELSE (length(bin(vc)) - 5) * 16
+                   + vc // (1::BIGINT << (length(bin(vc)) - 5)) END AS bucket,
+         CASE WHEN vc < 32 THEN vc
+              ELSE (vc // (1::BIGINT << (length(bin(vc)) - 5)))
+                   * (1::BIGINT << (length(bin(vc)) - 5)) END AS lower
+  FROM p
+),
+hist AS (
+  SELECT event_type, bucket, lower, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY event_type, bucket, lower
+),
+c AS (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events
+  FROM hist GROUP BY event_type
+),
+qs AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q_pct),
+sel AS (
+  SELECT c.event_type, qs.q_pct, CAST(min(c.lower) AS BIGINT) AS est_cents
+  FROM c JOIN tot USING (event_type), qs
+  WHERE c.cum >= (qs.q_pct * tot.n_events + 99) // 100
+  GROUP BY c.event_type, qs.q_pct
+),
+asg AS (
+  SELECT p.event_type, p.vc,
+         (SELECT count(*) FROM sel s
+          WHERE s.event_type = p.event_type AND s.est_cents <= p.vc) AS bucket
+  FROM p
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(vc) AS BIGINT) AS vc_lo, CAST(max(vc) AS BIGINT) AS vc_hi
+FROM asg GROUP BY event_type, bucket
+"""
+
+
+@query("value_deciles", oracle=_HDR_DECILE_SQL)
+def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization of events.value per event_type: decile
+    bucket assignment from the HDR sketch's boundaries (integer-cent
+    comparisons against a broadcast <=9-row boundary array) — the
+    mergeable, order-independent QuantileDiscretizer.  See
+    :func:`pyfads.sketches.hdr_discretize`."""
+    return K.hdr_discretize(read_table(spark, sf_dir, "events"))
+
+
 @query("sketch_hdr_quantiles", oracle=_HDR_SQL)
 def sketch_hdr_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P50/P90/P99 of events.value per event_type from the mergeable HDR

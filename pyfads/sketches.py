@@ -541,3 +541,60 @@ def hdr_quantiles(
         "est_cents",
         (F.col("est_cents").cast("double") / F.lit(float(cents))).alias("est_value"),
     )
+
+
+def hdr_discretize(
+    df: DataFrame,
+    value_col: str = "value",
+    strat_col: str = "event_type",
+    n_buckets: int = 10,
+    cents: int = 100,
+) -> DataFrame:
+    """Quantile discretization (the ML-prep "QuantileDiscretizer", done
+    sketch-first): bin each row's value into its per-stratum quantile
+    bucket, with boundaries taken from the HDR histogram — so the
+    binning is mergeable, order-independent, and bit-identical across
+    engines, unlike approxQuantile-based binning.
+
+    Bucket b of n covers values >= the (b/n)-quantile boundary and < the
+    next; boundaries are HDR bucket LOWER BOUNDS (integer cents), so
+    assignment is pure integer comparison.  Rows with non-positive /
+    NULL values are excluded (the sketch's domain).
+
+    Scale: the boundary frame is <= (strata x n_buckets) rows, broadcast;
+    assignment is one map-side range join expressed as a conditional sum
+    over the broadcast boundary array — the corpus never shuffles.
+    """
+    hist = hdr_histogram(df, value_col, strat_col, cents)
+    qs = tuple(int(100 * b / n_buckets) for b in range(1, n_buckets))
+    bounds = hdr_quantiles(hist, qs, strat_col, cents).select(
+        strat_col, "q_pct", "est_cents"
+    )
+    barr = F.broadcast(
+        bounds.groupBy(strat_col).agg(
+            F.sort_array(
+                F.collect_list(F.struct("q_pct", "est_cents"))
+            ).alias("__bounds")
+        )
+    )
+    vc = F.round(F.col(value_col) * cents).cast("long")
+    # bucket = number of boundaries <= vc (0..n_buckets-1)
+    assigned = (
+        df.select(F.col(strat_col), vc.alias("vc"))
+        .filter(F.col("vc") >= 1)
+        .join(barr, strat_col)
+        .select(
+            strat_col,
+            "vc",
+            F.size(
+                F.filter("__bounds", lambda b: b["est_cents"] <= F.col("vc"))
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    return assigned.groupBy(strat_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("vc").alias("vc_lo"),
+        F.max("vc").alias("vc_hi"),
+    )

@@ -600,3 +600,22 @@ def test_hdr_bucket_invariants_exhaustive(spark):
         "vc", "bucket", F.lead("bucket").over(Window.orderBy("vc")).alias("nxt")
     )
     assert w.filter(F.col("nxt") < F.col("bucket")).count() == 0
+
+
+def test_hdr_discretize_balanced_and_ordered(spark):
+    """Decile buckets are value-ordered (vc ranges don't overlap across
+    buckets) and roughly balanced on a smooth distribution."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import hdr_discretize
+
+    vals = [("a", round(0.01 * ((i * 37) % 5000 + 1), 2)) for i in range(5000)]
+    df = spark.createDataFrame(vals, "event_type string, value double")
+    rows = sorted(hdr_discretize(df).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(len(rows)))
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.vc_hi < nxt.vc_lo  # ordered, non-overlapping
+    total = sum(r.n_rows for r in rows)
+    assert total == 5000
+    # balance within the sketch's 1/16 resolution: no decile > 2.5x ideal
+    assert max(r.n_rows for r in rows) < 2.5 * (total / len(rows))

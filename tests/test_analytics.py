@@ -619,3 +619,63 @@ def test_hdr_discretize_balanced_and_ordered(spark):
     assert total == 5000
     # balance within the sketch's 1/16 resolution: no decile > 2.5x ideal
     assert max(r.n_rows for r in rows) < 2.5 * (total / len(rows))
+
+
+def test_hdr_streaming_maintenance(spark, tmp_path):
+    """Maintain a global HDR histogram over a stream via foreachBatch
+    additive merge; the final store equals the batch histogram of the
+    full stream counter-for-counter (completing the store pattern across
+    all three mergeable sketches: CM, HLL, HDR)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyfads.sketches import hdr_histogram, hdr_merge
+
+    src = tmp_path / "hdr_src"
+    src.mkdir()
+    chunks = [
+        [round(0.01 * (i % 900 + 1), 2) for i in range(500)],
+        [round(0.01 * (i % 3000 + 1), 2) for i in range(400)],
+        [round(0.01 * (i % 90 + 1), 2) for i in range(300)],
+    ]
+    t0 = time.time() - 100
+    for n, vals in enumerate(chunks):
+        p = str(src / f"c{n}.parquet")
+        pd.DataFrame({"event_type": "a", "value": vals}).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))
+    store = str(tmp_path / "hdr_store")
+    spark.createDataFrame(
+        [], "event_type string, bucket long, lower long, cnt long"
+    ).write.parquet(store)
+
+    def merge_in(bdf, _bid):
+        sp = bdf.sparkSession
+        merged = hdr_merge(sp.read.parquet(store), hdr_histogram(bdf))
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(store + "_next")
+        sp.read.parquet(store + "_next").write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_in)
+        .option("checkpointLocation", str(tmp_path / "hdr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.bucket): (r.lower, r.cnt)
+        for r in spark.read.parquet(store).collect()
+    }
+    whole = spark.createDataFrame(
+        [("a", v) for ch in chunks for v in ch], "event_type string, value double"
+    )
+    want = {
+        (r.event_type, r.bucket): (r.lower, r.cnt)
+        for r in hdr_histogram(whole).collect()
+    }
+    assert got == want

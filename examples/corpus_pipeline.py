@@ -42,6 +42,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     funnel: list[tuple[str, int]] = []
 
+    def stage(name: str, df):
+        """Record the funnel count and truncate lineage: every later
+        count/write reads the materialized stage instead of re-running
+        normalize -> dedup -> CC from the raw scan."""
+        df = df.localCheckpoint(eager=True)
+        funnel.append((name, df.count()))
+        return df
+
     docs = read_table(spark, sf_dir, "documents")
     funnel.append(("raw", docs.count()))
 
@@ -50,44 +58,54 @@ def main() -> None:
         "doc_id", F.col("text_norm").alias("text")
     ).join(docs.select("doc_id", "lang", "source"), "doc_id")
     passing = X.quality_score(norm).filter(F.col("quality_score") >= 0.5)
-    kept = norm.join(passing.select("doc_id"), "doc_id")
-    funnel.append(("quality", kept.count()))
+    kept = stage("quality", norm.join(passing.select("doc_id"), "doc_id"))
 
     # 2. exact dedup, then near-dup survivors (one doc per component)
     # (exact_dedup returns (doc_id, text, n_copies) — rejoin the metadata)
-    exact = D.exact_dedup(kept).select("doc_id", "text").join(
-        kept.select("doc_id", "lang", "source"), "doc_id"
+    exact = stage(
+        "exact_dedup",
+        D.exact_dedup(kept).select("doc_id", "text").join(
+            kept.select("doc_id", "lang", "source"), "doc_id"
+        ),
     )
-    funnel.append(("exact_dedup", exact.count()))
     pairs = D.minhash_near_dup_pairs(exact).select("a_id", "b_id")
     groups = D.connected_components(pairs, nodes=exact.select("doc_id"))
-    survivors = exact.join(
-        groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id"),
-        "doc_id",
+    survivors = stage(
+        "near_dup_survivors",
+        exact.join(
+            groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id"),
+            "doc_id",
+        ),
     )
-    funnel.append(("near_dup_survivors", survivors.count()))
 
     # 3. benchmark-contamination gate (self-benchmark demo: first 5 docs)
     bench = docs.select("doc_id", "text").filter(F.col("doc_id") < 5)
     overlap = P.contamination_overlap(survivors, bench)
-    clean = survivors.join(
-        overlap.filter(F.col("n_contaminated") > 0).select("doc_id"),
-        "doc_id",
-        "left_anti",
+    clean = stage(
+        "decontaminated",
+        survivors.join(
+            overlap.filter(F.col("n_contaminated") > 0).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ),
     )
-    funnel.append(("decontaminated", clean.count()))
+    n_clean = funnel[-1][1]
 
-    # 4. source-mixture sample (equal mixture weights across sources)
+    # 4. source-mixture sample (equal mixture weights across sources);
+    # an empty decontaminated frame ends the funnel gracefully at zeros
     sources = [r.source for r in clean.select("source").distinct().collect()]
-    budget = max(len(sources), clean.count() // 2)
-    mixed = P.mix_sample(
-        clean, {s: 1 for s in sources}, out_rows=budget, strat_col="source"
-    ).select("doc_id").join(clean, "doc_id")
-    funnel.append(("mixed", mixed.count()))
+    if not sources:
+        mixed = clean
+        funnel.append(("mixed", 0))
+    else:
+        budget = max(len(sources), n_clean // 2)
+        mixed = P.mix_sample(
+            clean, {s: 1 for s in sources}, out_rows=budget, strat_col="source"
+        ).select("doc_id").join(clean, "doc_id")
+        mixed = stage("mixed", mixed)
 
     # 5. chunk + pack chunks into fixed-length training contexts
-    chunks = X.chunk_documents(mixed, chunk_tokens=64, stride=48)
-    funnel.append(("chunks", chunks.count()))
+    chunks = stage("chunks", X.chunk_documents(mixed, chunk_tokens=64, stride=48))
     packed = P.pack_greedy(
         chunks.select(
             (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("doc_id"),
@@ -103,8 +121,8 @@ def main() -> None:
     chunks.write.mode("overwrite").parquet(out + "/chunks")
 
     print("\n=== corpus funnel ===")
-    for stage, n in funnel:
-        print(f"{stage:>20}: {n}")
+    for stage_name, n in funnel:
+        print(f"{stage_name:>20}: {n}")
     print(f"written: {out}/chunks, {out}/contexts")
     spark.stop()
 

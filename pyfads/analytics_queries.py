@@ -1144,8 +1144,15 @@ def zorder_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HDR_SQL = """
-WITH v AS (
+def _hdr_ctes(qs: "tuple[int, ...]") -> str:
+    """Shared HDR CTE chain (cents -> octave/sub-bucket histogram ->
+    cumulative counts -> per-percentile boundary pick) ending in
+    ``sel(event_type, q_pct, n_events, est_cents)`` — ONE copy of the
+    bucket formulas, composed into both the quantile and the decile
+    oracles (mirrors the _minhash_ctes pattern; keeps the two SQL twins
+    of pyfads.sketches._hdr_bucket_cols from desynchronizing)."""
+    q_list = ", ".join(str(q) for q in qs)
+    return f"""v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
 ),
 p AS (SELECT event_type, vc FROM v WHERE vc >= 1),
@@ -1172,55 +1179,26 @@ tot AS (
   SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events
   FROM hist GROUP BY event_type
 ),
-qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+qs AS (SELECT unnest([{q_list}]) AS q_pct),
 sel AS (
   SELECT c.event_type, qs.q_pct, tot.n_events,
          CAST(min(c.lower) AS BIGINT) AS est_cents
   FROM c JOIN tot USING (event_type), qs
   WHERE c.cum >= (qs.q_pct * tot.n_events + 99) // 100
   GROUP BY c.event_type, qs.q_pct, tot.n_events
-)
+)"""
+
+
+_HDR_SQL = f"""
+WITH {_hdr_ctes((50, 90, 99))}
 SELECT event_type, q_pct, n_events, est_cents,
        CAST(est_cents AS DOUBLE) / CAST('100.0' AS DOUBLE) AS est_value
 FROM sel
 """
 
 
-_HDR_DECILE_SQL = """
-WITH v AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
-),
-p AS (SELECT event_type, vc FROM v WHERE vc >= 1),
-b AS (
-  SELECT event_type,
-         CASE WHEN vc < 32 THEN vc
-              ELSE (length(bin(vc)) - 5) * 16
-                   + vc // (1::BIGINT << (length(bin(vc)) - 5)) END AS bucket,
-         CASE WHEN vc < 32 THEN vc
-              ELSE (vc // (1::BIGINT << (length(bin(vc)) - 5)))
-                   * (1::BIGINT << (length(bin(vc)) - 5)) END AS lower
-  FROM p
-),
-hist AS (
-  SELECT event_type, bucket, lower, CAST(count(*) AS BIGINT) AS cnt
-  FROM b GROUP BY event_type, bucket, lower
-),
-c AS (
-  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
-                 AS BIGINT) AS cum
-  FROM hist
-),
-tot AS (
-  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events
-  FROM hist GROUP BY event_type
-),
-qs AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q_pct),
-sel AS (
-  SELECT c.event_type, qs.q_pct, CAST(min(c.lower) AS BIGINT) AS est_cents
-  FROM c JOIN tot USING (event_type), qs
-  WHERE c.cum >= (qs.q_pct * tot.n_events + 99) // 100
-  GROUP BY c.event_type, qs.q_pct
-),
+_HDR_DECILE_SQL = f"""
+WITH {_hdr_ctes(tuple(range(10, 100, 10)))},
 asg AS (
   SELECT p.event_type, p.vc,
          (SELECT count(*) FROM sel s

@@ -64,6 +64,12 @@ def pagerank(
     # degree-annotated edges are reused every iteration — checkpoint once
     edeg = edges.join(deg, "u").localCheckpoint(eager=True)
     n = deg.count()  # the one driver scalar (node count, not data)
+    if n == 0:
+        # empty graph (e.g. a fully-deduped corpus): no nodes, no ranks —
+        # return an empty typed frame instead of dividing by zero
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id long, degree long, pagerank_scaled long"
+        )
     base = (3 * scale) // (20 * n)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(scale // n).cast("long").alias("rank")

@@ -480,6 +480,22 @@ def sample_exact_k(
     )
 
 
+def _priority_cut(
+    df: DataFrame, k: int, weight_col: str, id_col: str, seed: str
+) -> DataFrame:
+    """The corpus-wide top-(k+1)-by-priority cut of :func:`sample_priority_k`
+    (TakeOrderedAndProject — per-task top-k, no global sort)."""
+    u = md5_hash60(F.col(id_col).cast("string"), seed).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    base = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)).select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    return base.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+
+
 def sample_priority_k(
     df: DataFrame,
     k: int = 200,
@@ -509,18 +525,15 @@ def sample_priority_k(
     everything is kept and tau = 0, so ``est_weight == weight`` exactly
     (the DLT small-population case).
     """
-    u = md5_hash60(F.col(id_col).cast("string"), seed).cast("double") / F.lit(
-        float(1 << 60)
+    # materialize the k+1-row TakeOrdered result ONCE: tau and the sample
+    # are two consumers, and without this the corpus-wide top-k scan runs
+    # twice (TakeOrderedAndProject is not an Exchange, so Spark cannot
+    # reuse it across the two subtrees — r6 review finding).  The cut
+    # itself lives in _priority_cut so its TakeOrdered plan shape stays
+    # directly assertable (tests/test_llm_ops.py).
+    top = _priority_cut(df, k, weight_col, id_col, seed).localCheckpoint(
+        eager=True
     )
-    base = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(
-            F.col(id_col),
-            F.col(weight_col).cast("double").alias("weight"),
-            (F.col(weight_col).cast("double") / u).alias("priority"),
-        )
-    )
-    top = base.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
     tau = F.broadcast(
         top.agg(
             F.when(F.count(F.lit(1)) <= k, F.lit(0.0))

@@ -455,14 +455,19 @@ _HDR_SUB_BITS = 4
 _HDR_LINEAR = 1 << (_HDR_SUB_BITS + 1)  # exact region: vc < 32
 
 
-def _hdr_bucket_cols(vc: "F.Column"):
-    """(bucket, lower) columns for a positive BIGINT cents column."""
+def _hdr_bucket_cols(vc_name: str = "vc"):
+    """(bucket, lower) columns for the positive BIGINT cents column named
+    ``vc_name`` (a NAME, not a Column: the shift expressions need the SQL
+    text of the column, and a half-honored Column parameter would silently
+    mix two columns — r6 review finding)."""
+    vc = F.col(vc_name)
     o = F.length(F.bin(vc))  # bit_length, vc >= 1
     shift = F.greatest(o - F.lit(_HDR_SUB_BITS + 1), F.lit(0))
-    pow2 = F.expr(f"shiftleft(1L, greatest(length(bin(vc)) - {_HDR_SUB_BITS + 1}, 0))")
-    top = F.expr(
-        f"vc div shiftleft(1L, greatest(length(bin(vc)) - {_HDR_SUB_BITS + 1}, 0))"
+    pow2_sql = (
+        f"shiftleft(1L, greatest(length(bin({vc_name})) - {_HDR_SUB_BITS + 1}, 0))"
     )
+    pow2 = F.expr(pow2_sql)
+    top = F.expr(f"{vc_name} div {pow2_sql}")
     bucket = F.when(vc < _HDR_LINEAR, vc).otherwise(
         shift.cast("long") * (1 << _HDR_SUB_BITS) + top
     )
@@ -484,7 +489,7 @@ def hdr_histogram(
     Scale: one map-side-combined aggregate; at most a few hundred buckets
     per stratum regardless of row count."""
     vc = F.round(F.col(value_col) * cents).cast("long")
-    b, lo = _hdr_bucket_cols(F.col("vc"))
+    b, lo = _hdr_bucket_cols("vc")
     return (
         df.select(F.col(strat_col), vc.alias("vc"))
         .filter(F.col("vc") >= 1)

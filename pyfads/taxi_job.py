@@ -83,8 +83,13 @@ def main(argv: "list[str] | None" = None) -> int:
     )
     # With a ProcessingTimeTimeout armed, the query schedules state-cleanup
     # batches forever, so availableNow/processAllAvailable never terminate
-    # (see .claude/skills/verify + tests/test_fads_stream.py): drain by
-    # polling the sink until the released count is stable, then stop.
+    # (see .claude/skills/verify + tests/test_fads_stream.py).  Drain
+    # detection must watch the INPUT side, not the sink: FADS buffers rows
+    # in state, so early micro-batches can release nothing while ingest
+    # files are still queued — a sink-count-stability heuristic would stop
+    # early.  A file source with all files consumed reports
+    # numInputRows == 0 on every subsequent (cleanup) batch, so: drain
+    # until several consecutive completed batches read zero input rows.
     import time
 
     from pyfads.schema import fads_output_schema
@@ -97,12 +102,12 @@ def main(argv: "list[str] | None" = None) -> int:
         except Exception:
             return 0
 
-    last, stable_since = -1, time.time()
+    seen: dict[int, int] = {}  # batchId -> numInputRows
     while True:
-        n = _count()
-        if n != last:
-            last, stable_since = n, time.time()
-        elif time.time() - stable_since > 15:
+        for pr in q.recentProgress:
+            seen[pr["batchId"]] = int(pr["numInputRows"])
+        done = sorted(seen)
+        if len(done) >= 3 and all(seen[b] == 0 for b in done[-3:]):
             break
         time.sleep(2)
     # let any in-flight (state-cleanup) micro-batch finish before stopping —
@@ -111,7 +116,9 @@ def main(argv: "list[str] | None" = None) -> int:
     while q.status.get("isTriggerActive") and time.time() < deadline:
         time.sleep(0.5)
     q.stop()
-    print(f"released {last} generalized rows -> {args.output_dir} (ckpt: {ckpt})")
+    print(
+        f"released {_count()} generalized rows -> {args.output_dir} (ckpt: {ckpt})"
+    )
     spark.stop()
     return 0
 

@@ -19,7 +19,13 @@ def main() -> None:
     full_p, sub_p, out_p = sys.argv[1], sys.argv[2], sys.argv[3]
     full = json.load(open(full_p))
     sub = json.load(open(sub_p))
-    for field in ("queries", "queries_median", "queries_reps", "queries_rep_lists"):
+    for field in (
+        "queries",
+        "queries_median",
+        "queries_reps",
+        "queries_rep_lists",
+        "queries_build",
+    ):
         full.setdefault(field, {}).update(sub.get(field, {}))
     q = full["queries"]
     full["n_queries"] = len(q)

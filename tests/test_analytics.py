@@ -585,7 +585,7 @@ def test_hdr_bucket_invariants_exhaustive(spark):
     from pyfads.sketches import _hdr_bucket_cols
 
     vc = spark.range(1, 200_001).select(F.col("id").alias("vc"))
-    b, lo = _hdr_bucket_cols(F.col("vc"))
+    b, lo = _hdr_bucket_cols("vc")
     out = vc.select("vc", b, lo)
     bad = out.filter(
         (F.col("lower") > F.col("vc"))

@@ -1055,15 +1055,20 @@ def test_sample_priority_estimator_properties(spark):
 
 
 def test_sample_priority_plan_is_take_ordered(spark):
-    """The top-k cut must plan as TakeOrderedAndProject, never a global
-    sort of the corpus."""
+    """The corpus-wide cut must plan as TakeOrderedAndProject (never a
+    global sort); the composed operator materializes that cut once and
+    the final plan only re-sorts the k+1 checkpointed rows."""
     from pyfads.io import read_table
-    from pyfads.pipeline import sample_priority_k
+    from pyfads.pipeline import _priority_cut, sample_priority_k
 
-    df = sample_priority_k(read_table(spark, "/root/testdata/sf0.001", "documents"))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    cut = _priority_cut(docs, 200, "n_chars", "doc_id", "prio")
+    plan = cut._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [priority" not in plan.replace("TakeOrderedAndProject", "")
+    # composed plan reads the checkpointed cut, not the corpus, twice
+    full = sample_priority_k(docs)._jdf.queryExecution().executedPlan().toString()
+    assert full.count("Scan parquet") == 0  # corpus appears only pre-checkpoint
 
 
 def test_prefix_jaccard_exactness_vs_bruteforce(spark):
@@ -1140,3 +1145,18 @@ def test_mix_temperature_rebalances(spark):
     assert rates["small"] > 2 * rates["big"]
     counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
     assert counts["big"] > counts["small"]
+
+
+def test_pagerank_empty_graph(spark):
+    """A corpus with no near-dup pairs yields an empty typed frame, not a
+    ZeroDivisionError (r6 review finding)."""
+    from pyfads.graph import pagerank
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "degree",
+        "pagerank_scaled",
+    ]

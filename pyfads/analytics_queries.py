@@ -594,6 +594,46 @@ FROM samp, tau
 """
 
 
+_PRIO_STRAT_K = 40
+
+
+def _priority_strat_sql(k: int = _PRIO_STRAT_K) -> str:
+    from pyfads.llm_queries import _h60
+
+    h = _h60("prio", "CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         CAST(n_chars AS DOUBLE)
+           / (CAST({h} AS DOUBLE) / 1152921504606846976.0) AS priority
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY priority DESC, doc_id) AS rn
+  FROM base
+),
+tau AS (SELECT lang, priority AS tau FROM r WHERE rn = {k + 1})
+SELECT r.lang, r.doc_id, r.weight, r.priority,
+       greatest(r.weight, coalesce(tau.tau, CAST('0.0' AS DOUBLE)))
+         AS est_weight
+FROM r LEFT JOIN tau USING (lang)
+WHERE r.rn <= {k}
+"""
+
+
+@query("sample_priority_strat", oracle=_priority_strat_sql)
+def sample_priority_strat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language priority sampling (40 docs each, per-stratum tau):
+    the DLT estimator stratified — WindowGroupLimit per-task cut,
+    broadcast per-stratum tau frame."""
+    from pyfads.pipeline import sample_priority_stratified
+
+    return sample_priority_stratified(
+        read_table(spark, sf_dir, "documents"), k=_PRIO_STRAT_K
+    )
+
+
 @query("sample_priority", oracle=_priority_sql)
 def sample_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield-Lund-Thorup): 200 docs weighted by

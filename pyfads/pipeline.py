@@ -617,3 +617,54 @@ def mix_temperature(
         .filter(F.col("mix_bucket") < F.col("rate_ppm"))
         .select(id_col, strat_col, "rate_ppm", "mix_bucket")
     )
+
+
+def sample_priority_stratified(
+    df: DataFrame,
+    k: int = 40,
+    strat_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "prio",
+) -> DataFrame:
+    """Per-stratum priority sampling: the DLT estimator of
+    :func:`sample_priority_k` applied independently within each stratum
+    ("k weighted docs per language, with honest mass accounting") — each
+    stratum gets its own tau from its (k+1)-th priority, 0 when the
+    stratum has at most k rows (everything kept, est == weight).
+
+    Scale shape: the per-stratum cut is a row_number window over the
+    priority order — WindowGroupLimit keeps at most k+1 rows per stratum
+    per map task BEFORE the shuffle; the per-stratum tau frame joins back
+    as a broadcast (one row per stratum)."""
+    u = md5_hash60(F.col(id_col).cast("string"), seed).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    base = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)).select(
+        F.col(strat_col),
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    w = Window.partitionBy(strat_col).orderBy(F.col("priority").desc(), id_col)
+    ranked = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k + 1
+    )
+    tau = F.broadcast(
+        ranked.filter(F.col("rn") == k + 1).select(
+            strat_col, F.col("priority").alias("tau")
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .join(tau, strat_col, "left")
+        .select(
+            strat_col,
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
+    )

@@ -1160,3 +1160,89 @@ def test_pagerank_empty_graph(spark):
         "degree",
         "pagerank_scaled",
     ]
+
+
+def test_sample_priority_stratified_per_stratum_tau(spark):
+    """Each stratum gets its own tau: a small stratum (n <= k) keeps all
+    rows with est == weight while a big one is cut to k with est >= tau."""
+    from pyspark.sql import functions as F
+
+    from pyfads.pipeline import sample_priority_stratified
+
+    docs = spark.range(1, 501).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") <= 480, F.lit("big")).otherwise(F.lit("tiny")).alias("lang"),
+        (F.col("id") % 89 + 1).alias("n_chars"),
+    )
+    out = sample_priority_stratified(docs, k=40, strat_col="lang")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.lang, []).append(r)
+    assert len(by["big"]) == 40
+    assert len(by["tiny"]) == 20  # n <= k: everything kept
+    assert all(r.est_weight == r.weight for r in by["tiny"])
+    assert all(r.est_weight >= r.weight for r in by["big"])
+
+
+def test_streaming_priority_topk_maintenance(spark, tmp_path):
+    """Maintain a global priority top-k over a stream: per-batch top-k
+    merges into a store by re-cutting top-k of the union — selection is a
+    semilattice (top-k(A ∪ B) == top-k(top-k(A) ∪ top-k(B))), so the final
+    store equals the batch sample of the full stream exactly."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyfads.pipeline import _priority_cut
+
+    k = 25
+    src = tmp_path / "prio_src"
+    src.mkdir()
+    chunks = [range(1, 300), range(300, 700), range(700, 1000)]
+    t0 = time.time() - 100
+    for n, ids in enumerate(chunks):
+        p = str(src / f"c{n}.parquet")
+        pd.DataFrame(
+            {"doc_id": list(ids), "n_chars": [i % 97 + 1 for i in ids]}
+        ).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))
+    store = str(tmp_path / "prio_store")
+    spark.createDataFrame(
+        [], "doc_id long, weight double, priority double"
+    ).write.parquet(store)
+
+    def merge_in(bdf, _bid):
+        sp = bdf.sparkSession
+        union = sp.read.parquet(store).unionByName(
+            _priority_cut(bdf, k, "n_chars", "doc_id", "prio")
+        )
+        cut = union.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
+        cut.cache().count()
+        cut.write.mode("overwrite").parquet(store + "_next")
+        sp.read.parquet(store + "_next").write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_in)
+        .option("checkpointLocation", str(tmp_path / "prio_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.priority)
+        for r in spark.read.parquet(store).collect()
+    }
+    whole = spark.createDataFrame(
+        [(i, i % 97 + 1) for ch in chunks for i in ch], "doc_id long, n_chars long"
+    )
+    want = {
+        (r.doc_id, r.priority)
+        for r in _priority_cut(whole, k, "n_chars", "doc_id", "prio").collect()
+    }
+    assert got == want

@@ -83,7 +83,7 @@ def main(argv: "list[str] | None" = None) -> int:
     )
     # With a ProcessingTimeTimeout armed, the query schedules state-cleanup
     # batches forever, so availableNow/processAllAvailable never terminate
-    # (see .claude/skills/verify + tests/test_fads_stream.py).  Drain
+    # (see tests/test_fads_stream.py).  Drain
     # detection must watch the INPUT side, not the sink: FADS buffers rows
     # in state, so early micro-batches can release nothing while ingest
     # files are still queued — a sink-count-stability heuristic would stop

@@ -42,6 +42,7 @@ def pagerank(
     b_col: str = "b_id",
     iterations: int = 10,
     scale: int = _SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected pair list (each pair becomes two
     directed edges), restricted to edge endpoints.  Returns one row per
@@ -54,13 +55,27 @@ def pagerank(
                      (rank(u) * 17) // (20 * outdeg(u))
     An undirected graph has no dangling nodes and every node has an
     in-edge, so the aggregation covers all nodes each round.
+
+    ``weight_col`` (optional): an INTEGER edge weight (e.g. similarity in
+    millionths).  The weighted update splits u's damped mass by
+    w(u,v)/sum_w(u) instead of 1/outdeg:
+        contrib = ((rank(u)*17) // 20) * w(u,v) // sum_w(u)
+    evaluated in that exact order so the product stays inside int64:
+    rank <= R = 1e12 (mass never grows), so (R*17//20)*1e6 < 2^63.
+    Weights must be in [1, 1_000_000].
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
+    cols = [F.col(a_col).alias("u"), F.col(b_col).alias("v")]
+    rcols = [F.col(b_col).alias("u"), F.col(a_col).alias("v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+        rcols.append(F.col(weight_col).cast("long").alias("w"))
+    edges = pairs.select(*cols).union(pairs.select(*rcols)).distinct()
+    if weight_col is None:
+        edges = edges.withColumn("w", F.lit(1).cast("long"))
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg"),
+        F.sum("w").cast("long").alias("sumw"),
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     # degree-annotated edges are reused every iteration — checkpoint once
     edeg = edges.join(deg, "u").localCheckpoint(eager=True)
     n = deg.count()  # the one driver scalar (node count, not data)
@@ -77,7 +92,7 @@ def pagerank(
     for i in range(iterations):
         contrib = edeg.join(ranks.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("node"),
-            F.expr("(rank * 17) div (20 * outdeg)").alias("c"),
+            F.expr("((rank * 17) div 20) * w div sumw").alias("c"),
         )
         ranks = contrib.groupBy("node").agg(
             (F.lit(base) + F.sum("c")).cast("long").alias("rank")

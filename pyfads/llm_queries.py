@@ -404,6 +404,67 @@ ORDER BY pagerank_scaled DESC, doc_id LIMIT {k}
 """
 
 
+def _pagerank_weighted_sql(iterations: int = 10, k: int = 50, **kw) -> str:
+    """Unrolled jaccard-weighted PageRank: u's damped mass splits by
+    w(u,v)/sum_w(u) with w = floor(jaccard * 1e6) — the same
+    division-order-exact integer chain as pyfads.graph.pagerank."""
+    ctes = _minhash_ctes(**kw)
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT e.v AS node,
+         CAST(bb.base + sum(((r.rank * 17) // 20) * e.w // e.sumw)
+              AS BIGINT) AS rank
+  FROM edeg e JOIN it{i - 1} r ON r.node = e.u, bb
+  GROUP BY e.v, bb.base
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH {ctes},
+edges AS (
+  SELECT a_id AS u, b_id AS v,
+         CAST(floor(jaccard * 1000000) AS BIGINT) AS w
+  FROM vpairs
+  UNION
+  SELECT b_id, a_id, CAST(floor(jaccard * 1000000) AS BIGINT) FROM vpairs
+),
+deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS outdeg,
+         CAST(sum(w) AS BIGINT) AS sumw
+  FROM edges GROUP BY u
+),
+edeg AS (SELECT e.u, e.v, e.w, d.outdeg, d.sumw FROM edges e JOIN deg d USING (u)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+bb AS (SELECT CAST(3000000000000 // (20 * n) AS BIGINT) AS base FROM nn),
+it0 AS (
+  SELECT u AS node, CAST(1000000000000 // nn.n AS BIGINT) AS rank FROM deg, nn
+),
+{chain}
+SELECT r.node AS doc_id, d.outdeg AS degree, r.rank AS pagerank_scaled
+FROM it{iterations} r JOIN deg d ON d.u = r.node
+ORDER BY pagerank_scaled DESC, doc_id LIMIT {k}
+"""
+
+
+@query("pagerank_weighted", oracle=_pagerank_weighted_sql())
+def pagerank_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the near-dup graph: each node's
+    damped mass splits across neighbors proportionally to the verified
+    Jaccard (floor(jac*1e6) integer weights) — strong duplicates pull
+    more centrality than borderline ones.  Same fixed-point integer
+    discipline as pagerank_dupgraph; the product order
+    ((rank*17) div 20) * w div sumw keeps every intermediate < 2^63."""
+    from pyfads.graph import pagerank
+
+    pairs = D.minhash_near_dup_pairs(_docs(spark, sf_dir)).withColumn(
+        "w", F.floor(F.col("jaccard") * 1_000_000).cast("long")
+    )
+    ranks = pagerank(pairs, weight_col="w")
+    return ranks.orderBy(F.col("pagerank_scaled").desc(), "doc_id").limit(50)
+
+
 @query("pagerank_dupgraph", oracle=_pagerank_sql())
 def pagerank_dupgraph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 link-centrality hubs of the near-dup graph: fixed-point

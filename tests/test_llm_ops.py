@@ -1246,3 +1246,24 @@ def test_streaming_priority_topk_maintenance(spark, tmp_path):
         for r in _priority_cut(whole, k, "n_chars", "doc_id", "prio").collect()
     }
     assert got == want
+
+
+def test_pagerank_weighted_shifts_mass(spark):
+    """On a path a-b-c where the a-b edge carries 9x the weight of b-c,
+    the weighted ranks of a and c separate (a > c) while the unweighted
+    run ties them exactly (symmetric path ends)."""
+    from pyspark.sql import functions as F
+
+    from pyfads.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 900_000), (2, 3, 100_000)], "a_id long, b_id long, w long"
+    )
+    unw = {r.doc_id: r.pagerank_scaled for r in pagerank(pairs).collect()}
+    assert unw[1] == unw[3]  # exact symmetric tie
+    wgt = {
+        r.doc_id: r.pagerank_scaled
+        for r in pagerank(pairs, weight_col="w").collect()
+    }
+    assert wgt[1] > wgt[3]  # heavy edge pulls mass toward a
+    assert wgt[2] == max(wgt.values())  # the hub still leads

@@ -956,6 +956,80 @@ LIMIT {_BM25_K}
 """
 
 
+_BM25_QUERIES = {
+    "q_dup": ["dup", "vector"],
+    "q_join": ["join", "window"],
+    "q_mix": ["join", "dup", "vector"],
+}
+_BM25_BATCH_K = 10
+
+
+def _bm25_batch_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(all_terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(all_terms))
+    )
+    half = "'0.5'::DOUBLE"
+
+    def term_score(i: int) -> str:
+        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
+        denom = (
+            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
+            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
+        )
+        return f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))"
+
+    blocks = []
+    for qid, ts in sorted(_BM25_QUERIES.items()):
+        score = term_score(t_idx[ts[0]])
+        for t in ts[1:]:
+            score = f"({score} + {term_score(t_idx[t])})"
+        blocks.append(
+            f"""SELECT '{qid}' AS query_id, doc_id,
+       CAST(round({score} * '1000000.0'::DOUBLE) AS BIGINT) AS score_micros
+FROM base CROSS JOIN stats
+ORDER BY score_micros DESC, doc_id
+LIMIT {_BM25_BATCH_K}"""
+        )
+    union = "\nUNION ALL\n".join(f"({blk})" for blk in blocks)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+),
+u AS ({union})
+SELECT query_id, doc_id, score_micros,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micros DESC, doc_id)
+            AS BIGINT) AS rank
+FROM u
+"""
+
+
+@query("bm25_batch", oracle=_bm25_batch_sql())
+def bm25_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: three queries scored in ONE corpus scan (union-term tf
+    projection + bounded literal fanout + WindowGroupLimit per-query
+    top-10) — the workload-serving shape vs bm25_topk's single ad-hoc
+    query.  See :func:`pyfads.text.bm25_batch`."""
+    return X.bm25_batch(_docs(spark, sf_dir), _BM25_QUERIES, k=_BM25_BATCH_K)
+
+
 @query("bm25_topk", oracle=_bm25_sql())
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed query-term bag — the retrieval

@@ -645,3 +645,92 @@ def inverted_index(
             F.md5(F.col("postings_csv")).alias("postings_md5"),
         )
     )
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: "dict[str, list[str]]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch BM25: score MANY queries in ONE corpus scan — the serving
+    shape when a retrieval pass evaluates a query workload (eval suites,
+    router training) rather than one ad-hoc query.
+
+    The tf columns for the UNION of all query terms are computed in a
+    single projection; each document row then fans out to one row per
+    query (a bounded literal explode — |Q| rows), scored with exactly
+    :func:`bm25_topk`'s float chain over that query's own term order.
+    Top-k per query is a row_number window over the query key —
+    WindowGroupLimit keeps k rows per query per map task, so the shuffle
+    carries O(k * |Q| * tasks) rows.  Corpus scans: exactly one,
+    regardless of |Q| (vs |Q| scans for repeated bm25_topk calls).
+    """
+    df = df.filter(F.col(text_col).isNotNull())
+    toks = tokens(text_col)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf{i}") for i, t in enumerate(all_terms)],
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+                for i in range(len(all_terms))
+            ],
+        )
+    )
+    half = F.lit(0.5)
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n_docs") - F.col(f"df{i}") + half) / (F.col(f"df{i}") + half)
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+        )
+        return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+    def query_score(terms: "list[str]") -> Column:
+        s = term_score(t_idx[terms[0]])
+        for t in terms[1:]:
+            s = s + term_score(t_idx[t])
+        return s
+
+    fanout = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.round(query_score(ts) * F.lit(1_000_000.0))
+                    .cast("long")
+                    .alias("score_micros"),
+                )
+                for qid, ts in sorted(queries.items())
+            ]
+        )
+    )
+    scored = base.crossJoin(stats).select(F.col(id_col), fanout.alias("q")).select(
+        "q.query_id", id_col, "q.score_micros"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_micros", "rank")
+    )

@@ -40,6 +40,7 @@ EXPECTED_BNLJ = {
     "g9_best_cluster",
     "g11_suppress",
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
+    "bm25_batch",  # same 1-row stats frame, batch variant
     "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
     "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
@@ -70,6 +71,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "forecast_revenue",  # Q6 flavor: same keyless-global-agg class
     "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
     "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
+    "bm25_batch",  # same partial-agg feed, batch variant
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task

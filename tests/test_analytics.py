@@ -679,3 +679,30 @@ def test_hdr_streaming_maintenance(spark, tmp_path):
         for r in hdr_histogram(whole).collect()
     }
     assert got == want
+
+
+def test_bm25_batch_matches_single_query_runs(spark):
+    """The one-scan batch scorer returns exactly what per-query bm25_topk
+    runs return (same scores, same ranking) for each query in the batch."""
+    from pyfads.text import bm25_batch, bm25_topk
+
+    rows = [
+        (1, "join join join pad pad pad"),
+        (2, "join pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad"),
+        (4, "rare pad pad pad pad pad"),
+        (5, "join rare pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {"qa": ["join"], "qb": ["rare", "join"]}
+    batch = bm25_batch(df, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score_micros))
+    for qid, terms in queries.items():
+        single = [
+            (r.doc_id, r.score_micros)
+            for r in bm25_topk(df, terms, k=5).collect()
+        ]
+        got = [(d, s) for _, d, s in sorted(by_q[qid])]
+        assert got == single, qid

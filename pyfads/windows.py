@@ -733,3 +733,121 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
     )
     return event_transitions(base)
+
+
+def funnel_three_step(
+    df: DataFrame,
+    steps: "tuple[str, str, str]" = ("view", "click", "purchase"),
+    horizon_ms: int = 3_600_000,
+    ts_ms_col: str = "ts_ms",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Three-step funnel (the windowFunnel shape): for each step-1 event,
+    the user's EARLIEST step-2 event after it, then the earliest step-3
+    event after THAT, all within ``horizon_ms`` of step 1.  Emits the
+    reached ``funnel_level`` (1..3) per step-1 event.
+
+    Unlike :func:`funnel_next_event` (a window over the user stream),
+    step 3 is anchored on step 2's timestamp — a row-dependent bound no
+    window frame can express — so each hop is a user-keyed equi-join with
+    a range predicate + a min aggregation (earliest match; min is
+    order-insensitive, deterministic under ties by construction).
+
+    Scale shape: two shuffles on the user key (same class as the as-of /
+    interval joins); each join's probe side is only the step-1/step-2
+    rows, never the full stream, and the range predicate bounds fan-out
+    by the per-user event rate within the horizon.
+    """
+    s1, s2, s3 = steps
+    base = df.select(id_col, user_col, type_col, ts_ms_col)
+    v = base.filter(F.col(type_col) == s1).select(
+        id_col, user_col, F.col(ts_ms_col).alias("step1_ms")
+    )
+    c = base.filter(F.col(type_col) == s2).select(
+        F.col(user_col), F.col(ts_ms_col).alias("__c_ms")
+    )
+    p = base.filter(F.col(type_col) == s3).select(
+        F.col(user_col), F.col(ts_ms_col).alias("__p_ms")
+    )
+    # range predicates live IN the join condition: a post-join filter
+    # would drop step-1 events whose user has only OUT-of-window matches
+    # (left-join rows all filtered away) instead of keeping them at NULL
+    c = c.withColumnRenamed(user_col, "__cu")
+    hop1 = (
+        v.join(
+            c,
+            (F.col(user_col) == F.col("__cu"))
+            & (F.col("__c_ms") > F.col("step1_ms"))
+            & (F.col("__c_ms") <= F.col("step1_ms") + horizon_ms),
+            "left",
+        )
+        .groupBy(id_col, user_col, "step1_ms")
+        .agg(F.min("__c_ms").alias("step2_ms"))
+    )
+    p = p.withColumnRenamed(user_col, "__pu")
+    hop2 = (
+        hop1.join(
+            p,
+            (F.col(user_col) == F.col("__pu"))
+            & (F.col("__p_ms") > F.col("step2_ms"))
+            & (F.col("__p_ms") <= F.col("step1_ms") + horizon_ms),
+            "left",
+        )
+        .groupBy(id_col, user_col, "step1_ms", "step2_ms")
+        .agg(F.min("__p_ms").alias("step3_ms"))
+    )
+    level = (
+        F.lit(1)
+        + F.col("step2_ms").isNotNull().cast("int")
+        + F.col("step3_ms").isNotNull().cast("int")
+    )
+    return hop2.select(
+        id_col,
+        user_col,
+        "step1_ms",
+        "step2_ms",
+        "step3_ms",
+        level.cast("long").alias("funnel_level"),
+    )
+
+
+_FUNNEL3_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+v AS (SELECT event_id, user_id, ts_ms AS step1_ms FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, ts_ms AS c_ms FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_ms AS p_ms FROM e WHERE event_type = 'purchase'),
+h1 AS (
+  SELECT v.event_id, v.user_id, v.step1_ms, min(c.c_ms) AS step2_ms
+  FROM v LEFT JOIN c ON c.user_id = v.user_id
+     AND c.c_ms > v.step1_ms AND c.c_ms <= v.step1_ms + 3600000
+  GROUP BY v.event_id, v.user_id, v.step1_ms
+),
+h2 AS (
+  SELECT h1.event_id, h1.user_id, h1.step1_ms, h1.step2_ms,
+         min(p.p_ms) AS step3_ms
+  FROM h1 LEFT JOIN p ON p.user_id = h1.user_id
+     AND p.p_ms > h1.step2_ms AND p.p_ms <= h1.step1_ms + 3600000
+  GROUP BY h1.event_id, h1.user_id, h1.step1_ms, h1.step2_ms
+)
+SELECT event_id, user_id, step1_ms, step2_ms, step3_ms,
+       CAST(1 + CASE WHEN step2_ms IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN step3_ms IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS funnel_level
+FROM h2
+"""
+
+
+@query("funnel_three_step", oracle=_FUNNEL3_SQL)
+def funnel_three_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel within 1 hour of the view, step 3
+    anchored on the EARLIEST qualifying click (the windowFunnel shape) —
+    per-view funnel_level 1..3 via two user-keyed range joins."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
+    )
+    return funnel_three_step(base)

@@ -531,3 +531,44 @@ def test_event_transitions_small(spark):
     assert out[("a", "c")].n_trans == 1 and out[("a", "c")].p_trans == 0.5
     assert out[("b", "b")].n_trans == 1 and out[("b", "b")].p_trans == 1.0
     assert set(out) == {("a", "b"), ("a", "c"), ("b", "b")}
+
+
+def test_funnel_three_step_semantics(spark):
+    """Hand-checked levels, including the edge the naive post-join filter
+    gets wrong: a user whose only step-2 events are OUT of window must
+    stay at level 1 (not vanish), and a purchase BEFORE the click never
+    counts as step 3."""
+    from pyfads.windows import funnel_three_step
+
+    H = 3_600_000
+    rows = [
+        # user 1: full funnel
+        (10, 1, "view", 1000),
+        (11, 1, "click", 2000),
+        (12, 1, "purchase", 2500),
+        # user 2: click exists but outside the horizon -> level 1
+        (20, 2, "view", 1000),
+        (21, 2, "click", 1000 + H + 1),
+        # user 3: purchase but never clicked -> level 1
+        (30, 3, "view", 1000),
+        (31, 3, "purchase", 1500),
+        # user 4: purchase precedes the click -> level 2
+        (40, 4, "view", 1000),
+        (41, 4, "purchase", 1100),
+        (42, 4, "click", 1200),
+        # user 5: two clicks; step 3 anchors on the EARLIEST click
+        (50, 5, "view", 1000),
+        (51, 5, "click", 1100),
+        (52, 5, "click", 3000),
+        (53, 5, "purchase", 2000),  # after first click -> level 3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ms long"
+    )
+    out = {r.event_id: r for r in funnel_three_step(df).collect()}
+    assert out[10].funnel_level == 3 and out[10].step3_ms == 2500
+    assert out[20].funnel_level == 1 and out[20].step2_ms is None
+    assert out[30].funnel_level == 1
+    assert out[40].funnel_level == 2 and out[40].step2_ms == 1200
+    assert out[50].funnel_level == 3 and out[50].step2_ms == 1100
+    assert set(out) == {10, 20, 30, 40, 50}  # one row per view, none lost

@@ -1140,6 +1140,58 @@ def profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(read_table(spark, sf_dir, "orders"))
 
 
+_GINI_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+a AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST((n_docs * n_docs - sum_sq) * 1000000 // (n_docs * n_docs)
+            AS BIGINT) AS gini_ppm
+FROM a
+"""
+
+
+@query("source_lang_gini", oracle=_GINI_SQL)
+def source_lang_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity report per source: Gini impurity
+    1 - sum(p_lang^2), emitted in exact integer millionths
+    ((tot^2 - sum(c^2)) * 1e6 div tot^2) — the diversity measure that
+    needs no transcendental (unlike entropy), so it is bit-exact
+    cross-engine.  Two map-side-combined aggregates; n_docs stays below
+    2^20 per source at any test SF so tot^2 * 1e6 < 2^63 (at true scale,
+    compute in DECIMAL or per-mille)."""
+    docs = _docs(spark, sf_dir)
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.expr(
+                "(n_docs * n_docs - sum_sq) * 1000000 div (n_docs * n_docs)"
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+    )
+
+
 _INVIDX_SQL = """
 WITH toks0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -706,3 +706,37 @@ def test_bm25_batch_matches_single_query_runs(spark):
         ]
         got = [(d, s) for _, d, s in sorted(by_q[qid])]
         assert got == single, qid
+
+
+def test_source_lang_gini_known_values(spark):
+    """Gini impurity sanity: a single-language source scores 0; a
+    perfectly 50/50 source scores exactly 500000 ppm."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "en", "pure") for i in range(10)]
+        + [(100 + i, "en", "even") for i in range(8)]
+        + [(200 + i, "fr", "even") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    c = df.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = {
+        r.source: r
+        for r in c.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.expr("(n_docs * n_docs - sum_sq) * 1000000 div (n_docs * n_docs)")
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+        .collect()
+    }
+    assert out["pure"].gini_ppm == 0 and out["pure"].n_langs == 1
+    assert out["even"].gini_ppm == 500_000 and out["even"].n_langs == 2

@@ -1310,7 +1310,7 @@ def zorder_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hdr_ctes(qs: "tuple[int, ...]") -> str:
+def _hdr_ctes(qs: "tuple[int, ...]", strat: str = "event_type") -> str:
     """Shared HDR CTE chain (cents -> octave/sub-bucket histogram ->
     cumulative counts -> per-percentile boundary pick) ending in
     ``sel(event_type, q_pct, n_events, est_cents)`` — ONE copy of the
@@ -1319,7 +1319,8 @@ def _hdr_ctes(qs: "tuple[int, ...]") -> str:
     of pyfads.sketches._hdr_bucket_cols from desynchronizing)."""
     q_list = ", ".join(str(q) for q in qs)
     return f"""v AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+  SELECT {strat} AS event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
 ),
 p AS (SELECT event_type, vc FROM v WHERE vc >= 1),
 b AS (
@@ -1386,6 +1387,53 @@ def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable, order-independent QuantileDiscretizer.  See
     :func:`pyfads.sketches.hdr_discretize`."""
     return K.hdr_discretize(read_table(spark, sf_dir, "events"))
+
+
+def _hdr_hourly_sql() -> str:
+    strat = "concat(event_type, '#', CAST(epoch_ms(ts) // 3600000 AS VARCHAR))"
+    return f"""
+WITH {_hdr_ctes((50, 90), strat=strat)}
+SELECT str_split(event_type, '#')[1] AS event_type,
+       CAST(str_split(event_type, '#')[2] AS BIGINT) AS hour_idx,
+       q_pct, n_events, est_cents,
+       CAST(est_cents AS DOUBLE) / CAST('100.0' AS DOUBLE) AS est_value
+FROM sel
+"""
+
+
+@query("hdr_hourly_quantiles", oracle=_hdr_hourly_sql)
+def hdr_hourly_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90 of events.value per (event_type, hour) from per-window HDR
+    sketches — the windowed composition that makes the sketch useful for
+    telemetry: each (type, hour) cell is an independently-mergeable
+    integer histogram, so a streaming job can maintain the exact same
+    answers per micro-batch (the foreachBatch store pattern proven in
+    tests).  Composite stratum = type#hour, split back on output."""
+    ev = read_table(spark, sf_dir, "events")
+    # integer div for the hour index (a double quotient truncated can
+    # disagree with the oracle's BIGINT floor-div at hour boundaries)
+    base = ev.select(
+        "event_type", "value", epoch_ms(ev, "ts").alias("__ms")
+    )
+    df2 = base.select(
+        F.concat_ws(
+            "#",
+            F.col("event_type"),
+            F.expr("__ms div 3600000").cast("string"),
+        ).alias("strat"),
+        "value",
+    )
+    hist = K.hdr_histogram(df2, "value", "strat")
+    q = K.hdr_quantiles(hist, (50, 90), "strat")
+    parts = F.split(F.col("strat"), "#")
+    return q.select(
+        parts.getItem(0).alias("event_type"),
+        parts.getItem(1).cast("long").alias("hour_idx"),
+        "q_pct",
+        "n_events",
+        "est_cents",
+        "est_value",
+    )
 
 
 @query("sketch_hdr_quantiles", oracle=_HDR_SQL)

@@ -851,3 +851,79 @@ def funnel_three_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
     )
     return funnel_three_step(base)
+
+
+def event_trigrams(
+    df: DataFrame,
+    ts_ms_col: str = "ts_ms",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Second-order sequence mining: per-user (t2, t1, next) event-type
+    trigrams with the conditional probability P(next | t2, t1) =
+    n_tri / n_prefix as one exact-integer division — the order-2 Markov
+    extension of :func:`event_transitions` (which order-1 models cannot
+    distinguish, e.g. error->click->purchase vs view->click->purchase).
+
+    Scale: same single user-key window shuffle (two lags share one
+    WindowExec pass), then two map-side-combined aggregates on the tiny
+    type-triple key space."""
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col, id_col)
+    tri = (
+        df.withColumn("t2", F.lag(type_col, 2).over(w))
+        .withColumn("t1", F.lag(type_col, 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .groupBy("t2", "t1", F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    prefix = tri.groupBy("t2", "t1").agg(
+        F.sum("n_tri").cast("long").alias("n_prefix")
+    )
+    return tri.join(prefix, ["t2", "t1"]).select(
+        "t2",
+        "t1",
+        "next_type",
+        "n_tri",
+        "n_prefix",
+        (F.col("n_tri").cast("double") / F.col("n_prefix").cast("double")).alias(
+            "p_next"
+        ),
+    )
+
+
+_TRIGRAMS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+l AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id) AS t2,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id) AS t1,
+         event_type AS next_type
+  FROM e
+),
+tri AS (
+  SELECT t2, t1, next_type, CAST(count(*) AS BIGINT) AS n_tri
+  FROM l WHERE t2 IS NOT NULL GROUP BY t2, t1, next_type
+),
+pre AS (
+  SELECT t2, t1, CAST(sum(n_tri) AS BIGINT) AS n_prefix
+  FROM tri GROUP BY t2, t1
+)
+SELECT tri.t2, tri.t1, tri.next_type, tri.n_tri, pre.n_prefix,
+       CAST(tri.n_tri AS DOUBLE) / CAST(pre.n_prefix AS DOUBLE) AS p_next
+FROM tri JOIN pre USING (t2, t1)
+"""
+
+
+@query("event_trigrams", oracle=_TRIGRAMS_SQL)
+def event_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 Markov trigrams of user event sequences with exact
+    conditional next-event probabilities."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
+    )
+    return event_trigrams(base)

@@ -44,6 +44,7 @@ EXPECTED_BNLJ = {
     "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
     "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
+    "hdr_hourly_quantiles",  # same class: 2-row literal percentile frame inside hdr_quantiles
     # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
     # frame cross-joined back (the canonical decorrelation) — bounded at
     # any scale, the probe side streams

@@ -109,7 +109,9 @@ def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def parse_taxi_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_taxi_lines(
+    lines: DataFrame, value_col: str = "value", permissive: bool = False
+) -> DataFrame:
     """P2 — parse raw taxi-ride CSV lines into the 11-column record.
 
     Semantics of NYCTaxiRideSource.fromString (:204-244): token order is
@@ -118,18 +120,45 @@ def parse_taxi_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     events swap them; empty lon/lat parse as 0.0 (:231-234); times are
     ``yyyy-MM-dd HH:mm:ss`` UTC strings → epoch millis (:219-225).
     Pure built-in functions — stays inside whole-stage codegen.
+
+    ``permissive=False`` (default) is reference parity: a malformed
+    rideId/time fails the job, exactly like Long.parseLong/parseDateTime
+    in NYCTaxiRideSource (a poison-pill line kills the Flink job too).
+    ``permissive=True`` is the production switch: try_-variants parse,
+    and rows whose KEY fields (rideId, startTime) are unparsable are
+    DROPPED — a bad line costs one record, not the stream.
     """
     tok = F.split(F.col(value_col), ",")
-    c = {name: tok.getItem(i) for i, name in enumerate(TAXI_CSV_TOKEN_ORDER)}
+    if permissive:
+        # try_element_at: a SHORT line yields NULLs (ANSI getItem throws
+        # ArrayIndexOutOfBounds — which is also what the reference's
+        # tokens[i] does, hence getItem stays in strict mode)
+        c = {
+            name: F.try_element_at(tok, F.lit(i + 1))
+            for i, name in enumerate(TAXI_CSV_TOKEN_ORDER)
+        }
+    else:
+        c = {name: tok.getItem(i) for i, name in enumerate(TAXI_CSV_TOKEN_ORDER)}
     is_start = c["eventKind"] == F.lit("START")
-    to_ms = lambda s: F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss"))
+    if permissive:
+        to_ms = lambda s: F.unix_millis(  # noqa: E731
+            F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss"))
+        )
+        lng = lambda s: s.try_cast("long")  # noqa: E731
+        sht = lambda s: s.try_cast("short")  # noqa: E731
+    else:
+        to_ms = lambda s: F.unix_millis(  # noqa: E731
+            F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss")
+        )
+        lng = lambda s: s.cast("long")  # noqa: E731
+        sht = lambda s: s.cast("short")  # noqa: E731
     # try_cast: ANSI mode (Spark 4 default) hard-fails cast('' as double);
     # the reference maps empty lon/lat to 0.0 (NYCTaxiRideSource.java:231-234)
     dbl0 = lambda s: F.coalesce(s.try_cast("double"), F.lit(0.0))
-    return lines.select(
-        c["rideId"].cast("long").alias("rideId"),
-        c["taxiId"].cast("long").alias("taxiId"),
-        c["driverId"].cast("long").alias("driverId"),
+    out = lines.select(
+        lng(c["rideId"]).alias("rideId"),
+        lng(c["taxiId"]).alias("taxiId"),
+        lng(c["driverId"]).alias("driverId"),
         is_start.alias("isStart"),
         F.when(is_start, to_ms(c["time1"])).otherwise(to_ms(c["time2"])).alias("startTime"),
         F.when(is_start, to_ms(c["time2"])).otherwise(to_ms(c["time1"])).alias("endTime"),
@@ -137,8 +166,13 @@ def parse_taxi_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         dbl0(c["startLat"]).alias("startLat"),
         dbl0(c["endLon"]).alias("endLon"),
         dbl0(c["endLat"]).alias("endLat"),
-        c["passengerCnt"].cast("short").alias("passengerCnt"),
+        sht(c["passengerCnt"]).alias("passengerCnt"),
     )
+    if permissive:
+        out = out.filter(
+            F.col("rideId").isNotNull() & F.col("startTime").isNotNull()
+        )
+    return out
 
 
 def read_taxi_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -93,3 +93,25 @@ def test_batch_throughput_and_observe(spark):
     assert t.rows == ev.count()
     assert t.rows_per_sec > 0
     assert t.mean > 0
+
+
+def test_parse_taxi_lines_permissive_drops_poison_lines(spark):
+    """Strict mode (reference parity) fails on a malformed rideId;
+    permissive mode drops exactly the poison rows and parses the rest —
+    one bad line costs one record, not the stream."""
+    import pytest as _pt
+
+    from pyfads.io import parse_taxi_lines
+
+    good = "7,START,2020-03-01 00:00:00,2020-03-01 00:05:00,-73.9,40.7,-73.8,40.6,2,101,5007"
+    bad_id = "oops,START,2020-03-01 00:00:00,2020-03-01 00:05:00,,,,-73.8,1,101,5008"
+    bad_time = "8,START,not-a-time,2020-03-01 00:05:00,-73.9,40.7,-73.8,40.6,1,101,5009"
+    short = "9,START"
+    df = spark.createDataFrame(
+        [(good,), (bad_id,), (bad_time,), (short,)], "value string"
+    )
+    rows = parse_taxi_lines(df, permissive=True).collect()
+    assert [r.rideId for r in rows] == [7]
+    assert rows[0].startTime == 1583020800000 and rows[0].passengerCnt == 2
+    with _pt.raises(Exception):
+        parse_taxi_lines(df).collect()  # strict: poison line kills the job

@@ -1224,6 +1224,93 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.inverted_index(_docs(spark, sf_dir))
 
 
+_THETA_K = 256
+_SPACE_LIT = "1152921504606846976.0"  # 2^60
+
+
+def _theta_sql(k: int = _THETA_K) -> str:
+    from pyfads.llm_queries import _h60
+
+    h = _h60("theta", "tok")
+    side = lambda pred, name: f"""t{name} AS (
+  SELECT DISTINCT {h} AS h
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE {pred})
+),
+{name} AS (SELECT h FROM t{name} ORDER BY h LIMIT {k})"""
+    return f"""
+WITH {side("lang = 'en'", "a")},
+{side("lang <> 'en'", "b")},
+st AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+         (SELECT max(h) FROM a) AS kth_a,
+         (SELECT max(h) FROM b) AS kth_b
+),
+th AS (
+  SELECT n_a, n_b,
+         least(CASE WHEN n_a < {k} THEN 1152921504606846976 ELSE kth_a END,
+               CASE WHEN n_b < {k} THEN 1152921504606846976 ELSE kth_b END)
+           AS theta
+  FROM st
+),
+inter AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM a JOIN b USING (h), th WHERE a.h < th.theta
+),
+un AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union
+  FROM (SELECT h FROM a UNION SELECT h FROM b), th WHERE h < th.theta
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_common
+  FROM (
+    SELECT DISTINCT tok FROM (SELECT unnest(string_split(text,' ')) AS tok
+                              FROM documents WHERE lang = 'en')
+    INTERSECT
+    SELECT DISTINCT tok FROM (SELECT unnest(string_split(text,' ')) AS tok
+                              FROM documents WHERE lang <> 'en')
+  )
+)
+SELECT th.n_a, th.n_b, CAST(th.theta AS BIGINT) AS theta,
+       inter.n_common, un.n_union,
+       CAST(inter.n_common AS DOUBLE)
+         / (CAST(th.theta AS DOUBLE) / {_SPACE_LIT}) AS intersection_est,
+       CAST(un.n_union AS DOUBLE)
+         / (CAST(th.theta AS DOUBLE) / {_SPACE_LIT}) AS union_est,
+       ex.exact_common
+FROM th, inter, un, ex
+"""
+
+
+@query("sketch_theta_setops", oracle=_theta_sql)
+def sketch_theta_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations: estimate the distinct-token
+    INTERSECTION and UNION cardinality between the en and non-en corpus
+    slices from two 256-hash KMV sketches — the DataSketches-style answer
+    to "how much vocabulary do these corpora share?" without an exact
+    all-token join.  Exact intersection emitted alongside for the
+    accuracy read.  See :func:`pyfads.sketches.theta_set_ops`."""
+    docs = _docs(spark, sf_dir)
+    a = K.kmv_hashes(docs.filter(F.col("lang") == "en"), k=_THETA_K)
+    b = K.kmv_hashes(docs.filter(F.col("lang") != "en"), k=_THETA_K)
+    est = K.theta_set_ops(a, b, k=_THETA_K)
+    ta = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    tb = (
+        docs.filter(F.col("lang") != "en")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    exact = ta.join(tb, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_common")
+    )
+    return est.crossJoin(exact)
+
+
 _HLL_SEED = "hll"
 
 

@@ -603,3 +603,98 @@ def hdr_discretize(
         F.min("vc").alias("vc_lo"),
         F.max("vc").alias("vc_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-style set operations over KMV sketches
+# --------------------------------------------------------------------------
+
+
+def kmv_hashes(
+    df: DataFrame,
+    k: int = 256,
+    text_col: str = "text",
+    seed: str = "theta",
+) -> DataFrame:
+    """The k smallest distinct token hashes of a corpus slice — the KMV /
+    Theta sketch retained set (one frame per slice, <= k rows).
+
+    Scale: distinct-hash agg + WindowGroupLimit top-k, same shape as
+    :func:`kmv_distinct_tokens` without the stratum key."""
+    hashes = (
+        df.select(F.explode(tokens(text_col)).alias("__tok"))
+        .select(md5_hash60(F.col("__tok"), seed).alias("h"))
+        .distinct()
+    )
+    w = Window.orderBy("h")
+    # global top-k via orderBy().limit() -> TakeOrdered (no global sort)
+    del w
+    return hashes.orderBy("h").limit(k)
+
+
+def theta_set_ops(
+    a_hashes: DataFrame, b_hashes: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch set-operation estimates from two :func:`kmv_hashes`
+    frames (Dasgupta et al., "Theta sketch framework", 2016): with
+    theta = min(theta_A, theta_B) (each side's k-th smallest hash,
+    2^60 when the side retained fewer than k), every retained hash below
+    theta is a uniform sample of the underlying set, so
+
+        |A ∩ B| ~ |{h < theta: h in A and B}| / (theta / 2^60)
+        |A ∪ B| ~ |{h < theta: h in A or B}|  / (theta / 2^60)
+
+    All counting is exact integers on <= 2k rows; each estimate is ONE
+    IEEE division — bit-identical cross-engine like the other sketches.
+    The two sketch frames are tiny, so this composes as a broadcast join
+    no matter how large the underlying corpora were."""
+    stats = lambda df, side: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+        F.max("h").cast("long").alias(f"kth_{side}"),
+    )
+    sa, sb = stats(a_hashes, "a"), stats(b_hashes, "b")
+    space = 1 << 60
+    both = sa.crossJoin(sb).select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") < k, F.lit(space))
+        .otherwise(F.col("kth_a"))
+        .alias("theta_a"),
+        F.when(F.col("n_b") < k, F.lit(space))
+        .otherwise(F.col("kth_b"))
+        .alias("theta_b"),
+    ).select(
+        "n_a", "n_b", F.least("theta_a", "theta_b").alias("theta")
+    )
+    inter = (
+        a_hashes.join(b_hashes, "h")
+        .crossJoin(F.broadcast(both.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    union = (
+        a_hashes.unionByName(b_hashes)
+        .distinct()
+        .crossJoin(F.broadcast(both.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    return (
+        both.crossJoin(inter)
+        .crossJoin(union)
+        .select(
+            "n_a",
+            "n_b",
+            "theta",
+            "n_common",
+            "n_union",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("theta").cast("double") / F.lit(float(space)))
+            ).alias("intersection_est"),
+            (
+                F.col("n_union").cast("double")
+                / (F.col("theta").cast("double") / F.lit(float(space)))
+            ).alias("union_est"),
+        )
+    )

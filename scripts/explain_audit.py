@@ -45,6 +45,7 @@ EXPECTED_BNLJ = {
     "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
     "hdr_hourly_quantiles",  # same class: 2-row literal percentile frame inside hdr_quantiles
+    "sketch_theta_setops",  # <=k-row sketch frames + 1-row theta/summary frames, all bounded crossJoins
     # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
     # frame cross-joined back (the canonical decorrelation) — bounded at
     # any scale, the probe side streams
@@ -75,6 +76,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "bm25_batch",  # same partial-agg feed, batch variant
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
+    "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task
     "g3_cluster_ttl",

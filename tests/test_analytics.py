@@ -740,3 +740,27 @@ def test_source_lang_gini_known_values(spark):
     }
     assert out["pure"].gini_ppm == 0 and out["pure"].n_langs == 1
     assert out["even"].gini_ppm == 500_000 and out["even"].n_langs == 2
+
+
+def test_theta_setops_accuracy_and_degeneracy(spark):
+    """Theta intersection/union estimates land near truth on overlapping
+    synthetic vocabularies, and degenerate to EXACT counts when both
+    sides retain everything (n < k => theta = 2^60 => estimate = count)."""
+    from pyspark.sql import functions as F
+
+    from pyfads.sketches import kmv_hashes, theta_set_ops
+
+    # A = tokens 0..2999, B = tokens 2000..5999 -> |A∩B|=1000, |A∪B|=6000
+    a_docs = spark.range(3000).select(F.concat(F.lit("tok"), F.col("id")).alias("text"))
+    b_docs = spark.range(2000, 6000).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("text")
+    )
+    est = theta_set_ops(kmv_hashes(a_docs, k=512), kmv_hashes(b_docs, k=512), k=512)
+    r = est.collect()[0]
+    assert abs(r.intersection_est - 1000) / 1000 < 0.5  # k=512 of 3k/4k
+    assert abs(r.union_est - 6000) / 6000 < 0.25
+    # degenerate: tiny sets fully retained -> exact
+    sa = spark.createDataFrame([("x y z",)], "text string")
+    sb = spark.createDataFrame([("y z w",)], "text string")
+    d = theta_set_ops(kmv_hashes(sa, k=512), kmv_hashes(sb, k=512), k=512).collect()[0]
+    assert d.intersection_est == 2.0 and d.union_est == 4.0

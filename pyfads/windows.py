@@ -927,3 +927,63 @@ def event_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", epoch_ms(ev, "ts").alias("ts_ms")
     )
     return event_trigrams(base)
+
+
+_SESSION_OUTLIERS_SQL = f"""
+WITH tagged AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sess AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM tagged
+), s AS (
+  SELECT user_id, session_seq,
+         CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+), med AS (SELECT quantile_cont(duration_ms, 0.5) AS med_ms FROM s),
+dev AS (
+  SELECT s.*, abs(s.duration_ms - med.med_ms) AS adev, med.med_ms
+  FROM s, med
+),
+mad AS (SELECT quantile_cont(adev, 0.5) AS mad_ms FROM dev)
+SELECT d.user_id, d.session_seq, d.duration_ms, d.n_events,
+       d.med_ms, mad.mad_ms
+FROM dev d, mad
+WHERE d.adev > '4.4478'::DOUBLE * mad.mad_ms
+"""
+
+
+@query("session_outliers", oracle=_SESSION_OUTLIERS_SQL)
+def session_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalously long/short user sessions by the median/MAD rule over
+    integer session durations (composition: sessionize -> per-session
+    span -> robust threshold, same 3*1.4826 consistency constant as
+    robust_outliers).  Two percentile aggs over the session frame, tiny
+    1-row med/MAD frames broadcast back — sessions never reshuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", epoch_ms(ev, "ts").alias("ts_ms"))
+    sess = sessionize(base, ["user_id"], "ts_ms", _GAP_MS, tiebreak_cols=["event_id"])
+    s = sess.groupBy("user_id", "session_seq").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("duration_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    med = s.agg(F.percentile("duration_ms", F.lit(0.5)).alias("med_ms"))
+    dev = s.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("duration_ms") - F.col("med_ms"))
+    )
+    mad = dev.agg(F.percentile("adev", F.lit(0.5)).alias("mad_ms"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("adev") > F.lit(4.4478) * F.col("mad_ms"))
+        .select(
+            "user_id", "session_seq", "duration_ms", "n_events", "med_ms", "mad_ms"
+        )
+    )

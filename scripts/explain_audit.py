@@ -46,6 +46,7 @@ EXPECTED_BNLJ = {
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
     "hdr_hourly_quantiles",  # same class: 2-row literal percentile frame inside hdr_quantiles
     "sketch_theta_setops",  # <=k-row sketch frames + 1-row theta/summary frames, all bounded crossJoins
+    "session_outliers",  # 1-row med/MAD frames cross-joined back (robust_outliers class)
     # Q11/Q15 flavors: the scalar-subquery total/max is a 1-row broadcast
     # frame cross-joined back (the canonical decorrelation) — bounded at
     # any scale, the probe side streams
@@ -77,6 +78,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames
+    "session_outliers",  # keyless med/MAD percentile aggs, <= 1 partial row per task
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task
     "g3_cluster_ttl",

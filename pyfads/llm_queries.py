@@ -2,9 +2,9 @@
 text analysis, deduplication, similarity search, multimodal plumbing.
 
 These extend the reference's capability surface (it has none of these) per
-the build brief; each operator is registered with a bit-identical DuckDB
-oracle except ``ann_lsh_topk`` (numpy random hyperplanes — rows-only check;
-``ann_cosine_topk`` is its fully-oracled exact twin).
+the build brief; every operator here is registered with a bit-identical
+DuckDB oracle (``ann_lsh_topk`` included since r4 — its hyperplanes are
+deterministic literals shared with the SQL twin; see COVERAGE.md).
 
 Oracle-parity rules used throughout:
 - shared hashing is ``md5_hash60`` (first 15 hex chars of md5, base-16) —

@@ -626,9 +626,7 @@ def kmv_hashes(
         .select(md5_hash60(F.col("__tok"), seed).alias("h"))
         .distinct()
     )
-    w = Window.orderBy("h")
     # global top-k via orderBy().limit() -> TakeOrdered (no global sort)
-    del w
     return hashes.orderBy("h").limit(k)
 
 

@@ -5,19 +5,30 @@ Drop-in for `TransactionGeneralizationJob.main`
 the reference wires — throttled gz CSV source, line parse with START/END
 time swap, arrival enrichment, throughput logging, the stateful FADS
 generalizer (defaults k=10, buffer=30, reuse 60000 ms, QIDs {0,1,5} =
-rideId/taxiId/endTime, pid=rideId), parquet sink — composed as ONE
+rideId/taxiId/endTime, pid=auto), parquet sink — composed as ONE
 Structured Streaming query (the composed form is parity-tested row-for-row
 against the pure-Python oracle in tests/test_fads_stream.py).
 
 Usage:
     python -m pyfads.taxi_job INPUT_DIR OUTPUT_DIR \
         [--k 10] [--buffer 30] [--reuse-ms 60000] \
-        [--qids rideId,taxiId,endTime] [--pid rideId] \
+        [--qids rideId,taxiId,endTime] [--pid auto] \
         [--checkpoint DIR] [--cpus 4]
 
 INPUT_DIR holds nycTaxiRides-format .gz (or plain) CSV files; the query
 drains everything present (availableNow) and exits — run it again to pick
 up new files (state restores from the checkpoint).
+
+``--pid auto`` (the default) synthesizes a globally unique row key
+``concat(rideId, '#', eventKind)``: real nycTaxiRides input emits a START
+*and* an END event per rideId (NYCTaxiRideSource.java emits both halves),
+so a bare ``--pid rideId`` would trip the streaming pending-store's
+uniqueness check on the first batch containing both halves of a ride.
+The key is content-derived (stable across micro-batch replays and
+checkpoint restarts, unlike ``monotonically_increasing_id`` whose
+per-partition counters reset each batch) and rideId stays available as a
+passthrough column.  Pass an explicit column name to key on it directly
+(it must then be globally unique across the whole stream).
 """
 
 from __future__ import annotations
@@ -25,6 +36,55 @@ from __future__ import annotations
 import argparse
 import sys
 import tempfile
+import time
+
+AUTO_PID_COL = "__pid"
+
+
+def with_auto_pid(parsed):
+    """Add the synthesized unique row key ``__pid = rideId#START|END``.
+
+    nycTaxiRides emits exactly one START and one END per rideId
+    (NYCTaxiRideSource.java), so the pair is unique; being content-derived
+    it is stable across micro-batch replays and checkpoint restarts
+    (unlike ``monotonically_increasing_id``, whose per-partition counters
+    reset each micro-batch and collide across batches)."""
+    from pyspark.sql import functions as F
+
+    kind = F.when(F.col("isStart"), F.lit("START")).otherwise(F.lit("END"))
+    return parsed.withColumn(
+        AUTO_PID_COL, F.concat_ws("#", F.col("rideId"), kind)
+    )
+
+
+def drain(q, sleep_s: float = 2.0) -> None:
+    """Block until the file source is drained, surfacing query failure.
+
+    With a ProcessingTimeTimeout armed, the query schedules state-cleanup
+    batches forever, so availableNow/processAllAvailable never terminate
+    (see tests/test_fads_stream.py).  Drain detection must watch the INPUT
+    side, not the sink: FADS buffers rows in state, so early micro-batches
+    can release nothing while ingest files are still queued — a sink-count
+    heuristic would stop early.  A file source with all files consumed
+    reports numInputRows == 0 on every subsequent (cleanup) batch, so:
+    drain until three consecutive completed batches read zero input rows.
+
+    If the query dies (e.g. a poison line in strict parse mode — the
+    documented reference-parity kill behavior) no further progress events
+    arrive; re-raise its exception instead of polling forever."""
+    seen: dict[int, int] = {}  # batchId -> numInputRows
+    while True:
+        if not q.isActive:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            return  # stopped cleanly from outside
+        for pr in q.recentProgress:
+            seen[pr["batchId"]] = int(pr["numInputRows"])
+        done = sorted(seen)
+        if len(done) >= 3 and all(seen[b] == 0 for b in done[-3:]):
+            return
+        time.sleep(sleep_s)
 
 
 def main(argv: "list[str] | None" = None) -> int:
@@ -37,7 +97,7 @@ def main(argv: "list[str] | None" = None) -> int:
     ap.add_argument("--buffer", type=int, default=30)
     ap.add_argument("--reuse-ms", type=int, default=60_000)
     ap.add_argument("--qids", default="rideId,taxiId,endTime")
-    ap.add_argument("--pid", default="rideId")
+    ap.add_argument("--pid", default="auto")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=4)
     args = ap.parse_args(argv)
@@ -62,13 +122,15 @@ def main(argv: "list[str] | None" = None) -> int:
         buffer_rows=args.buffer,
         reuse_ms=args.reuse_ms,
         qid_cols=tuple(args.qids.split(",")),
-        pid_col=args.pid,
+        pid_col=AUTO_PID_COL if args.pid == "auto" else args.pid,
         arrival_col="arrival_ms",
     )
     ckpt = args.checkpoint or tempfile.mkdtemp(prefix="pyfads_taxi_ckpt_")
 
     raw = spark.readStream.option("maxFilesPerTrigger", 1).text(args.input_dir)
     parsed = parse_taxi_lines(raw)  # P2: START/END dispatch, empty -> 0.0
+    if args.pid == "auto":
+        parsed = with_auto_pid(parsed)  # see module docstring
     enriched = parsed.withColumn("arrival_ms", F.col("startTime"))  # P4
     listener = ThroughputListener("TaxiJob")  # P5
     spark.streams.addListener(listener)
@@ -81,17 +143,6 @@ def main(argv: "list[str] | None" = None) -> int:
         .outputMode("append")
         .start()
     )
-    # With a ProcessingTimeTimeout armed, the query schedules state-cleanup
-    # batches forever, so availableNow/processAllAvailable never terminate
-    # (see tests/test_fads_stream.py).  Drain
-    # detection must watch the INPUT side, not the sink: FADS buffers rows
-    # in state, so early micro-batches can release nothing while ingest
-    # files are still queued — a sink-count-stability heuristic would stop
-    # early.  A file source with all files consumed reports
-    # numInputRows == 0 on every subsequent (cleanup) batch, so: drain
-    # until several consecutive completed batches read zero input rows.
-    import time
-
     from pyfads.schema import fads_output_schema
 
     out_schema = fads_output_schema(enriched.schema, cfg)
@@ -102,14 +153,7 @@ def main(argv: "list[str] | None" = None) -> int:
         except Exception:
             return 0
 
-    seen: dict[int, int] = {}  # batchId -> numInputRows
-    while True:
-        for pr in q.recentProgress:
-            seen[pr["batchId"]] = int(pr["numInputRows"])
-        done = sorted(seen)
-        if len(done) >= 3 and all(seen[b] == 0 for b in done[-3:]):
-            break
-        time.sleep(2)
+    drain(q)
     # let any in-flight (state-cleanup) micro-batch finish before stopping —
     # stopping mid-commit logs a noisy CANNOT_WRITE_STATE_STORE error
     deadline = time.time() + 30

@@ -669,6 +669,11 @@ def bm25_batch(
     carries O(k * |Q| * tasks) rows.  Corpus scans: exactly one,
     regardless of |Q| (vs |Q| scans for repeated bm25_topk calls).
     """
+    if not queries:
+        raise ValueError("bm25_batch: queries dict must be non-empty")
+    empty = sorted(qid for qid, ts in queries.items() if not ts)
+    if empty:
+        raise ValueError(f"bm25_batch: empty term list for queries {empty}")
     df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     all_terms = sorted({t for ts in queries.values() for t in ts})

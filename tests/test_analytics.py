@@ -708,6 +708,20 @@ def test_bm25_batch_matches_single_query_runs(spark):
         assert got == single, qid
 
 
+def test_bm25_batch_rejects_empty_inputs(spark):
+    """ADVICE r6: an empty queries dict or an empty term list must raise a
+    clear ValueError up front, not an opaque IndexError from terms[0]."""
+    import pytest
+
+    from pyfads.text import bm25_batch
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_batch(df, {})
+    with pytest.raises(ValueError, match="empty term list.*qb"):
+        bm25_batch(df, {"qa": ["a"], "qb": []})
+
+
 def test_source_lang_gini_known_values(spark):
     """Gini impurity sanity: a single-language source scores 0; a
     perfectly 50/50 source scores exactly 500000 ppm."""

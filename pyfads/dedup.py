@@ -41,6 +41,8 @@ __all__ = [
     "incremental_dedup",
     "write_signature_store",
     "read_signature_store",
+    "exact_substring_spans",
+    "cdc_duplicate_chunks",
 ]
 
 
@@ -800,5 +802,177 @@ def prefix_jaccard_pairs(
             (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
                 "jaccard"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (ExactSubstr class)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame, L: int = 40, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ExactSubstr-class duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the merged character spans covered by length-``L``
+    substrings that occur more than once in the corpus — the verbatim-copy
+    case MinHash/SimHash/PPJoin miss (a long quoted passage embedded in an
+    otherwise-different document).
+
+    Spark shape (no suffix array needed; the suffix array is a single-node
+    data structure, this is its shuffle-native equivalent):
+
+    1. explode each doc into stride-1 length-L char shingles ``(pos, h)``
+       — ``h`` is the shared 60-bit md5 so the wide shuffle carries 8-byte
+       keys, never text;
+    2. one hash-partitioned window count per shingle hash; keep
+       occurrences whose corpus frequency >= 2 (Lee et al.'s "occurs more
+       than once in the training set");
+    3. per-doc gaps-and-islands merge of the overlapping/adjacent
+       ``[pos, pos+L-1]`` spans (all spans are length L and arrive sorted
+       by pos, so a lag() suffices — no running-max needed).
+
+    Returns one row per doc with any duplicated coverage:
+    ``(doc_id, n_spans, dup_chars, n_chars, dup_ppm)`` with integer ppm
+    (``dup_chars * 1e6 div n_chars`` — cross-engine exact).
+
+    100-TB note: stride-1 shingling amplifies the shuffle ~L x corpus —
+    the exactness price, same order as a suffix array's O(n) positions.
+    The scale mitigation is content-defined chunking
+    (:func:`cdc_duplicate_chunks`): alignment-robust at ~1/m the shuffle
+    rows, catching only spans longer than the expected chunk size.
+    """
+    if L < 2:
+        raise ValueError(f"exact_substring_spans: L must be >= 2, got {L}")
+    d = df.select(id_col, text_col, F.length(text_col).alias("n_chars")).filter(
+        F.col("n_chars") >= L
+    )
+    sh = d.select(
+        id_col,
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars") - F.lit(L) + F.lit(1))
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "n_chars",
+        "pos",
+        md5_hash60(F.expr(f"substring({text_col}, pos, {L})"), "xsub").alias("h"),
+    )
+    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    occ = sh.withColumn("c", freq).filter(F.col("c") >= 2).drop("c", "h")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    brk = occ.withColumn(
+        "b",
+        F.when(
+            F.lag("pos").over(wdoc).isNull()
+            | (F.col("pos") > F.lag("pos").over(wdoc) + F.lit(L)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "isl",
+        F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "isl").agg(
+        F.first("n_chars").alias("n_chars"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(L) - F.lit(1)).alias("e"),
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("dup_chars"),
+            F.first("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
+        )
+    )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    window: int = 16,
+    modulus: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking duplicate detection — the 100-TB-shaped
+    sibling of :func:`exact_substring_spans` (the stride/offset-robust
+    trick behind rsync/LBFS chunking and CDC dedup generally): cut every
+    document at positions where the rolling hash of the trailing
+    ``window`` chars is ``== 0 (mod modulus)``.  Cut points depend only on
+    LOCAL content, so two copies of a long passage embedded at *different
+    offsets* in different documents produce the same interior chunks —
+    no alignment problem, and only ~``n/modulus`` chunk rows reach the
+    shuffle (vs ``n`` stride-1 shingle rows).
+
+    A chunk whose full text occurs >= 2 times corpus-wide is duplicated.
+    Returns per doc: ``(doc_id, n_chunks, n_dup_chunks, dup_chars,
+    n_chars, dup_ppm)`` (integer ppm).  Docs shorter than ``window`` are
+    a single chunk.  Detection granularity: verbatim regions shorter than
+    the expected chunk length (~``modulus`` chars) are missed — that is
+    the explicit recall-for-shuffle trade documented in SCALE.md.
+    """
+    d = df.select(id_col, text_col, F.length(text_col).alias("n_chars")).filter(
+        F.col("n_chars") >= 1
+    )
+    # candidate cut positions: window <= i < n (i == n adds nothing — the
+    # doc end is always a boundary); the rolling hash is the shared 60-bit
+    # md5 of the trailing `window` chars so DuckDB computes the same cuts
+    cuts = (
+        d.filter(F.col("n_chars") > window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(window), F.col("n_chars") - F.lit(1))
+            ).alias("bp"),
+            F.col(text_col),
+        )
+        .filter(
+            md5_hash60(
+                F.expr(f"substring({text_col}, bp - {window} + 1, {window})"),
+                "cdc",
+            )
+            % modulus
+            == 0
+        )
+        .select(id_col, "bp")
+    )
+    ends = cuts.unionByName(
+        d.select(id_col, F.col("n_chars").alias("bp"))
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("bp")
+    chunks = (
+        ends.withColumn(
+            "start", F.coalesce(F.lag("bp").over(wdoc) + F.lit(1), F.lit(1))
+        )
+        .join(d, id_col)
+        .select(
+            id_col,
+            "n_chars",
+            (F.col("bp") - F.col("start") + F.lit(1)).alias("clen"),
+            md5_hash60(
+                F.expr(f"substring({text_col}, start, bp - start + 1)"), "cchunk"
+            ).alias("ch"),
+        )
+    )
+    freq = F.count(F.lit(1)).over(Window.partitionBy("ch"))
+    marked = chunks.withColumn("dup", (freq >= 2).cast("long"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("dup").cast("long").alias("n_dup_chunks"),
+            F.sum(F.col("dup") * F.col("clen")).cast("long").alias("dup_chars"),
+            F.first("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
         )
     )

@@ -2018,3 +2018,121 @@ def dedup_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wd") * (F.col("wd") - 1) / 2).cast("long")
         ).cast("long").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (ExactSubstr class; Lee et al. 2022) — r7
+# ---------------------------------------------------------------------------
+
+_XSUB_L = 40
+
+_EXACT_SUBSTRING_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+           WHERE length(text) >= {_XSUB_L}),
+sh AS (
+  SELECT doc_id, n_chars, unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos, text
+  FROM d
+),
+sh2 AS (
+  SELECT doc_id, n_chars, pos,
+         {{h}} AS h
+  FROM sh
+),
+f AS (SELECT doc_id, n_chars, pos, count(*) OVER (PARTITION BY h) AS c FROM sh2),
+occ AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2),
+brk AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
+              THEN 1 ELSE 0 END AS b
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, n_chars, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars, isl,
+         min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+       CAST(any_value(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(e - s + 1) * 1000000 // any_value(n_chars) AS BIGINT) AS dup_ppm
+FROM spans GROUP BY doc_id
+""".format(
+    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+)
+
+
+@query("dedup_exact_substring", oracle=_EXACT_SUBSTRING_SQL)
+def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-class substring dedup (Lee et al. 2022): per-doc merged
+    char spans covered by length-40 substrings occurring >= 2 times
+    corpus-wide — catches long verbatim passages embedded in
+    otherwise-different documents, which whole-doc MinHash/SimHash/PPJoin
+    miss.  See :func:`pyfads.dedup.exact_substring_spans` for the
+    shuffle-native suffix-array-equivalent shape and the 100-TB notes."""
+    return D.exact_substring_spans(_docs(spark, sf_dir), L=_XSUB_L)
+
+
+_CDC_W, _CDC_M = 16, 64
+
+_CDC_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+           WHERE length(text) >= 1),
+cand AS (
+  SELECT doc_id, unnest(generate_series({_CDC_W}, n_chars - 1)) AS bp, text
+  FROM d WHERE n_chars > {_CDC_W}
+),
+kept AS (
+  SELECT doc_id, bp FROM cand
+  WHERE {{hcut}} % {_CDC_M} = 0
+),
+ends AS (
+  SELECT doc_id, bp FROM kept
+  UNION ALL
+  SELECT doc_id, n_chars AS bp FROM d
+),
+bounds AS (
+  SELECT doc_id, bp,
+         coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0) + 1 AS start
+  FROM ends
+),
+ch AS (
+  SELECT b.doc_id, d.n_chars, b.bp - b.start + 1 AS clen,
+         {{hchunk}} AS chash
+  FROM bounds b JOIN d USING (doc_id)
+),
+mk AS (
+  SELECT doc_id, n_chars, clen,
+         CASE WHEN count(*) OVER (PARTITION BY chash) >= 2 THEN 1 ELSE 0 END AS dup
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(dup * clen) AS BIGINT) AS dup_chars,
+       CAST(any_value(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(dup * clen) * 1000000 // any_value(n_chars) AS BIGINT) AS dup_ppm
+FROM mk GROUP BY doc_id
+""".format(
+    hcut=X.md5_hash60_sql("cdc", f"substr(text, bp - {_CDC_W} + 1, {_CDC_W})"),
+    hchunk=X.md5_hash60_sql("cchunk", "substr(d.text, b.start, b.bp - b.start + 1)"),
+)
+
+
+@query("dedup_substring_cdc", oracle=_CDC_SQL)
+def dedup_substring_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplicate report: rolling-hash cut points
+    (window 16, modulus 64) make chunk boundaries offset-independent, so
+    verbatim regions shared at DIFFERENT positions dedup without stride-1
+    shingling — ~1/64 the shuffle rows of dedup_exact_substring, the
+    100-TB substring-dedup shape.  See
+    :func:`pyfads.dedup.cdc_duplicate_chunks`."""
+    return D.cdc_duplicate_chunks(
+        _docs(spark, sf_dir), window=_CDC_W, modulus=_CDC_M
+    )

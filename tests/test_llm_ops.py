@@ -1267,3 +1267,100 @@ def test_pagerank_weighted_shifts_mass(spark):
     }
     assert wgt[1] > wgt[3]  # heavy edge pulls mass toward a
     assert wgt[2] == max(wgt.values())  # the hub still leads
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (ExactSubstr class) — r7
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_spans_planted_verbatim(spark):
+    """Two docs share a planted 60-char verbatim passage at DIFFERENT
+    offsets inside otherwise-unique text; the detector must report exactly
+    the planted span (60 chars, one merged island) in each, and nothing
+    for the unrelated doc."""
+    from pyfads.dedup import exact_substring_spans
+
+    planted = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(planted) == 60
+    # unique fillers (no 40-gram of a filler repeats anywhere)
+    fill_a = " ".join(f"alpha{i:03d}" for i in range(12))
+    fill_b = " ".join(f"bravo{i:03d}" for i in range(25))
+    fill_c = " ".join(f"zulu{i:03d}" for i in range(40))
+    doc_a = fill_a + planted + fill_a.upper()
+    doc_b = fill_b + planted  # different offset than in doc_a
+    rows = [(1, doc_a), (2, doc_b), (3, fill_c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars, r.n_chars)
+        for r in exact_substring_spans(df, L=40).collect()
+    }
+    assert set(got) == {1, 2}, got
+    assert got[1] == (1, 60, len(doc_a))
+    assert got[2] == (1, 60, len(doc_b))
+
+
+def test_exact_substring_spans_within_doc_repeat_counts(spark):
+    """Lee et al. semantics: 'occurs more than once in the corpus' includes
+    a repeat WITHIN one document — both occurrences are duplicated spans."""
+    from pyfads.dedup import exact_substring_spans
+
+    rep = "x" * 0 + "one two three four five six seven eight nine ten"  # 49 chars
+    fill = " ".join(f"mid{i:03d}" for i in range(20))
+    doc = rep + fill + rep
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    [r] = exact_substring_spans(df, L=40).collect()
+    assert r.doc_id == 7
+    assert r.n_spans == 2
+    assert r.dup_chars == 2 * len(rep)
+
+
+def test_exact_substring_spans_rejects_bad_L(spark):
+    import pytest
+
+    from pyfads.dedup import exact_substring_spans
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="L must be"):
+        exact_substring_spans(df, L=1)
+
+
+def test_cdc_duplicate_chunks_offset_robust(spark):
+    """The CDC selling point: a long passage shared at DIFFERENT offsets
+    still produces identical interior chunks (cut points are content-local),
+    so both docs report duplicated coverage; a doc without shared content
+    reports zero."""
+    from pyfads.dedup import cdc_duplicate_chunks
+
+    shared = " ".join(f"shared{i:04d}" for i in range(60))  # ~660 chars
+    pre_a = " ".join(f"alpha{i:03d}" for i in range(5))
+    pre_b = " ".join(f"bravo{i:03d}" for i in range(17))  # different offset
+    doc_a, doc_b = pre_a + " " + shared, pre_b + " " + shared
+    doc_c = " ".join(f"zulu{i:03d}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_duplicate_chunks(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_dup_chunks >= 1 and got[2].n_dup_chunks >= 1, (
+        got[1], got[2],
+    )
+    assert got[1].dup_chars == got[2].dup_chars > 0
+    assert got[3].n_dup_chunks == 0 and got[3].dup_chars == 0
+    # chunk accounting is complete: every doc's chunks tile its text
+    for r in got.values():
+        assert r.n_chunks >= 1 and r.n_chars == len(
+            {1: doc_a, 2: doc_b, 3: doc_c}[r.doc_id]
+        )
+
+
+def test_cdc_short_doc_is_single_chunk(spark):
+    from pyfads.dedup import cdc_duplicate_chunks
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_duplicate_chunks(df).collect()}
+    # two identical short docs: one chunk each, both duplicated
+    assert got[1].n_chunks == 1 and got[1].n_dup_chunks == 1
+    assert got[1].dup_chars == 4 and got[1].dup_ppm == 1_000_000

@@ -2136,3 +2136,39 @@ def dedup_substring_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cdc_duplicate_chunks(
         _docs(spark, sf_dir), window=_CDC_W, modulus=_CDC_M
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (r7) — contrastive/retriever training data
+# ---------------------------------------------------------------------------
+
+_HARD_NEG_SQL = f"""
+WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0')} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+         ({_dot_sql('q', 'c')}) / ({_norm_sql('q')} * {_norm_sql('c')}) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT q_id, q_label, neighbor_id, neighbor_label, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+
+@query("hard_negatives", oracle=_HARD_NEG_SQL)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the embedding space: per anchor, the 10
+    most-similar vectors with a DIFFERENT label — the near-misses
+    contrastive/retriever training pairs with (label-mismatch predicate
+    inside the join, so the top-k ranks only true negatives).  See
+    :func:`pyfads.similarity.hard_negatives`."""
+    embs = _embs(spark, sf_dir)
+    return S.hard_negatives(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10
+    )

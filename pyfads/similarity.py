@@ -41,6 +41,7 @@ __all__ = [
     "dot_chain",
     "dot_expr",
     "norm_expr",
+    "hard_negatives",
     "drop_zero_norm",
     "cosine_topk",
     "ann_lsh_topk",
@@ -161,6 +162,57 @@ def cosine_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space hard-negative mining: for each anchor, the top-k
+    most-cosine-similar vectors with a DIFFERENT label — the standard
+    contrastive/retriever training-data op (the near-misses that teach the
+    model the decision boundary; random negatives are too easy).
+
+    Same shape as :func:`cosine_topk` — anchors broadcast, one candidate
+    scan, WindowGroupLimit top-k — with the label-mismatch predicate INSIDE
+    the join condition so the per-anchor top-k ranks only true negatives
+    (filtering after ranking would silently return fewer than k)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).cast("long").alias("q_label"),
+        )
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+        .filter(F.col("q_norm") > 0)
+    )
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).cast("long").alias("neighbor_label"),
+        )
+        .withColumn("c_norm", norm_expr("c_vec", dim))
+        .filter(F.col("c_norm") > 0)
+    )
+    pairs = q.join(
+        c,
+        (F.col("q_id") != F.col("neighbor_id"))
+        & (F.col("q_label") != F.col("neighbor_label")),
+    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "q_label", "neighbor_id", "neighbor_label", "cosine", "rank")
     )
 
 

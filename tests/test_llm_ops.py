@@ -1364,3 +1364,29 @@ def test_cdc_short_doc_is_single_chunk(spark):
     # two identical short docs: one chunk each, both duplicated
     assert got[1].n_chunks == 1 and got[1].n_dup_chunks == 1
     assert got[1].dup_chars == 4 and got[1].dup_ppm == 1_000_000
+
+
+def test_hard_negatives_skips_same_label_near_miss(spark):
+    """The anchor's NEAREST vector shares its label, so it must be skipped;
+    the top hard negative is the best different-label vector. Filtering
+    after ranking would get this wrong (the same-label hit would consume a
+    rank slot)."""
+    from pyfads.similarity import hard_negatives
+
+    rows = [
+        # (vec_id, embedding, label): anchor 0 points along +x
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.14, 0.0, 0.0], 1),   # nearest, but same label
+        (2, [0.9, 0.43, 0.0, 0.0], 2),    # best true negative
+        (3, [0.0, 1.0, 0.0, 0.0], 2),
+        (4, [-1.0, 0.0, 0.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), dim=4, k=2
+    ).collect()
+    ranked = [(r.neighbor_id, r.neighbor_label) for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked == [(2, 2), (3, 2)]
+    assert all(r.q_label == 1 and r.neighbor_label != 1 for r in got)

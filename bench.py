@@ -49,6 +49,33 @@ def _converged(reps: "list[float]") -> bool:
     return second <= fastest * 1.2
 
 
+# The round driver tail-captures only ~2000 chars of stdout and parses the
+# last JSON line found there; BENCH_r04 recorded parsed:null when the full
+# per-query dict outgrew that at 97 queries.  Hard ceiling with headroom:
+LINE_BUDGET = 1700
+
+
+def compact_line(
+    summary: dict, timings: "dict[str, float]", detail_name: str,
+    budget: int = LINE_BUDGET,
+) -> str:
+    """The single stdout JSON line: required schema + the slowest queries
+    that fit in ``budget`` chars, the rest summarized by ``queries_omitted``
+    + a pointer to the detail file.  Adaptive: however large the registry
+    grows, the emitted line never exceeds ``budget`` + the omitted-count
+    suffix (pinned by tests/test_sql_surface.py)."""
+    out = dict(summary)
+    out["detail"] = detail_name
+    out["queries"] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        out["queries"][name] = timings[name]
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out["queries"][name]
+            break
+    out["queries_omitted"] = len(timings) - len(out["queries"])
+    return json.dumps(out, separators=(",", ":"))
+
+
 def build_spark() -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -203,20 +230,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    # Final stdout line: required schema, trimmed so it stays well inside
-    # the driver's tail-capture window — slowest queries first, the rest
-    # summarized by count + pointer to BENCH_FULL.json.
-    out = dict(summary)
-    out["detail"] = detail_name
-    out["queries"] = {}
-    budget = 1700
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        out["queries"][name] = timings[name]
-        if len(json.dumps(out, separators=(",", ":"))) > budget:
-            del out["queries"][name]
-            break
-    out["queries_omitted"] = len(timings) - len(out["queries"])
-    print(json.dumps(out, separators=(",", ":")))
+    print(compact_line(summary, timings, detail_name))
     spark.stop()
 
 

@@ -66,6 +66,79 @@ def sessionize(
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    gap_ms: int,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize`: per-EVENT session sequence
+    labels on an unbounded stream via ``applyInPandasWithState``.
+
+    State per key is exactly two longs — ``(last_ts_ms, session_seq)`` —
+    so state size is independent of session length (the batch operator's
+    whole-history window becomes an O(1) carry).  Events inside each
+    micro-batch are sorted by ``(ts, tiebreaks)`` before labeling;
+    cross-batch order is the source's contract (a replayed backfill with
+    ordered chunks, or a watermark upstream that bounds disorder) — the
+    parity test replays ordered chunks and asserts label-for-label
+    equality with the batch operator.
+
+    Scale shape: one shuffle on ``key_cols`` per micro-batch (the stateful
+    exchange), identical key-partitioning to the batch WindowExec; no
+    timeout is armed, so keys never flush — pair with a TTL'd state store
+    or restart-from-batch for multi-month streams.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    order = [ts_ms_col] + (tiebreak_cols or [])
+    out_schema = T.StructType(
+        stream.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def handler(key, pdf_iter, state):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            order, kind="mergesort"
+        )
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        seqs = []
+        for t in pdf[ts_ms_col]:
+            t = int(t)
+            if last_ts is None or t - last_ts > gap_ms:
+                seq += 1
+            seqs.append(seq)
+            last_ts = t
+        pdf[out_col] = pd.array(seqs, dtype="int64")
+        state.update((int(last_ts), int(seq)))
+        yield pdf[out_cols]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_stats(
     sessions: DataFrame,
     key_cols: list[str],

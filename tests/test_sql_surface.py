@@ -105,3 +105,49 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     assert len(bad) == 2 and any("BROKEN" in b for b in bad)
     assert len(clean.collect()) + len(bad) == 4
     df.unpersist()
+
+
+def test_bench_stdout_line_stays_inside_driver_tail_capture():
+    """VERDICT r6 item 7: the driver tail-captures ~2000 chars of stdout;
+    the compact bench line must stay under 1800 chars no matter how large
+    the query registry grows (BENCH_r04 recorded parsed:null when the full
+    dict outgrew the window at 97 queries)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    summary = {
+        "metric": "fads_pipeline_wall_sec",
+        "value": 1.234,
+        "unit": "sec",
+        "sf": 0.1,
+        "rows": 100000,
+        "rows_per_sec": 81234.5,
+        "total_sec": 456.789,
+        "n_queries": 0,
+        "reps_cap": 6,
+    }
+
+    # the REAL registry's names (the case the driver hits every round)
+    from pyfads.queries import QUERIES
+
+    real = {name: 1.0 + i * 0.037 for i, name in enumerate(QUERIES)}
+    summary["n_queries"] = len(real)
+    line = bench.compact_line(summary, real, "BENCH_FULL.json")
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == len(real)
+    for k in ("metric", "value", "unit", "sf", "queries"):
+        assert k in parsed
+
+    # adversarial growth: 1000 long-named queries still fit
+    big = {f"extremely_long_query_name_number_{i:04d}": float(i) for i in range(1000)}
+    summary["n_queries"] = len(big)
+    line = bench.compact_line(summary, big, "BENCH_FULL.json")
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries_omitted"] > 0
+    # slowest-first priority: the single slowest query always makes the line
+    assert "extremely_long_query_name_number_0999" in parsed["queries"]

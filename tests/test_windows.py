@@ -572,3 +572,47 @@ def test_funnel_three_step_semantics(spark):
     assert out[40].funnel_level == 2 and out[40].step2_ms == 1200
     assert out[50].funnel_level == 3 and out[50].step2_ms == 1100
     assert set(out) == {10, 20, 30, 40, 50}  # one row per view, none lost
+
+
+def test_sessionize_stream_matches_batch_label_for_label(spark, event_files, tmp_path):
+    """VERDICT r6 item 6: the gap-based per-EVENT sessionize as a streaming
+    stateful operator — replaying the ordered chunks must reproduce the
+    batch operator's (event_id -> session_seq) labels exactly, including
+    sessions that SPAN micro-batch boundaries (the state carry)."""
+    from pyfads.io import epoch_ms
+    from pyfads.windows import sessionize_stream
+
+    gap = 30 * 60 * 1000
+    ev = read_table(spark, SF_DIR, "events")
+    batch_df = ev.withColumn("ts_ms", epoch_ms(ev, "ts"))
+    want = {
+        r.event_id: r.session_seq
+        for r in sessionize(
+            batch_df, ["user_id"], "ts_ms", gap, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+
+    schema = ev.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+    )
+    stream = raw.withColumn("ts_ms", epoch_ms(raw, "ts"))
+    labeled = sessionize_stream(
+        stream, ["user_id"], "ts_ms", gap, tiebreak_cols=["event_id"]
+    )
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_id: r.session_seq for r in spark.table("sess_stream").collect()
+    }
+    assert len(got) == len(want)
+    assert got == want

@@ -663,3 +663,90 @@ cand AS (
 ),
 {_cosine_rerank_sql(dim, k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE token counts (r7): golden literal table.  Training (bpe_train_merges)
+# is shared with the Spark operator — it is deterministic configuration,
+# like the ann_lsh hyperplane literals — but the ENCODER below is an
+# independent re-coding of the GPT-2 bpe() spec (rank-indexed scan) so the
+# oracle checks pyfads.text.bpe_piece_count's segmentation, not just the
+# Spark plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_pieces_independent(word: str, merges: "list[tuple[str, str]]") -> int:
+    parts = list(word)
+    rank_of = {m: r for r, m in enumerate(merges)}
+    while len(parts) > 1:
+        best = None  # (rank, position)
+        for i in range(len(parts) - 1):
+            r = rank_of.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            break
+        pair = merges[best[0]]
+        out, j = [], 0
+        while j < len(parts):
+            if j + 1 < len(parts) and (parts[j], parts[j + 1]) == pair:
+                out.append(parts[j] + parts[j + 1])
+                j += 2
+            else:
+                out.append(parts[j])
+                j += 1
+        parts = out
+    return len(parts)
+
+
+@functools.lru_cache(maxsize=None)
+def _bpe_counts_cached(sf_dir: str, n_merges: int, train_top_words: int) -> str:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyfads.text import bpe_train_merges
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{_table_path(sf_dir, 'documents')}'"
+    ).fetchall()
+    wc: "dict[str, int]" = {}
+    for _, text in rows:
+        if text is None:
+            continue
+        for w in text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    train = dict(
+        sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:train_top_words]
+    )
+    merges = bpe_train_merges(train, n_merges)
+    pieces = {w: _bpe_pieces_independent(w, merges) for w in wc}
+    out = {"doc_id": [], "n_words": [], "n_bpe_tokens": []}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        ws = text.split(" ")
+        out["doc_id"].append(int(doc_id))
+        out["n_words"].append(len(ws))
+        out["n_bpe_tokens"].append(sum(pieces[w] for w in ws))
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    tag = hashlib.md5(
+        f"{sf_dir}:{n_merges}:{train_top_words}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(GOLDEN_DIR, f"token_counts_bpe.{tag}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "n_bpe_tokens": pa.array(out["n_bpe_tokens"], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"SELECT doc_id, n_words, n_bpe_tokens FROM read_parquet('{path}')"
+
+
+def token_counts_bpe_oracle(n_merges: int = 200, train_top_words: int = 5000) -> str:
+    return _bpe_counts_cached(oracle_sf_dir(), n_merges, train_top_words)

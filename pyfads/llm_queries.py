@@ -2172,3 +2172,21 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(
         embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE token counts (r7) — corpus-trained merges, golden-table oracle
+# ---------------------------------------------------------------------------
+
+
+@query("token_counts_bpe", oracle=G.token_counts_bpe_oracle)
+def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL BPE token counts (200 corpus-trained merges): one
+    corpus scan into per-doc word counts, driver-side deterministic BPE
+    training over the bounded top-5000 word frequencies, and an encoder
+    UDF that runs once per DISTINCT word (broadcast back) — Python work is
+    O(|vocab|), never O(corpus).  Oracle = golden literal table from an
+    independently coded GPT-2-style encoder (pyfads.golden)."""
+    return X.bpe_token_counts(
+        _docs(spark, sf_dir), n_merges=200, train_top_words=5000
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
@@ -33,6 +34,9 @@ __all__ = [
     "top_ngrams",
     "hashed_classifier_score",
     "corpus_stats",
+    "bpe_train_merges",
+    "bpe_piece_count",
+    "bpe_token_counts",
     "LANG_MARKERS",
     "EN_STOPWORDS",
     "PII_PATTERNS",
@@ -738,4 +742,123 @@ def bm25_batch(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score_micros", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE token counting (r7) — upgrades the regex-approximate token_counts
+# ---------------------------------------------------------------------------
+
+
+def bpe_train_merges(
+    word_counts: "dict[str, int]", n_merges: int
+) -> "list[tuple[str, str]]":
+    """Deterministic BPE training (Sennrich et al. 2016) over a
+    word-frequency table: repeatedly merge the most frequent adjacent
+    symbol pair (ties -> lexicographically smallest pair), applying each
+    merge to all non-overlapping occurrences left-to-right.
+
+    BPE training needs only the DISTINCT-WORD frequency table, never the
+    corpus — that is what makes the Spark operator scale: one
+    map-side-combined word count, then this pure-Python loop on the
+    driver over a bounded top-K word sample (the same
+    bounded-training/broadcast-serving split as IVF codebooks)."""
+    vocab: "dict[tuple[str, ...], int]" = {
+        tuple(w): c for w, c in word_counts.items() if w
+    }
+    merges: "list[tuple[str, str]]" = []
+    for _ in range(n_merges):
+        pairs: "dict[tuple[str, str], int]" = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        vocab = {_merge_word(syms, best): c for syms, c in vocab.items()}
+    return merges
+
+
+def _merge_word(
+    syms: "tuple[str, ...]", pair: "tuple[str, str]"
+) -> "tuple[str, ...]":
+    """Merge all non-overlapping occurrences of ``pair`` left-to-right."""
+    out: "list[str]" = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_piece_count(word: str, ranks: "dict[tuple[str, str], int]") -> int:
+    """Number of BPE pieces for one word: iteratively merge the
+    lowest-rank pair present (all occurrences, left-to-right) until no
+    learned pair remains — the GPT-2 ``bpe()`` encode algorithm, which
+    reproduces the training-time segmentation."""
+    if not word:
+        return 0
+    syms: "tuple[str, ...]" = tuple(word)
+    while len(syms) > 1:
+        ranked = [
+            (ranks[p], p)
+            for p in set(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        syms = _merge_word(syms, min(ranked)[1])
+    return len(syms)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int = 200,
+    train_top_words: int = 5000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document REAL BPE token counts with a corpus-trained merge
+    table — the honest version of :func:`token_counts`'s ``n_bpe_ish``
+    regex estimate.
+
+    Scale shape (the part that matters at 100 TB): the corpus is scanned
+    once into per-doc word counts (map-side combined); training sees only
+    the top-``train_top_words`` distinct words by frequency (bounded
+    ``orderBy().limit().collect()``, like IVF codebook training); the
+    encoder UDF runs once per DISTINCT word — never per token occurrence —
+    and the resulting (word, pieces) table is broadcast back onto the
+    per-doc counts.  Python-row work is O(|vocab|), not O(corpus).
+    """
+    from pyspark.sql import types as T
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    per_doc = tok.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    word_tot = per_doc.groupBy("word").agg(F.sum("cnt").alias("wc"))
+    train = (
+        word_tot.orderBy(F.desc("wc"), "word").limit(train_top_words).collect()
+    )
+    merges = bpe_train_merges({r["word"]: r["wc"] for r in train}, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.LongType())
+    def n_pieces(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: bpe_piece_count(w, ranks)).astype("int64")
+
+    pieces = F.broadcast(word_tot.select("word", n_pieces("word").alias("pieces")))
+    return (
+        per_doc.join(pieces, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("pieces")).cast("long").alias("n_bpe_tokens"),
+        )
     )

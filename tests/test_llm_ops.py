@@ -1390,3 +1390,38 @@ def test_hard_negatives_skips_same_label_near_miss(spark):
     ranked = [(r.neighbor_id, r.neighbor_label) for r in sorted(got, key=lambda r: r.rank)]
     assert ranked == [(2, 2), (3, 2)]
     assert all(r.q_label == 1 and r.neighbor_label != 1 for r in got)
+
+
+def test_bpe_training_and_encoding_hand_checked():
+    """Textbook BPE on a tiny vocabulary: with 'ab' overwhelmingly frequent
+    the first merge is (a,b); encoding then segments via the learned ranks
+    (GPT-2 bpe() spec: lowest-rank pair first, all occurrences merged)."""
+    from pyfads.text import bpe_piece_count, bpe_train_merges
+
+    wc = {"abab": 10, "abc": 5, "bc": 3}
+    merges = bpe_train_merges(wc, n_merges=2)
+    # pair counts round 1: (a,b)=25, (b,a)=10, (b,c)=8 -> merge (a,b)
+    assert merges[0] == ("a", "b")
+    # round 2: words are (ab,ab)x10, (ab,c)x5, (b,c)x3 -> (ab,ab)=10 wins
+    assert merges[1] == ("ab", "ab")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_piece_count("abab", ranks) == 1     # ab+ab then abab
+    assert bpe_piece_count("abc", ranks) == 2      # ab, c
+    assert bpe_piece_count("ababab", ranks) == 2   # abab + ab (left-to-right)
+    assert bpe_piece_count("zzz", ranks) == 3      # no learned pairs
+    assert bpe_piece_count("", ranks) == 0
+
+
+def test_bpe_token_counts_distinct_word_economy(spark):
+    """bpe_token_counts totals: n_words is the whitespace token count and
+    n_bpe_tokens applies the trained merges per word occurrence."""
+    from pyfads.text import bpe_token_counts
+
+    rows = [(1, "abab abc abab"), (2, "abc bc bc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+           bpe_token_counts(df, n_merges=2, train_top_words=100).collect()}
+    # corpus counts: abab=3, abc=2, bc=2 -> merges: (a,b) [count 8] then
+    # (ab,ab) [3] -> pieces: abab=1, abc=2 (ab,c), bc=2 (b,c unlearned)
+    assert got[1] == (3, 1 + 2 + 1)
+    assert got[2] == (3, 2 + 2 + 2)

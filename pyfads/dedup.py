@@ -43,6 +43,7 @@ __all__ = [
     "read_signature_store",
     "exact_substring_spans",
     "cdc_duplicate_chunks",
+    "contamination_report",
 ]
 
 
@@ -846,10 +847,22 @@ def exact_substring_spans(
     """
     if L < 2:
         raise ValueError(f"exact_substring_spans: L must be >= 2, got {L}")
+    sh = _shingle_occurrences(df, L, text_col, id_col)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    occ = sh.withColumn("c", freq).filter(F.col("c") >= 2).drop("c", "h")
+    return _merge_occurrence_spans(occ, L, id_col, out_chars="dup_chars",
+                                   out_ppm="dup_ppm")
+
+
+def _shingle_occurrences(
+    df: DataFrame, L: int, text_col: str, id_col: str, seed: str = "xsub"
+) -> DataFrame:
+    """Stride-1 length-L char-shingle hash occurrences:
+    ``(id, n_chars, pos, h)`` — 8-byte hash keys, text never shuffled."""
     d = df.select(id_col, text_col, F.length(text_col).alias("n_chars")).filter(
         F.col("n_chars") >= L
     )
-    sh = d.select(
+    return d.select(
         id_col,
         "n_chars",
         F.explode(
@@ -860,10 +873,21 @@ def exact_substring_spans(
         id_col,
         "n_chars",
         "pos",
-        md5_hash60(F.expr(f"substring({text_col}, pos, {L})"), "xsub").alias("h"),
+        md5_hash60(F.expr(f"substring({text_col}, pos, {L})"), seed).alias("h"),
     )
-    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    occ = sh.withColumn("c", freq).filter(F.col("c") >= 2).drop("c", "h")
+
+
+def _merge_occurrence_spans(
+    occ: DataFrame,
+    L: int,
+    id_col: str,
+    out_chars: str,
+    out_ppm: str,
+) -> DataFrame:
+    """Gaps-and-islands merge of length-L spans at ``(id, pos)`` into one
+    row per doc: span count, covered chars, total chars, integer ppm.
+    All spans are length L and sorted by pos, so a lag() suffices (end is
+    monotone — no running max needed)."""
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     brk = occ.withColumn(
         "b",
@@ -886,11 +910,11 @@ def exact_substring_spans(
         spans.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("dup_chars"),
+            F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias(out_chars),
             F.first("n_chars").cast("long").alias("n_chars"),
         )
         .withColumn(
-            "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
+            out_ppm, F.expr(f"{out_chars} * 1000000 div n_chars").cast("long")
         )
     )
 
@@ -976,3 +1000,42 @@ def cdc_duplicate_chunks(
             "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    L: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination scan (the GPT-3-appendix / PaLM-style
+    n-gram overlap check): for each TRAINING document, the merged char
+    spans covered by length-``L`` substrings that also appear anywhere in
+    the EVAL set, plus how many distinct eval documents it collides with.
+    Docs with no overlap are absent — the clean corpus is the anti-join.
+
+    Scale shape: the eval side is benchmarks (KBs–MBs), so its distinct
+    ``(h, eval_id)`` shingle hashes BROADCAST; the 100-TB corpus is
+    scanned once into (doc, pos, h) occurrences and never shuffled on the
+    hash at all — the only wide exchange is the per-doc span merge, keyed
+    on doc_id.  Returns ``(doc_id, n_spans, contaminated_chars, n_chars,
+    contam_ppm, n_eval_docs)``.
+    """
+    if L < 2:
+        raise ValueError(f"contamination_report: L must be >= 2, got {L}")
+    ev = (
+        _shingle_occurrences(eval_df, L, text_col, id_col)
+        .select(F.col("h"), F.col(id_col).alias("__eval_id"))
+        .distinct()
+    )
+    co = _shingle_occurrences(corpus, L, text_col, id_col)
+    hits = co.join(F.broadcast(ev), "h")
+    occ = hits.select(id_col, "n_chars", "pos").distinct()
+    spans = _merge_occurrence_spans(
+        occ, L, id_col, out_chars="contaminated_chars", out_ppm="contam_ppm"
+    )
+    ev_counts = hits.groupBy(id_col).agg(
+        F.count_distinct("__eval_id").cast("long").alias("n_eval_docs")
+    )
+    return spans.join(ev_counts, id_col)

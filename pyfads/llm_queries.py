@@ -2190,3 +2190,78 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_token_counts(
         _docs(spark, sf_dir), n_merges=200, train_top_words=5000
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination (r7)
+# ---------------------------------------------------------------------------
+
+_DECON_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+           WHERE length(text) >= {_XSUB_L}),
+evd AS (SELECT * FROM d WHERE doc_id % 20 = 7),
+cod AS (SELECT * FROM d WHERE doc_id % 20 <> 7),
+evsh AS (
+  SELECT DISTINCT {{h}} AS h, doc_id AS eval_id
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+        FROM evd)
+),
+cosh AS (
+  SELECT doc_id, n_chars, pos, {{h}} AS h
+  FROM (SELECT doc_id, text, n_chars,
+               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+        FROM cod)
+),
+hits AS (SELECT c.doc_id, c.n_chars, c.pos, e.eval_id
+         FROM cosh c JOIN evsh e USING (h)),
+occ AS (SELECT DISTINCT doc_id, n_chars, pos FROM hits),
+brk AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
+              THEN 1 ELSE 0 END AS b
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, n_chars, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars, isl,
+         min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
+  FROM isl GROUP BY doc_id, isl
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS contaminated_chars,
+         CAST(any_value(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(e - s + 1) * 1000000 // any_value(n_chars) AS BIGINT) AS contam_ppm
+  FROM spans GROUP BY doc_id
+),
+evn AS (
+  SELECT doc_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+  FROM hits GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans, p.contaminated_chars, p.n_chars, p.contam_ppm,
+       e.n_eval_docs
+FROM per_doc p JOIN evn e USING (doc_id)
+""".format(
+    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+)
+
+
+@query("decontamination", oracle=_DECON_SQL)
+def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap scan: eval set = docs with ``doc_id % 20 == 7``
+    (a stand-in benchmark slice), corpus = the rest; flags every training
+    doc whose length-40 substrings also appear in the eval set, with the
+    merged contaminated spans and the count of eval docs hit.  Eval
+    shingle hashes broadcast — the corpus is never shuffled on the hash.
+    See :func:`pyfads.dedup.contamination_report`."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 20 == 7)
+    co = d.filter(F.col("doc_id") % 20 != 7)
+    return D.contamination_report(co, ev, L=_XSUB_L)

@@ -1425,3 +1425,28 @@ def test_bpe_token_counts_distinct_word_economy(spark):
     # (ab,ab) [3] -> pieces: abab=1, abc=2 (ab,c), bc=2 (b,c unlearned)
     assert got[1] == (3, 1 + 2 + 1)
     assert got[2] == (3, 2 + 2 + 2)
+
+
+def test_contamination_report_planted_eval_overlap(spark):
+    """A training doc embedding a 60-char passage from an eval doc is
+    flagged with exactly the planted span and the right eval-doc count; a
+    clean training doc is absent (the clean corpus is the anti-join)."""
+    from pyfads.dedup import contamination_report
+
+    passage = "the quick brown fox jumps over the lazy dog again and again!"
+    fill_t = " ".join(f"train{i:03d}" for i in range(12))
+    fill_c = " ".join(f"clean{i:03d}" for i in range(20))
+    eval_df = spark.createDataFrame(
+        [(100, "eval preamble " + passage), (101, "unrelated eval text only")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, fill_t + passage + fill_t.upper()), (2, fill_c)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_report(corpus, eval_df, L=40).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_spans == 1
+    assert r.contaminated_chars == len(passage)
+    assert r.n_eval_docs == 1

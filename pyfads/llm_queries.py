@@ -2265,3 +2265,81 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(F.col("doc_id") % 20 == 7)
     co = d.filter(F.col("doc_id") % 20 != 7)
     return D.contamination_report(co, ev, L=_XSUB_L)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency proxy + tokenizer fertility (r7)
+# ---------------------------------------------------------------------------
+
+_LM_RARITY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> concat_ws(' ', toks[i], toks[i + 1]))
+                ELSE [] END) AS g
+  FROM t
+),
+per_doc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY doc_id, g),
+corpus AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS cc FROM per_doc GROUP BY g),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c.cc <= 2 THEN p.cnt ELSE 0 END) AS BIGINT) AS n_rare
+  FROM per_doc p JOIN corpus c USING (g) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.n_rare, 0) AS n_rare,
+       CAST(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                 THEN a.n_rare * 1000000 // a.n_bigrams ELSE 0 END AS BIGINT)
+         AS rare_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("lm_bigram_rarity", oracle=_LM_RARITY_SQL)
+def lm_bigram_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy (CCNet-perplexity-filter stand-in, exact
+    integer arithmetic instead of ln()): per doc, the ppm of its bigram
+    occurrences whose corpus frequency is <= 2.  See
+    :func:`pyfads.text.lm_bigram_rarity`."""
+    return X.lm_bigram_rarity(_docs(spark, sf_dir))
+
+
+def _bpe_fertility_sql() -> str:
+    golden = G.token_counts_bpe_oracle()
+    return f"""
+WITH per_doc AS ({golden})
+SELECT d.source,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(p.n_bpe_tokens) * 1000 // sum(p.n_words) AS BIGINT)
+         AS fertility_milli
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("bpe_fertility_by_source", oracle=_bpe_fertility_sql)
+def bpe_fertility_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE pieces per word, milli-units) per corpus
+    source — the standard tokenizer-fit diagnostic (a source with high
+    fertility is poorly served by the merge table and inflates training
+    cost).  Composes token_counts_bpe with the source dimension."""
+    docs = _docs(spark, sf_dir)
+    counts = X.bpe_token_counts(docs, n_merges=200, train_top_words=5000)
+    return (
+        counts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("n_bpe_tokens * 1000 div n_words").cast("long"),
+        )
+    )

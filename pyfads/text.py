@@ -37,6 +37,7 @@ __all__ = [
     "bpe_train_merges",
     "bpe_piece_count",
     "bpe_token_counts",
+    "lm_bigram_rarity",
     "LANG_MARKERS",
     "EN_STOPWORDS",
     "PII_PATTERNS",
@@ -861,4 +862,60 @@ def bpe_token_counts(
             F.sum("cnt").cast("long").alias("n_words"),
             F.sum(F.col("cnt") * F.col("pieces")).cast("long").alias("n_bpe_tokens"),
         )
+    )
+
+
+def lm_bigram_rarity(
+    df: DataFrame,
+    rare_max_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM fluency proxy WITHOUT transcendentals: per document, the
+    fraction (integer ppm) of its word-bigram occurrences whose CORPUS
+    frequency is <= ``rare_max_count`` — the cross-engine-exact stand-in
+    for a KenLM perplexity filter (CCNet-style): disfluent/garbled text is
+    exactly text made of corpus-rare transitions.  (A true log-prob needs
+    ln(), which is not bit-reproducible across engines — see the BM25
+    odds-form precedent.)
+
+    Shape: one bigram explode -> per-(doc, gram) count (map-side combined)
+    -> global per-gram count -> equi-join back on the gram key -> per-doc
+    agg.  At 100 TB the gram table is the big side of an equi-join on an
+    8-byte hash; no broadcast of unbounded state.
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    corpus = per_doc.groupBy("g").agg(F.sum("cnt").cast("long").alias("cc"))
+    joined = per_doc.join(corpus, "g")
+    agg = joined.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("cc") <= rare_max_count, F.col("cnt")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_rare"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    r = F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        n.alias("n_bigrams"),
+        r.alias("n_rare"),
+        F.when(n > 0, F.expr("n_rare * 1000000 div n_bigrams"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rare_ppm"),
     )

@@ -1450,3 +1450,26 @@ def test_contamination_report_planted_eval_overlap(spark):
     assert r.n_spans == 1
     assert r.contaminated_chars == len(passage)
     assert r.n_eval_docs == 1
+
+
+def test_lm_bigram_rarity_flags_disfluent_doc(spark):
+    """A doc whose transitions all occur once in the corpus scores ~1e6 ppm;
+    a doc made of the corpus's common transitions scores 0; a doc with < 2
+    tokens comes back with zeros (left join)."""
+    from pyfads.text import lm_bigram_rarity
+
+    common = "a b"  # "a b" appears in 4 docs -> corpus count 4 > 2
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        # bigrams: "a b" (common) + "b x","x q","q z","z w" (4 rare)
+        (4, f"{common} x q z w"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_bigram_rarity(df).collect()}
+    assert got[1].rare_ppm == 0 and got[1].n_bigrams == 1
+    assert got[4].n_bigrams == 5 and got[4].n_rare == 4
+    assert got[4].rare_ppm == 4 * 1_000_000 // 5
+    assert got[5].n_bigrams == 0 and got[5].rare_ppm == 0

@@ -44,6 +44,7 @@ __all__ = [
     "exact_substring_spans",
     "cdc_duplicate_chunks",
     "contamination_report",
+    "exact_substring_scrub",
 ]
 
 
@@ -877,15 +878,10 @@ def _shingle_occurrences(
     )
 
 
-def _merge_occurrence_spans(
-    occ: DataFrame,
-    L: int,
-    id_col: str,
-    out_chars: str,
-    out_ppm: str,
-) -> DataFrame:
-    """Gaps-and-islands merge of length-L spans at ``(id, pos)`` into one
-    row per doc: span count, covered chars, total chars, integer ppm.
+
+def _occurrence_spans(occ: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Merged (gaps-and-islands) spans from length-L occurrences at
+    ``(id, pos)``: one row per maximal covered region ``(id, n_chars, s, e)``.
     All spans are length L and sorted by pos, so a lag() suffices (end is
     monotone — no running max needed)."""
     wdoc = Window.partitionBy(id_col).orderBy("pos")
@@ -901,11 +897,24 @@ def _merge_occurrence_spans(
         "isl",
         F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = isl.groupBy(id_col, "isl").agg(
+    return isl.groupBy(id_col, "isl").agg(
         F.first("n_chars").alias("n_chars"),
         F.min("pos").alias("s"),
         (F.max("pos") + F.lit(L) - F.lit(1)).alias("e"),
     )
+
+def _merge_occurrence_spans(
+    occ: DataFrame,
+    L: int,
+    id_col: str,
+    out_chars: str,
+    out_ppm: str,
+) -> DataFrame:
+    """Gaps-and-islands merge of length-L spans at ``(id, pos)`` into one
+    row per doc: span count, covered chars, total chars, integer ppm.
+    All spans are length L and sorted by pos, so a lag() suffices (end is
+    monotone — no running max needed)."""
+    spans = _occurrence_spans(occ, L, id_col)
     return (
         spans.groupBy(id_col)
         .agg(
@@ -1039,3 +1048,67 @@ def contamination_report(
         F.count_distinct("__eval_id").cast("long").alias("n_eval_docs")
     )
     return spans.join(ev_counts, id_col)
+
+
+def exact_substring_scrub(
+    df: DataFrame, L: int = 40, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The ACTION step of ExactSubstr dedup (Lee et al. 2022 keep-one
+    semantics): rewrite each document with its duplicated spans REMOVED,
+    keeping the corpus-canonical occurrence — the first ``(doc_id, pos)``
+    of each repeated length-``L`` substring survives, every other
+    occurrence's merged span is cut out.
+
+    Returns ALL docs: ``(doc_id, clean_md5, n_chars_clean, removed_chars)``
+    — the md5 keeps the driver comparison narrow while still pinning the
+    reconstructed text byte-for-byte.
+
+    Shape on top of :func:`exact_substring_spans`'s machinery: the
+    canonicity rank is one more window on the same hash partitioning
+    (``row_number`` over (h | doc, pos)); text reconstruction is a
+    per-span slice via ``lag(e)`` + an order-pinned ``array_sort`` fold —
+    no per-row Python, no collect.
+    """
+    if L < 2:
+        raise ValueError(f"exact_substring_scrub: L must be >= 2, got {L}")
+    sh = _shingle_occurrences(df, L, text_col, id_col)
+    wh = Window.partitionBy("h")
+    rn = F.row_number().over(wh.orderBy(id_col, "pos"))
+    freq = F.count(F.lit(1)).over(wh)
+    occ = (
+        sh.withColumn("c", freq)
+        .withColumn("rn", rn)
+        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
+        .select(id_col, "n_chars", "pos")
+    )
+    spans = _occurrence_spans(occ, L, id_col)
+    base = df.select(id_col, F.col(text_col).alias("__t"))
+    sp = spans.join(base, id_col)
+    wdoc = Window.partitionBy(id_col).orderBy("s")
+    prev_e = F.coalesce(F.lag("e").over(wdoc), F.lit(0))
+    sp = sp.withColumn(
+        "piece",
+        F.substring(F.col("__t"), prev_e + 1, F.col("s") - prev_e - 1),
+    )
+    per_doc = sp.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "piece"))).alias("parts"),
+        F.max("e").alias("last_e"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("removed_chars"),
+    )
+    res = df.select(id_col, F.col(text_col).alias("__t")).join(
+        per_doc, id_col, "left"
+    )
+    clean = F.when(F.col("parts").isNull(), F.col("__t")).otherwise(
+        F.concat(
+            F.array_join(F.transform(F.col("parts"), lambda x: x["piece"]), ""),
+            F.expr("substring(__t, last_e + 1, length(__t))"),
+        )
+    )
+    return res.select(
+        id_col,
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.coalesce(F.col("removed_chars"), F.lit(0)).cast("long").alias(
+            "removed_chars"
+        ),
+    )

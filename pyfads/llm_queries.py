@@ -2343,3 +2343,75 @@ def bpe_fertility_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_bpe_tokens * 1000 div n_words").cast("long"),
         )
     )
+
+
+_SCRUB_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+           WHERE length(text) >= {_XSUB_L}),
+sh2 AS (
+  SELECT doc_id, n_chars, pos, {{h}} AS h
+  FROM (SELECT doc_id, text, n_chars,
+               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+        FROM d)
+),
+f AS (
+  SELECT doc_id, n_chars, pos,
+         count(*) OVER (PARTITION BY h) AS c,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM sh2
+),
+occ AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2 AND rn > 1),
+brk AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
+              THEN 1 ELSE 0 END AS b
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, n_chars, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
+  FROM isl GROUP BY doc_id, isl
+),
+pieces AS (
+  SELECT s.doc_id, s.s, s.e,
+         substr(d.text,
+                coalesce(lag(s.e) OVER (PARTITION BY s.doc_id ORDER BY s.s), 0) + 1,
+                s.s - coalesce(lag(s.e) OVER (PARTITION BY s.doc_id ORDER BY s.s), 0) - 1)
+           AS piece
+  FROM spans s JOIN d USING (doc_id)
+),
+per_doc AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY s) AS head,
+         max(e) AS last_e,
+         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+  FROM pieces GROUP BY doc_id
+),
+res AS (
+  SELECT doc.doc_id,
+         CASE WHEN p.doc_id IS NULL THEN doc.text
+              ELSE p.head || substr(doc.text, p.last_e + 1) END AS clean,
+         coalesce(p.removed_chars, 0) AS removed_chars
+  FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       CAST(removed_chars AS BIGINT) AS removed_chars
+FROM res
+""".format(
+    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+)
+
+
+@query("dedup_substring_scrub", oracle=_SCRUB_SQL)
+def dedup_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr ACTION step (Lee et al. keep-one): every doc
+    rewritten with non-canonical duplicated spans removed; the first
+    (doc_id, pos) occurrence corpus-wide survives.  Output pins the
+    reconstructed text byte-for-byte via md5.  See
+    :func:`pyfads.dedup.exact_substring_scrub`."""
+    return D.exact_substring_scrub(_docs(spark, sf_dir), L=_XSUB_L)

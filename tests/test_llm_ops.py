@@ -1473,3 +1473,31 @@ def test_lm_bigram_rarity_flags_disfluent_doc(spark):
     assert got[4].n_bigrams == 5 and got[4].n_rare == 4
     assert got[4].rare_ppm == 4 * 1_000_000 // 5
     assert got[5].n_bigrams == 0 and got[5].rare_ppm == 0
+
+
+def test_exact_substring_scrub_keeps_canonical_occurrence(spark):
+    """Keep-one semantics: the corpus-first (doc_id, pos) occurrence of a
+    shared passage survives; the later doc loses exactly that span; an
+    untouched doc round-trips byte-for-byte."""
+    import hashlib
+
+    from pyfads.dedup import exact_substring_scrub
+
+    passage = "the quick brown fox jumps over the lazy dog again and again!"
+    fill_a = " ".join(f"alpha{i:03d}" for i in range(12))
+    fill_b = " ".join(f"bravo{i:03d}" for i in range(25))
+    fill_c = " ".join(f"zulu{i:03d}" for i in range(40))
+    doc_a = fill_a + passage + fill_a.upper()
+    doc_b = fill_b + passage
+    rows = [(1, doc_a), (2, doc_b), (3, fill_c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in exact_substring_scrub(df, L=40).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 owns the canonical occurrence -> untouched
+    assert got[1].removed_chars == 0 and got[1].clean_md5 == md5(doc_a)
+    # doc 2 loses exactly the passage
+    assert got[2].removed_chars == len(passage)
+    assert got[2].clean_md5 == md5(fill_b)
+    assert got[2].n_chars_clean == len(fill_b)
+    # clean doc round-trips
+    assert got[3].removed_chars == 0 and got[3].clean_md5 == md5(fill_c)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from pyfads.text import md5_hash60, tokens
@@ -45,6 +46,7 @@ __all__ = [
     "cdc_duplicate_chunks",
     "contamination_report",
     "exact_substring_scrub",
+    "contamination_gate_stream",
 ]
 
 
@@ -1112,3 +1114,61 @@ def exact_substring_scrub(
             "removed_chars"
         ),
     )
+
+
+def contamination_gate_stream(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    L: int = 40,
+    max_contam_ppm: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming ingest decontamination: drop (or threshold) incoming docs
+    that share any length-``L`` substring with the eval set — the
+    continuous-crawl twin of :func:`contamination_report`.
+
+    A streaming aggregation re-joined to its own stream is an unsupported
+    plan, so the gate is STATELESS map-only: the eval set's distinct
+    shingle hashes (benchmarks are KBs–MBs) are collected once and closed
+    over by an Arrow-batched pandas UDF that hashes each incoming doc's
+    shingles row-locally and counts membership — no join, no state, no
+    shuffle; exactly the shape a per-record streaming filter wants.  The
+    hash is the shared md5_hash60, so the verdict agrees bit-for-bit with
+    the batch :func:`contamination_report` detector (asserted in
+    tests/test_llm_ops.py).  A doc passes when its contaminated-shingle
+    ppm is <= ``max_contam_ppm`` (0 = any overlap drops it); the
+    ``contam_shingle_ppm`` diagnostic column is kept on survivors.
+
+    Python-side md5 per char position is the price of statelessness —
+    right for a gate on an ingest stream (docs/sec, not TB/sec); the
+    full-corpus backfill belongs to the batch operator.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    ev_rows = (
+        _shingle_occurrences(eval_df, L, text_col, id_col)
+        .select("h")
+        .distinct()
+        .collect()
+    )
+    eval_hashes = frozenset(r["h"] for r in ev_rows)
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(f"xsub:{s}".encode()).hexdigest()[:15], 16)
+
+    @F.pandas_udf(T.LongType())
+    def contam_ppm(texts: pd.Series) -> pd.Series:
+        def one(t: "str | None") -> int:
+            if t is None or len(t) < L:
+                return 0
+            n = len(t) - L + 1
+            hits = sum(1 for i in range(n) if _h60(t[i : i + L]) in eval_hashes)
+            return hits * 1_000_000 // n
+
+        return texts.map(one).astype("int64")
+
+    out = stream.withColumn("contam_shingle_ppm", contam_ppm(F.col(text_col)))
+    return out.filter(F.col("contam_shingle_ppm") <= max_contam_ppm)

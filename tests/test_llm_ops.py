@@ -1501,3 +1501,44 @@ def test_exact_substring_scrub_keeps_canonical_occurrence(spark):
     assert got[2].n_chars_clean == len(fill_b)
     # clean doc round-trips
     assert got[3].removed_chars == 0 and got[3].clean_md5 == md5(fill_c)
+
+
+def test_contamination_gate_stream_drops_contaminated_docs(spark, tmp_path):
+    """The stateless streaming gate drops exactly the docs the batch
+    detector flags: replay a doc batch as a file stream, keep survivors,
+    and cross-check against contamination_report on the same data."""
+    import time as _t
+
+    from pyfads.dedup import contamination_gate_stream, contamination_report
+
+    passage = "the quick brown fox jumps over the lazy dog again and again!"
+    fill_a = " ".join(f"alpha{i:03d}" for i in range(12))
+    fill_b = " ".join(f"bravo{i:03d}" for i in range(25))
+    fill_c = " ".join(f"zulu{i:03d}" for i in range(40))
+    eval_df = spark.createDataFrame(
+        [(100, "eval preamble " + passage)], "doc_id long, text string"
+    )
+    docs = [(1, fill_a + passage), (2, fill_b), (3, fill_c + " " + passage)]
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "gate_src")
+    batch.coalesce(1).write.parquet(src)
+
+    flagged = {
+        r.doc_id for r in contamination_report(batch, eval_df, L=40).collect()
+    }
+    assert flagged == {1, 3}
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = contamination_gate_stream(stream, eval_df, L=40)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("gate_out").collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert all(r.contam_shingle_ppm == 0 for r in rows)

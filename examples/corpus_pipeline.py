@@ -78,13 +78,30 @@ def main() -> None:
         ),
     )
 
-    # 3. benchmark-contamination gate (self-benchmark demo: first 5 docs)
+    # 2b. substring-level scrub (ExactSubstr keep-one): whole-doc dedup
+    # above can't touch long verbatim passages embedded in otherwise-
+    # different survivors — rewrite those spans out, keeping the
+    # corpus-canonical occurrence
+    scrubbed = stage(
+        "substring_scrubbed",
+        D.exact_substring_scrub(survivors, L=40, emit="text").join(
+            survivors.select("doc_id", "lang", "source"), "doc_id"
+        ),
+    )
+
+    # 3. benchmark-contamination gate (self-benchmark demo: first 5 docs):
+    # token-overlap screen (bloom-style) + exact span-level report —
+    # either signal drops the doc
     bench = docs.select("doc_id", "text").filter(F.col("doc_id") < 5)
-    overlap = P.contamination_overlap(survivors, bench)
+    overlap = P.contamination_overlap(scrubbed, bench)
+    span_hits = D.contamination_report(scrubbed, bench, L=40)
     clean = stage(
         "decontaminated",
-        survivors.join(
-            overlap.filter(F.col("n_contaminated") > 0).select("doc_id"),
+        scrubbed.join(
+            overlap.filter(F.col("n_contaminated") > 0)
+            .select("doc_id")
+            .unionByName(span_hits.select("doc_id"))
+            .distinct(),
             "doc_id",
             "left_anti",
         ),

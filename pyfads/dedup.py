@@ -1053,7 +1053,11 @@ def contamination_report(
 
 
 def exact_substring_scrub(
-    df: DataFrame, L: int = 40, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    L: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit: str = "digest",
 ) -> DataFrame:
     """The ACTION step of ExactSubstr dedup (Lee et al. 2022 keep-one
     semantics): rewrite each document with its duplicated spans REMOVED,
@@ -1061,9 +1065,11 @@ def exact_substring_scrub(
     of each repeated length-``L`` substring survives, every other
     occurrence's merged span is cut out.
 
-    Returns ALL docs: ``(doc_id, clean_md5, n_chars_clean, removed_chars)``
-    — the md5 keeps the driver comparison narrow while still pinning the
-    reconstructed text byte-for-byte.
+    Returns ALL docs.  ``emit="digest"`` (default):
+    ``(doc_id, clean_md5, n_chars_clean, removed_chars)`` — the md5 keeps
+    the driver comparison narrow while pinning the reconstructed text
+    byte-for-byte.  ``emit="text"``: ``(doc_id, <text_col>,
+    removed_chars)`` with the actual cleaned text, for pipeline use.
 
     Shape on top of :func:`exact_substring_spans`'s machinery: the
     canonicity rank is one more window on the same hash partitioning
@@ -1106,13 +1112,18 @@ def exact_substring_scrub(
             F.expr("substring(__t, last_e + 1, length(__t))"),
         )
     )
+    removed = F.coalesce(F.col("removed_chars"), F.lit(0)).cast("long").alias(
+        "removed_chars"
+    )
+    if emit == "text":
+        return res.select(id_col, clean.alias(text_col), removed)
+    if emit != "digest":
+        raise ValueError(f"exact_substring_scrub: emit must be 'digest' or 'text', got {emit!r}")
     return res.select(
         id_col,
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("long").alias("n_chars_clean"),
-        F.coalesce(F.col("removed_chars"), F.lit(0)).cast("long").alias(
-            "removed_chars"
-        ),
+        removed,
     )
 
 

@@ -1542,3 +1542,54 @@ def test_contamination_gate_stream_drops_contaminated_docs(spark, tmp_path):
     rows = spark.table("gate_out").collect()
     assert {r.doc_id for r in rows} == {2}
     assert all(r.contam_shingle_ppm == 0 for r in rows)
+
+
+def test_exact_substring_spans_hypothesis_vs_bruteforce(spark):
+    """Property check: on random tiny corpora over a 3-char alphabet, the
+    Spark span detector equals an independent brute-force Python reference
+    (all L-gram occurrences with corpus frequency >= 2, adjacency-merged)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from pyfads.dedup import exact_substring_spans
+
+    L = 4
+
+    def ref(docs: "dict[int, str]") -> "dict[int, tuple[int, int]]":
+        cnt: Counter = Counter()
+        for t in docs.values():
+            for i in range(len(t) - L + 1):
+                cnt[t[i : i + L]] += 1
+        out = {}
+        for d, t in docs.items():
+            spans: "list[list[int]]" = []
+            for p in range(len(t) - L + 1):
+                if cnt[t[p : p + L]] < 2:
+                    continue
+                s, e = p, p + L - 1
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1][1] = e
+                else:
+                    spans.append([s, e])
+            if spans:
+                out[d] = (len(spans), sum(e - s + 1 for s, e in spans))
+        return out
+
+    texts = st.text(alphabet="ab ", min_size=0, max_size=30)
+    corpora = st.lists(texts, min_size=2, max_size=4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpora)
+    def run(doc_texts):
+        docs = {i + 1: t for i, t in enumerate(doc_texts)}
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.dup_chars)
+            for r in exact_substring_spans(df, L=L).collect()
+        }
+        assert got == ref(docs)
+
+    run()

@@ -2415,3 +2415,39 @@ def dedup_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed text byte-for-byte via md5.  See
     :func:`pyfads.dedup.exact_substring_scrub`."""
     return D.exact_substring_scrub(_docs(spark, sf_dir), L=_XSUB_L)
+
+
+_HARD_NEG_WIDE_SQL = f"""
+WITH t AS (
+  SELECT vec_id, label, {" || ".join(["embedding"] * _TILE)} AS emb FROM embeddings
+),
+e AS (SELECT * FROM t e0 WHERE {_wide_norm_sql('e0')} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+         ({_wide_dot_sql('q', 'c')}) / ({_wide_norm_sql('q')} * {_wide_norm_sql('c')}) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT q_id, q_label, neighbor_id, neighbor_label, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+
+@query("hard_negatives_dim1024", oracle=_HARD_NEG_WIDE_SQL)
+def hard_negatives_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at dim 1024 — the wide-vector fold dot/norm
+    path under the label-mismatch theta join (same tiling scheme as the
+    other dim-1024 entries)."""
+    embs = _wide_embs(spark, sf_dir).join(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    return S.hard_negatives(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10
+    )

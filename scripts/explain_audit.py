@@ -32,6 +32,7 @@ EXPECTED_BNLJ = {
     "ann_cosine_topk",
     "knn_label_predict",  # composes ann_cosine_topk's audited bounded-broadcast theta join
     "hard_negatives",  # same class: bounded broadcast anchors, label-mismatch theta join
+    "hard_negatives_dim1024",  # same, wide-vector fold path
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",

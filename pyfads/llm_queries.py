@@ -2451,3 +2451,60 @@ def hard_negatives_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(
         embs, embs.filter(F.col("vec_id") < _N_QUERIES), _DIM_WIDE, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality metric: recall@10 of LSH vs exact (r7)
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH lsh AS ({G.ann_lsh_topk_oracle()}),
+ex AS ({_COSINE_SQL}),
+hit AS (
+  SELECT e.q_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex e LEFT JOIN lsh l
+    ON l.q_id = e.q_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.q_id
+),
+k AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM ex GROUP BY q_id)
+SELECT h.q_id, h.n_hits, k.k,
+       CAST(h.n_hits * 100 // k.k AS BIGINT) AS recall_pct
+FROM hit h JOIN k USING (q_id)
+"""
+
+
+@query("ann_recall_lsh", oracle=_ann_recall_sql)
+def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the LSH scale path vs the exact brute-force
+    ranking — THE metric an ANN deployment tracks when tuning
+    planes/tables/probes.  Pure composition of two oracled operators: a
+    left join on (q_id, neighbor_id) counts ground-truth neighbours the
+    LSH candidates recovered; integer percent keeps it cross-engine
+    exact."""
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
+    lsh = S.ann_lsh_topk(
+        _embs(spark, sf_dir), q, DIM, k=10
+    ).select(F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n"))
+    hit = (
+        exact.join(
+            lsh,
+            (F.col("q_id") == F.col("l_q"))
+            & (F.col("neighbor_id") == F.col("l_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("l_n").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return hit.select(
+        "q_id",
+        "n_hits",
+        "k",
+        F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    )

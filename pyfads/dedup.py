@@ -20,7 +20,7 @@ from functools import reduce
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from pyfads.text import md5_hash60, tokens
+from pyfads.text import md5_hash60, md5_hash60_py, tokens
 
 __all__ = [
     "exact_dedup",
@@ -857,8 +857,12 @@ def exact_substring_spans(
                                    out_ppm="dup_ppm")
 
 
+XSUB_SEED = "xsub"  # shared by batch shingling, SQL twins, and the
+# streaming gate's Python-side hashing — one constant, three lockstep twins
+
+
 def _shingle_occurrences(
-    df: DataFrame, L: int, text_col: str, id_col: str, seed: str = "xsub"
+    df: DataFrame, L: int, text_col: str, id_col: str, seed: str = XSUB_SEED
 ) -> DataFrame:
     """Stride-1 length-L char-shingle hash occurrences:
     ``(id, n_chars, pos, h)`` — 8-byte hash keys, text never shuffled."""
@@ -1065,6 +1069,15 @@ def exact_substring_scrub(
     of each repeated length-``L`` substring survives, every other
     occurrence's merged span is cut out.
 
+    Keep-one holds even for periodic/repetitive text, where overlapping
+    occurrences of the same substring share chars with the canonical one
+    (e.g. ``'a'*50`` at L=40 has 11 overlapping occurrences): the merged
+    removal spans are interval-SUBTRACTED by the doc's merged canonical
+    spans before any char is cut, so the canonical copy always survives
+    intact.  Without the subtraction the removal span ``[2, 50]`` would
+    eat into the kept ``[1, 40]`` copy and the doc would collapse to one
+    char.
+
     Returns ALL docs.  ``emit="digest"`` (default):
     ``(doc_id, clean_md5, n_chars_clean, removed_chars)`` — the md5 keeps
     the driver comparison narrow while pinning the reconstructed text
@@ -1073,7 +1086,8 @@ def exact_substring_scrub(
 
     Shape on top of :func:`exact_substring_spans`'s machinery: the
     canonicity rank is one more window on the same hash partitioning
-    (``row_number`` over (h | doc, pos)); text reconstruction is a
+    (``row_number`` over (h | doc, pos)); the interval subtraction is one
+    overlap join of two small per-doc span sets; text reconstruction is a
     per-span slice via ``lag(e)`` + an order-pinned ``array_sort`` fold —
     no per-row Python, no collect.
     """
@@ -1082,16 +1096,46 @@ def exact_substring_scrub(
     sh = _shingle_occurrences(df, L, text_col, id_col)
     wh = Window.partitionBy("h")
     rn = F.row_number().over(wh.orderBy(id_col, "pos"))
-    freq = F.count(F.lit(1)).over(wh)
-    occ = (
-        sh.withColumn("c", freq)
+    dup = (
+        sh.withColumn("c", F.count(F.lit(1)).over(wh))
         .withColumn("rn", rn)
-        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
-        .select(id_col, "n_chars", "pos")
+        .filter(F.col("c") >= 2)
     )
-    spans = _occurrence_spans(occ, L, id_col)
+    rem_spans = _occurrence_spans(
+        dup.filter(F.col("rn") > 1).select(id_col, "n_chars", "pos"), L, id_col
+    ).select(id_col, "s", "e")
+    can_spans = _occurrence_spans(
+        dup.filter(F.col("rn") == 1).select(id_col, "n_chars", "pos"), L, id_col
+    ).select(F.col(id_col).alias("__cid"), F.col("s").alias("cs"), F.col("e").alias("ce"))
+
+    # interval subtraction rem \ canon: per removal span, the gap before
+    # each overlapping canonical span plus the tail after the last one — a
+    # sentinel canon row at e+1 makes the tail fall out of the same formula
+    matched = rem_spans.join(
+        can_spans,
+        (F.col(id_col) == F.col("__cid"))
+        & (F.col("cs") <= F.col("e"))
+        & (F.col("ce") >= F.col("s")),
+    ).select(id_col, "s", "e", "cs", "ce")
+    sentinel = rem_spans.select(
+        id_col, "s", "e", (F.col("e") + 1).alias("cs"), (F.col("e") + 1).alias("ce")
+    )
+    wspan = Window.partitionBy(id_col, "s").orderBy("cs")
+    gaps = (
+        matched.unionByName(sentinel)
+        .withColumn(
+            "gs",
+            F.greatest(
+                F.col("s"), F.coalesce(F.lag("ce").over(wspan) + 1, F.col("s"))
+            ),
+        )
+        .withColumn("ge", F.col("cs") - 1)
+        .filter(F.col("ge") >= F.col("gs"))
+        .select(id_col, F.col("gs").alias("s"), F.col("ge").alias("e"))
+    )
+
     base = df.select(id_col, F.col(text_col).alias("__t"))
-    sp = spans.join(base, id_col)
+    sp = gaps.join(base, id_col)
     wdoc = Window.partitionBy(id_col).orderBy("s")
     prev_e = F.coalesce(F.lag("e").over(wdoc), F.lit(0))
     sp = sp.withColumn(
@@ -1127,6 +1171,13 @@ def exact_substring_scrub(
     )
 
 
+def _ceil_ppm(hits: int, n: int) -> int:
+    """Ceiling parts-per-million: any hit scores >= 1 ppm regardless of
+    document length (floor division reports 0 once n > hits * 1e6,
+    which would leak contaminated long docs past a 0-ppm gate)."""
+    return -((-hits * 1_000_000) // n)
+
+
 def contamination_gate_stream(
     stream: DataFrame,
     eval_df: DataFrame,
@@ -1148,15 +1199,16 @@ def contamination_gate_stream(
     hash is the shared md5_hash60, so the verdict agrees bit-for-bit with
     the batch :func:`contamination_report` detector (asserted in
     tests/test_llm_ops.py).  A doc passes when its contaminated-shingle
-    ppm is <= ``max_contam_ppm`` (0 = any overlap drops it); the
+    ppm is <= ``max_contam_ppm`` (0 = any overlap drops it).  The ppm is
+    CEILING division — a single hit in an arbitrarily long doc still
+    scores >= 1 ppm, so max_contam_ppm=0 never leaks a contaminated doc
+    (an integer floor would report 0 past a million shingles).  The
     ``contam_shingle_ppm`` diagnostic column is kept on survivors.
 
     Python-side md5 per char position is the price of statelessness —
     right for a gate on an ingest stream (docs/sec, not TB/sec); the
     full-corpus backfill belongs to the batch operator.
     """
-    import hashlib
-
     from pyspark.sql import types as T
 
     ev_rows = (
@@ -1167,17 +1219,18 @@ def contamination_gate_stream(
     )
     eval_hashes = frozenset(r["h"] for r in ev_rows)
 
-    def _h60(s: str) -> int:
-        return int(hashlib.md5(f"xsub:{s}".encode()).hexdigest()[:15], 16)
-
     @F.pandas_udf(T.LongType())
     def contam_ppm(texts: pd.Series) -> pd.Series:
         def one(t: "str | None") -> int:
             if t is None or len(t) < L:
                 return 0
             n = len(t) - L + 1
-            hits = sum(1 for i in range(n) if _h60(t[i : i + L]) in eval_hashes)
-            return hits * 1_000_000 // n
+            hits = sum(
+                1
+                for i in range(n)
+                if md5_hash60_py(XSUB_SEED, t[i : i + L]) in eval_hashes
+            )
+            return _ceil_ppm(hits, n)
 
         return texts.map(one).astype("int64")
 

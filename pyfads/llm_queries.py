@@ -2024,6 +2024,32 @@ def dedup_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Substring-level exact dedup (ExactSubstr class; Lee et al. 2022) — r7
 # ---------------------------------------------------------------------------
 
+def _span_merge_ctes(occ_cte: str, L: int, prefix: str = "") -> str:
+    """The gaps-and-islands CTE chain merging length-L occurrences
+    ``(doc_id, n_chars, pos)`` from ``occ_cte`` into spans
+    ``(doc_id, n_chars, isl, s, e)`` — ONE definition shared by the three
+    substring oracles (exact spans, decontamination, scrub), so a fix to
+    the merge logic cannot silently diverge between them (r7 review)."""
+    b, i, s = f"{prefix}brk", f"{prefix}isl", f"{prefix}spans"
+    return f"""{b} AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {L}
+              THEN 1 ELSE 0 END AS b
+  FROM {occ_cte}
+),
+{i} AS (
+  SELECT doc_id, n_chars, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM {b}
+),
+{s} AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars, isl,
+         min(pos) AS s, max(pos) + {L} - 1 AS e
+  FROM {i} GROUP BY doc_id, isl
+)"""
+
+
 _XSUB_L = 40
 
 _EXACT_SUBSTRING_SQL = f"""
@@ -2040,23 +2066,7 @@ sh2 AS (
 ),
 f AS (SELECT doc_id, n_chars, pos, count(*) OVER (PARTITION BY h) AS c FROM sh2),
 occ AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2),
-brk AS (
-  SELECT doc_id, n_chars, pos,
-         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
-              THEN 1 ELSE 0 END AS b
-  FROM occ
-),
-isl AS (
-  SELECT doc_id, n_chars, pos,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-  FROM brk
-),
-spans AS (
-  SELECT doc_id, any_value(n_chars) AS n_chars, isl,
-         min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
-  FROM isl GROUP BY doc_id, isl
-)
+{_span_merge_ctes("occ", _XSUB_L)}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
@@ -2216,23 +2226,7 @@ cosh AS (
 hits AS (SELECT c.doc_id, c.n_chars, c.pos, e.eval_id
          FROM cosh c JOIN evsh e USING (h)),
 occ AS (SELECT DISTINCT doc_id, n_chars, pos FROM hits),
-brk AS (
-  SELECT doc_id, n_chars, pos,
-         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
-              THEN 1 ELSE 0 END AS b
-  FROM occ
-),
-isl AS (
-  SELECT doc_id, n_chars, pos,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-  FROM brk
-),
-spans AS (
-  SELECT doc_id, any_value(n_chars) AS n_chars, isl,
-         min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
-  FROM isl GROUP BY doc_id, isl
-),
+{_span_merge_ctes("occ", _XSUB_L)},
 per_doc AS (
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS n_spans,
@@ -2360,23 +2354,26 @@ f AS (
          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
   FROM sh2
 ),
-occ AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2 AND rn > 1),
-brk AS (
-  SELECT doc_id, n_chars, pos,
-         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_XSUB_L}
-              THEN 1 ELSE 0 END AS b
-  FROM occ
+occ_rem AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2 AND rn > 1),
+occ_can AS (SELECT doc_id, n_chars, pos FROM f WHERE c >= 2 AND rn = 1),
+{_span_merge_ctes("occ_rem", _XSUB_L, prefix="r")},
+{_span_merge_ctes("occ_can", _XSUB_L, prefix="c")},
+-- interval subtraction rspans \\ cspans: the gap before each overlapping
+-- canonical span plus the tail after the last one (sentinel at e+1), so
+-- the kept canonical copy is never cut into (keep-one, r7 review)
+matched AS (
+  SELECT r.doc_id, r.s, r.e, c.s AS cs, c.e AS ce
+  FROM rspans r JOIN cspans c
+    ON c.doc_id = r.doc_id AND c.s <= r.e AND c.e >= r.s
 ),
-isl AS (
-  SELECT doc_id, n_chars, pos,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-  FROM brk
+sent AS (SELECT doc_id, s, e, e + 1 AS cs, e + 1 AS ce FROM rspans),
+gaps AS (
+  SELECT doc_id,
+         greatest(s, coalesce(lag(ce) OVER (PARTITION BY doc_id, s ORDER BY cs) + 1, s)) AS gs,
+         cs - 1 AS ge
+  FROM (SELECT * FROM matched UNION ALL SELECT * FROM sent)
 ),
-spans AS (
-  SELECT doc_id, isl, min(pos) AS s, max(pos) + {_XSUB_L} - 1 AS e
-  FROM isl GROUP BY doc_id, isl
-),
+spans AS (SELECT doc_id, gs AS s, ge AS e FROM gaps WHERE ge >= gs),
 pieces AS (
   SELECT s.doc_id, s.s, s.e,
          substr(d.text,
@@ -2486,9 +2483,9 @@ def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     q = embs.filter(F.col("vec_id") < _N_QUERIES)
     exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
-    lsh = S.ann_lsh_topk(
-        _embs(spark, sf_dir), q, DIM, k=10
-    ).select(F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n"))
+    lsh = S.ann_lsh_topk(embs, q, DIM, k=10).select(
+        F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
+    )
     hit = (
         exact.join(
             lsh,

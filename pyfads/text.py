@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "md5_hash60",
     "md5_hash60_sql",
+    "md5_hash60_py",
     "tokens",
     "text_stats",
     "quality_score",
@@ -77,6 +78,17 @@ def md5_hash60_sql(seed: str, expr: str) -> str:
     r5)."""
     return (
         f"CAST(concat('0x', substr(md5(concat_ws(':', '{seed}', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+def md5_hash60_py(seed: str, value: str) -> int:
+    """Pure-Python twin of :func:`md5_hash60` — for driver/UDF-side code
+    that must agree bit-for-bit with the JVM/DuckDB hashes (e.g. the
+    streaming decontamination gate).  Keep all three in lockstep."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15], 16
     )
 
 

@@ -1593,3 +1593,32 @@ def test_exact_substring_spans_hypothesis_vs_bruteforce(spark):
         assert got == ref(docs)
 
     run()
+
+
+def test_exact_substring_scrub_periodic_text_keeps_canonical_copy(spark):
+    """Code-review r7: overlapping within-doc occurrences ('a'*50 at L=40
+    has 11, all sharing chars with the canonical first one) must NOT eat
+    the kept copy — interval subtraction protects [1, 40], so exactly the
+    tail [41, 50] is removed."""
+    import hashlib
+
+    from pyfads.dedup import exact_substring_scrub
+
+    df = spark.createDataFrame([(1, "a" * 50)], "doc_id long, text string")
+    [r] = exact_substring_scrub(df, L=40).collect()
+    assert r.removed_chars == 10
+    assert r.n_chars_clean == 40
+    assert r.clean_md5 == hashlib.md5(("a" * 40).encode()).hexdigest()
+
+
+def test_contamination_gate_ceiling_ppm():
+    """Code-review r7: one hit in an arbitrarily long doc must score >= 1
+    ppm (floor division reports 0 past a million shingles and would leak
+    contaminated long docs through a 0-ppm gate)."""
+    from pyfads.dedup import _ceil_ppm
+
+    assert _ceil_ppm(0, 10) == 0
+    assert _ceil_ppm(1, 1_000_002) == 1     # floor would be 0
+    assert _ceil_ppm(1, 1_000_000) == 1
+    assert _ceil_ppm(3, 2_000_000) == 2     # ceil(1.5)
+    assert _ceil_ppm(5, 5) == 1_000_000

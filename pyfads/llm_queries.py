@@ -2074,7 +2074,7 @@ SELECT doc_id,
        CAST(sum(e - s + 1) * 1000000 // any_value(n_chars) AS BIGINT) AS dup_ppm
 FROM spans GROUP BY doc_id
 """.format(
-    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+    h=X.md5_hash60_sql(D.XSUB_SEED, f"substr(text, pos, {_XSUB_L})")
 )
 
 
@@ -2243,7 +2243,7 @@ SELECT p.doc_id, p.n_spans, p.contaminated_chars, p.n_chars, p.contam_ppm,
        e.n_eval_docs
 FROM per_doc p JOIN evn e USING (doc_id)
 """.format(
-    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+    h=X.md5_hash60_sql(D.XSUB_SEED, f"substr(text, pos, {_XSUB_L})")
 )
 
 
@@ -2400,7 +2400,7 @@ SELECT doc_id, md5(clean) AS clean_md5,
        CAST(removed_chars AS BIGINT) AS removed_chars
 FROM res
 """.format(
-    h=X.md5_hash60_sql("xsub", f"substr(text, pos, {_XSUB_L})")
+    h=X.md5_hash60_sql(D.XSUB_SEED, f"substr(text, pos, {_XSUB_L})")
 )
 
 

@@ -33,6 +33,7 @@ EXPECTED_BNLJ = {
     "knn_label_predict",  # composes ann_cosine_topk's audited bounded-broadcast theta join
     "hard_negatives",  # same class: bounded broadcast anchors, label-mismatch theta join
     "hard_negatives_dim1024",  # same, wide-vector fold path
+    "ann_recall_lsh",  # composes ann_cosine_topk's audited bounded-broadcast theta join (ground-truth side)
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",

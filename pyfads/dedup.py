@@ -47,6 +47,7 @@ __all__ = [
     "contamination_report",
     "exact_substring_scrub",
     "contamination_gate_stream",
+    "cdc_duplicate_pairs",
 ]
 
 
@@ -958,12 +959,35 @@ def cdc_duplicate_chunks(
     the expected chunk length (~``modulus`` chars) are missed — that is
     the explicit recall-for-shuffle trade documented in SCALE.md.
     """
+    chunks = _cdc_chunks(df, window, modulus, text_col, id_col)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("ch"))
+    marked = chunks.withColumn("dup", (freq >= 2).cast("long"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("dup").cast("long").alias("n_dup_chunks"),
+            F.sum(F.col("dup") * F.col("clen")).cast("long").alias("dup_chars"),
+            F.first("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
+        )
+    )
+
+
+
+def _cdc_chunks(
+    df: DataFrame, window: int, modulus: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Content-defined chunks ``(id, n_chars, clen, ch)``: cut positions
+    where the rolling md5 of the trailing ``window`` chars is 0 mod
+    ``modulus`` (i == n adds nothing — the doc end is always a boundary);
+    the hashes are the shared 60-bit md5 so DuckDB computes the same cuts
+    and the same chunk identities."""
     d = df.select(id_col, text_col, F.length(text_col).alias("n_chars")).filter(
         F.col("n_chars") >= 1
     )
-    # candidate cut positions: window <= i < n (i == n adds nothing — the
-    # doc end is always a boundary); the rolling hash is the shared 60-bit
-    # md5 of the trailing `window` chars so DuckDB computes the same cuts
     cuts = (
         d.filter(F.col("n_chars") > window)
         .select(
@@ -983,11 +1007,9 @@ def cdc_duplicate_chunks(
         )
         .select(id_col, "bp")
     )
-    ends = cuts.unionByName(
-        d.select(id_col, F.col("n_chars").alias("bp"))
-    )
+    ends = cuts.unionByName(d.select(id_col, F.col("n_chars").alias("bp")))
     wdoc = Window.partitionBy(id_col).orderBy("bp")
-    chunks = (
+    return (
         ends.withColumn(
             "start", F.coalesce(F.lag("bp").over(wdoc) + F.lit(1), F.lit(1))
         )
@@ -1001,19 +1023,43 @@ def cdc_duplicate_chunks(
             ).alias("ch"),
         )
     )
-    freq = F.count(F.lit(1)).over(Window.partitionBy("ch"))
-    marked = chunks.withColumn("dup", (freq >= 2).cast("long"))
+
+
+def cdc_duplicate_pairs(
+    df: DataFrame,
+    window: int = 16,
+    modulus: int = 64,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` identical CDC chunks — the
+    actionable PAIRS view of :func:`cdc_duplicate_chunks` (which docs
+    near-verbatim-overlap, offset-robust), feeding the same
+    connected-components / survivor machinery as the MinHash pairs.
+
+    Shape: distinct (id, chunk-hash) self-join on the 8-byte chunk hash —
+    candidates ∝ true shared content, never all-pairs.  At 100 TB, cap
+    pathological buckets exactly like the MinHash band join
+    (``_salt_cap``); uncapped here because the oracle twin is exact.
+    Returns ``(a_id, b_id, n_shared_chunks, shared_chars)``.
+    """
+    ch = _cdc_chunks(df, window, modulus, text_col, id_col).select(
+        id_col, "ch", "clen"
+    ).distinct()
+    a = ch.select(
+        F.col(id_col).alias("a_id"), F.col("ch"), F.col("clen")
+    )
+    b = ch.select(F.col(id_col).alias("b_id"), F.col("ch"))
     return (
-        marked.groupBy(id_col)
+        a.join(b, "ch")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum("dup").cast("long").alias("n_dup_chunks"),
-            F.sum(F.col("dup") * F.col("clen")).cast("long").alias("dup_chars"),
-            F.first("n_chars").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_chunks"),
+            F.sum("clen").cast("long").alias("shared_chars"),
         )
-        .withColumn(
-            "dup_ppm", F.expr("dup_chars * 1000000 div n_chars").cast("long")
-        )
+        .filter(F.col("n_shared_chunks") >= min_shared)
     )
 
 

@@ -2091,8 +2091,9 @@ def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_W, _CDC_M = 16, 64
 
-_CDC_SQL = f"""
-WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+# chunk CTEs shared by the CDC report and the CDC pairs oracles — one
+# definition so the chunking logic cannot diverge between them
+_CDC_CHUNK_CTES = f"""d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
            WHERE length(text) >= 1),
 cand AS (
   SELECT doc_id, unnest(generate_series({_CDC_W}, n_chars - 1)) AS bp, text
@@ -2116,7 +2117,13 @@ ch AS (
   SELECT b.doc_id, d.n_chars, b.bp - b.start + 1 AS clen,
          {{hchunk}} AS chash
   FROM bounds b JOIN d USING (doc_id)
-),
+)""".format(
+    hcut=X.md5_hash60_sql("cdc", f"substr(text, bp - {_CDC_W} + 1, {_CDC_W})"),
+    hchunk=X.md5_hash60_sql("cchunk", "substr(d.text, b.start, b.bp - b.start + 1)"),
+)
+
+_CDC_SQL = f"""
+WITH {_CDC_CHUNK_CTES},
 mk AS (
   SELECT doc_id, n_chars, clen,
          CASE WHEN count(*) OVER (PARTITION BY chash) >= 2 THEN 1 ELSE 0 END AS dup
@@ -2129,10 +2136,7 @@ SELECT doc_id,
        CAST(any_value(n_chars) AS BIGINT) AS n_chars,
        CAST(sum(dup * clen) * 1000000 // any_value(n_chars) AS BIGINT) AS dup_ppm
 FROM mk GROUP BY doc_id
-""".format(
-    hcut=X.md5_hash60_sql("cdc", f"substr(text, bp - {_CDC_W} + 1, {_CDC_W})"),
-    hchunk=X.md5_hash60_sql("cchunk", "substr(d.text, b.start, b.bp - b.start + 1)"),
-)
+"""
 
 
 @query("dedup_substring_cdc", oracle=_CDC_SQL)
@@ -2504,4 +2508,80 @@ def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         "k",
         F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    )
+
+
+def _ann_recall_ivf_sql() -> str:
+    return f"""
+WITH ivf AS ({G.ann_ivf_topk_oracle()}),
+ex AS ({_COSINE_SQL}),
+hit AS (
+  SELECT e.q_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex e LEFT JOIN ivf l
+    ON l.q_id = e.q_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.q_id
+),
+k AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM ex GROUP BY q_id)
+SELECT h.q_id, h.n_hits, k.k,
+       CAST(h.n_hits * 100 // k.k AS BIGINT) AS recall_pct
+FROM hit h JOIN k USING (q_id)
+"""
+
+
+@query("ann_recall_ivf", oracle=_ann_recall_ivf_sql)
+def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the IVF scale path vs exact brute force —
+    the n_probe tuning signal, same composition as :func:`ann_recall_lsh_q`
+    with the IVF candidate generator."""
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
+    ivf = S.ann_ivf_topk(embs, q, DIM, k=10).select(
+        F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
+    )
+    hit = (
+        exact.join(
+            ivf,
+            (F.col("q_id") == F.col("l_q"))
+            & (F.col("neighbor_id") == F.col("l_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("l_n").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return hit.select(
+        "q_id",
+        "n_hits",
+        "k",
+        F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    )
+
+
+_CDC_PAIRS_SQL = f"""
+WITH {_CDC_CHUNK_CTES},
+dch AS (SELECT DISTINCT doc_id, chash, clen FROM ch),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS n_shared_chunks,
+         CAST(sum(a.clen) AS BIGINT) AS shared_chars
+  FROM dch a JOIN dch b ON a.chash = b.chash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_shared_chunks, shared_chars
+FROM pairs WHERE n_shared_chunks >= 1
+"""
+
+
+@query("dedup_cdc_pairs", oracle=_CDC_PAIRS_SQL)
+def dedup_cdc_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing identical content-defined chunks — the
+    offset-robust near-verbatim candidate graph (which docs overlap, not
+    just how much), feeding the same CC/survivor machinery as the MinHash
+    pairs.  Self-join on the 8-byte chunk hash only.  See
+    :func:`pyfads.dedup.cdc_duplicate_pairs`."""
+    return D.cdc_duplicate_pairs(
+        _docs(spark, sf_dir), window=_CDC_W, modulus=_CDC_M
     )

@@ -1622,3 +1622,25 @@ def test_contamination_gate_ceiling_ppm():
     assert _ceil_ppm(1, 1_000_000) == 1
     assert _ceil_ppm(3, 2_000_000) == 2     # ceil(1.5)
     assert _ceil_ppm(5, 5) == 1_000_000
+
+
+def test_cdc_duplicate_pairs_planted_shared_passage(spark):
+    """Two docs sharing a long passage at different offsets form a pair
+    with shared_chars > 0; the unrelated doc appears in no pair."""
+    from pyfads.dedup import cdc_duplicate_pairs
+
+    shared = " ".join(f"shared{i:04d}" for i in range(60))
+    pre_a = " ".join(f"alpha{i:03d}" for i in range(5))
+    pre_b = " ".join(f"bravo{i:03d}" for i in range(17))
+    df = spark.createDataFrame(
+        [
+            (1, pre_a + " " + shared),
+            (2, pre_b + " " + shared),
+            (3, " ".join(f"zulu{i:03d}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = cdc_duplicate_pairs(df).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}
+    [p] = pairs
+    assert p.n_shared_chunks >= 1 and p.shared_chars > 0

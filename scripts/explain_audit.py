@@ -34,6 +34,7 @@ EXPECTED_BNLJ = {
     "hard_negatives",  # same class: bounded broadcast anchors, label-mismatch theta join
     "hard_negatives_dim1024",  # same, wide-vector fold path
     "ann_recall_lsh",  # composes ann_cosine_topk's audited bounded-broadcast theta join (ground-truth side)
+    "ann_recall_ivf",  # same class, IVF candidate generator
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",

@@ -2585,3 +2585,131 @@ def dedup_cdc_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cdc_duplicate_pairs(
         _docs(spark, sf_dir), window=_CDC_W, modulus=_CDC_M
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination attribution (eval-owner view) + cross-source duplication
+# ---------------------------------------------------------------------------
+
+_EVAL_LEAK_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+           WHERE length(text) >= {_XSUB_L}),
+evd AS (SELECT * FROM d WHERE doc_id % 20 = 7),
+cod AS (SELECT * FROM d WHERE doc_id % 20 <> 7),
+evsh AS (
+  SELECT DISTINCT {{h}} AS h, doc_id AS eval_id
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+        FROM evd)
+),
+cosh AS (
+  SELECT doc_id, pos, {{h}} AS h
+  FROM (SELECT doc_id, text, n_chars,
+               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+        FROM cod)
+),
+hits AS (SELECT c.doc_id, c.pos, e.eval_id, e.h
+         FROM cosh c JOIN evsh e USING (h)),
+n_ev AS (SELECT doc_id AS eval_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+         FROM (SELECT doc_id, unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos FROM evd)
+         GROUP BY doc_id)
+SELECT h.eval_id,
+       CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_corpus_docs,
+       CAST(count(DISTINCT h.h) AS BIGINT) AS n_leaked_shingles,
+       n.n_eval_shingles,
+       CAST(count(DISTINCT h.h) * 1000000 // n.n_eval_shingles AS BIGINT)
+         AS leaked_ppm
+FROM hits h JOIN n_ev n USING (eval_id)
+GROUP BY h.eval_id, n.n_eval_shingles
+""".format(
+    h=X.md5_hash60_sql(D.XSUB_SEED, f"substr(text, pos, {_XSUB_L})")
+)
+
+
+@query("eval_leak_report", oracle=_EVAL_LEAK_SQL)
+def eval_leak_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-owner's view of contamination: per BENCHMARK doc, how many
+    training docs leak it, how many of its distinct length-40 shingles
+    appear anywhere in the corpus, and the leaked fraction (ppm of its own
+    shingles) — the reverse of ``decontamination``, which reports per
+    training doc.  Same broadcast-eval shape: the wide side only ever
+    joins the 8-byte hash."""
+    from pyfads.dedup import _shingle_occurrences
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 20 == 7)
+    co = d.filter(F.col("doc_id") % 20 != 7)
+    evsh = (
+        _shingle_occurrences(ev, _XSUB_L, "text", "doc_id")
+        .select("h", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    n_ev = (
+        _shingle_occurrences(ev, _XSUB_L, "text", "doc_id")
+        .groupBy(F.col("doc_id").alias("eval_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingles"))
+    )
+    cosh = _shingle_occurrences(co, _XSUB_L, "text", "doc_id").select(
+        "doc_id", "h"
+    )
+    hits = cosh.join(F.broadcast(evsh), "h")
+    return (
+        hits.groupBy("eval_id")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_corpus_docs"),
+            F.count_distinct("h").cast("long").alias("n_leaked_shingles"),
+        )
+        .join(F.broadcast(n_ev), "eval_id")
+        .withColumn(
+            "leaked_ppm",
+            F.expr("n_leaked_shingles * 1000000 div n_eval_shingles").cast("long"),
+        )
+        .select(
+            "eval_id", "n_corpus_docs", "n_leaked_shingles",
+            "n_eval_shingles", "leaked_ppm",
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH {_minhash_ctes(16, 4, 0.8, 64)},
+src AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         p.jaccard
+  FROM vpairs p
+  JOIN src sa ON sa.doc_id = p.a_id
+  JOIN src sb ON sb.doc_id = p.b_id
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN jaccard >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM lab GROUP BY source_a, source_b
+"""
+
+
+@query("source_overlap_matrix", oracle=_SOURCE_OVERLAP_SQL)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (MinHash-LSH,
+    Jaccard >= 0.8) labeled by the SOURCE of each side — the provenance
+    view that decides dedup policy (which feeds re-crawl each other, which
+    source to keep as canonical).  Two broadcast dimension joins on top of
+    the audited banded pair join."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(docs).select("a_id", "b_id", "jaccard")
+    src = F.broadcast(read_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")), "b_id")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("jaccard") >= 1.0).cast("long")).cast("long").alias("n_exact"),
+    )

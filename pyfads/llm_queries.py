@@ -2713,3 +2713,93 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum((F.col("jaccard") >= 1.0).cast("long")).cast("long").alias("n_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus manifest — the one-row dataset card (r7 capstone)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SQL = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+  FROM documents
+),
+qual AS (
+  SELECT CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM ({_QUALITY_SQL}) q
+),
+pairs AS (
+  SELECT CAST(count(*) AS BIGINT) AS neardup_pairs
+  FROM ({_minhash_sql()}) p
+),
+contam AS (
+  SELECT CAST(count(*) AS BIGINT) AS contaminated_docs
+  FROM ({_DECON_SQL}) c
+)
+SELECT b.n_docs, b.total_chars, b.total_tokens, b.n_langs, b.n_sources,
+       CAST(q.n_pass * 1000000 // b.n_docs AS BIGINT) AS quality_pass_ppm,
+       CAST(b.n_exact_dups * 1000000 // b.n_docs AS BIGINT) AS exact_dup_ppm,
+       p.neardup_pairs,
+       c.contaminated_docs
+FROM base b, qual q, pairs p, contam c
+"""
+
+
+@query("corpus_manifest", oracle=_MANIFEST_SQL)
+def corpus_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a curation run publishes: corpus size
+    (docs/chars/tokens), language and source diversity, quality-pass and
+    exact-dup rates (integer ppm), near-dup pair volume, and how many
+    training docs collide with the benchmark slice (the ``decontamination``
+    convention: eval = doc_id % 20 == 7).  Each component is the SAME
+    oracle-checked operator the registry exposes individually; the
+    manifest is their 1-row crossJoin (bounded frames — the theta-setops
+    class)."""
+    docs = _docs(spark, sf_dir)
+    toks_n = F.size(X.tokens("text")).cast("long")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(toks_n).cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("text"))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+    qual = X.quality_score(docs).agg(
+        F.sum(F.col("quality_pass").cast("long")).cast("long").alias("n_pass")
+    )
+    pairs = D.minhash_near_dup_pairs(docs).agg(
+        F.count(F.lit(1)).cast("long").alias("neardup_pairs")
+    )
+    ev = docs.filter(F.col("doc_id") % 20 == 7)
+    co = docs.filter(F.col("doc_id") % 20 != 7)
+    contam = D.contamination_report(co, ev, L=_XSUB_L).agg(
+        F.count(F.lit(1)).cast("long").alias("contaminated_docs")
+    )
+    return (
+        base.crossJoin(qual)
+        .crossJoin(pairs)
+        .crossJoin(contam)
+        .select(
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "n_sources",
+            F.expr("n_pass * 1000000 div n_docs").cast("long").alias(
+                "quality_pass_ppm"
+            ),
+            F.expr("n_exact_dups * 1000000 div n_docs").cast("long").alias(
+                "exact_dup_ppm"
+            ),
+            "neardup_pairs",
+            "contaminated_docs",
+        )
+    )

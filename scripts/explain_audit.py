@@ -35,6 +35,7 @@ EXPECTED_BNLJ = {
     "hard_negatives_dim1024",  # same, wide-vector fold path
     "ann_recall_lsh",  # composes ann_cosine_topk's audited bounded-broadcast theta join (ground-truth side)
     "ann_recall_ivf",  # same class, IVF candidate generator
+    "corpus_manifest",  # 1-row summary frames crossJoined (theta-setops class)
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",
@@ -82,6 +83,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames
+    "corpus_manifest",  # same class: keyless 1-row component aggs, <= 1 partial row per task
     "session_outliers",  # keyless med/MAD percentile aggs, <= 1 partial row per task
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task

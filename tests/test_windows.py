@@ -616,3 +616,82 @@ def test_sessionize_stream_matches_batch_label_for_label(spark, event_files, tmp
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_sessionize_stream_restart_from_checkpoint(spark, tmp_path):
+    """Restart continuity for the streaming sessionizer: run 1 labels the
+    first chunk and is stopped; run 2 on the same checkpoint must restore
+    each key's (last_ts, seq) carry and continue numbering — a session
+    SPANNING the restart keeps its sequence number, and a post-gap event
+    after the restart increments from the carried counter, matching the
+    batch labels exactly."""
+    import os
+    import time as _t
+
+    import pandas as pd
+
+    from pyfads.windows import sessionize_stream
+
+    gap = 1_000
+    # user 1: events at 0ms, 500ms | restart | 700ms (same session, spans
+    # the restart), then 5_000ms (new session -> seq 2)
+    rows = [
+        (1, 1, 0), (2, 1, 500),          # chunk 0 (run 1)
+        (3, 1, 700), (4, 1, 5_000),      # chunk 1 (run 2)
+        (5, 2, 100),                     # chunk 0
+        (6, 2, 9_000),                   # chunk 1 (new session for user 2)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_ms"])
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ck = str(tmp_path / "ckpt")
+    chunk0 = pdf[pdf.event_id.isin([1, 2, 5])]
+    chunk1 = pdf[pdf.event_id.isin([3, 4, 6])]
+    chunk0.to_parquet(f"{src_dir}/chunk_0.parquet", index=False)
+    os.utime(f"{src_dir}/chunk_0.parquet", (1_700_000_000,) * 2)
+
+    schema = spark.createDataFrame(pdf).schema
+
+    def run_until(n_expected, timeout_s=120):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        labeled = sessionize_stream(
+            src, ["user_id"], "ts_ms", gap, tiebreak_cols=["event_id"]
+        )
+        q = (
+            labeled.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = _t.time() + timeout_s
+            while _t.time() < deadline:
+                try:
+                    n = (
+                        spark.read.schema(
+                            labeled.schema
+                        ).parquet(str(tmp_path / "out")).count()
+                    )
+                except Exception:
+                    n = 0
+                if n >= n_expected:
+                    break
+                _t.sleep(1)
+        finally:
+            q.stop()
+
+    run_until(3)  # run 1: chunk 0 only
+    chunk1.to_parquet(f"{src_dir}/chunk_1.parquet", index=False)
+    os.utime(f"{src_dir}/chunk_1.parquet", (1_700_000_060,) * 2)
+    run_until(6)  # run 2: fresh query, same checkpoint
+
+    got = {
+        r.event_id: r.session_seq
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 2}

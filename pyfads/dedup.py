@@ -1217,11 +1217,12 @@ def exact_substring_scrub(
     )
 
 
-def _ceil_ppm(hits: int, n: int) -> int:
-    """Ceiling parts-per-million: any hit scores >= 1 ppm regardless of
-    document length (floor division reports 0 once n > hits * 1e6,
-    which would leak contaminated long docs past a 0-ppm gate)."""
-    return -((-hits * 1_000_000) // n)
+def _ceil_ppm(part: int, whole: int) -> int:
+    """Ceiling parts-per-million: any nonzero part scores >= 1 ppm
+    regardless of document length (floor division reports 0 once
+    whole > part * 1e6, which would leak contaminated long docs past a
+    0-ppm gate)."""
+    return -((-part * 1_000_000) // whole)
 
 
 def contamination_gate_stream(
@@ -1242,14 +1243,16 @@ def contamination_gate_stream(
     over by an Arrow-batched pandas UDF that hashes each incoming doc's
     shingles row-locally and counts membership — no join, no state, no
     shuffle; exactly the shape a per-record streaming filter wants.  The
-    hash is the shared md5_hash60, so the verdict agrees bit-for-bit with
-    the batch :func:`contamination_report` detector (asserted in
-    tests/test_llm_ops.py).  A doc passes when its contaminated-shingle
-    ppm is <= ``max_contam_ppm`` (0 = any overlap drops it).  The ppm is
-    CEILING division — a single hit in an arbitrarily long doc still
-    scores >= 1 ppm, so max_contam_ppm=0 never leaks a contaminated doc
-    (an integer floor would report 0 past a million shingles).  The
-    ``contam_shingle_ppm`` diagnostic column is kept on survivors.
+    hash is the shared md5_hash60, so the hit verdict agrees bit-for-bit
+    with the batch :func:`contamination_report` detector (asserted in
+    tests/test_llm_ops.py).  The ``contam_ppm`` metric is on the SAME
+    basis as the batch report's ``contam_ppm`` — merged contaminated span
+    chars over doc chars — so a threshold tuned on batch reports ports to
+    the gate (the only difference: the gate CEILS the division, so one
+    hit in an arbitrarily long doc still scores >= 1 ppm and
+    ``max_contam_ppm=0`` never leaks; the batch report floors — gate and
+    batch ppm agree within 1).  A doc passes when its ppm is <=
+    ``max_contam_ppm``; the diagnostic column is kept on survivors.
 
     Python-side md5 per char position is the price of statelessness —
     right for a gate on an ingest stream (docs/sec, not TB/sec); the
@@ -1271,14 +1274,19 @@ def contamination_gate_stream(
             if t is None or len(t) < L:
                 return 0
             n = len(t) - L + 1
-            hits = sum(
-                1
-                for i in range(n)
-                if md5_hash60_py(XSUB_SEED, t[i : i + L]) in eval_hashes
-            )
-            return _ceil_ppm(hits, n)
+            spans: "list[list[int]]" = []  # merged [s, e] hit spans
+            for i in range(n):
+                if md5_hash60_py(XSUB_SEED, t[i : i + L]) not in eval_hashes:
+                    continue
+                s, e = i, i + L - 1
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1][1] = e
+                else:
+                    spans.append([s, e])
+            covered = sum(e - s + 1 for s, e in spans)
+            return _ceil_ppm(covered, len(t))
 
         return texts.map(one).astype("int64")
 
-    out = stream.withColumn("contam_shingle_ppm", contam_ppm(F.col(text_col)))
-    return out.filter(F.col("contam_shingle_ppm") <= max_contam_ppm)
+    out = stream.withColumn("contam_ppm", contam_ppm(F.col(text_col)))
+    return out.filter(F.col("contam_ppm") <= max_contam_ppm)

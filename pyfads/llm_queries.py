@@ -2455,17 +2455,20 @@ def hard_negatives_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN quality metric: recall@10 of LSH vs exact (r7)
+# ANN quality metrics: recall@10 of each approximate path vs exact (r7)
 # ---------------------------------------------------------------------------
 
 
-def _ann_recall_sql() -> str:
+def _recall_sql(cand_sql: str) -> str:
+    """Recall@k oracle: LEFT-join the exact top-k with a candidate set's
+    top-k on (q_id, neighbor_id); one definition shared by every ANN-path
+    metric so the join/ppm logic cannot diverge (r7 review)."""
     return f"""
-WITH lsh AS ({G.ann_lsh_topk_oracle()}),
+WITH cand AS ({cand_sql}),
 ex AS ({_COSINE_SQL}),
 hit AS (
   SELECT e.q_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
-  FROM ex e LEFT JOIN lsh l
+  FROM ex e LEFT JOIN cand l
     ON l.q_id = e.q_id AND l.neighbor_id = e.neighbor_id
   GROUP BY e.q_id
 ),
@@ -2476,87 +2479,55 @@ FROM hit h JOIN k USING (q_id)
 """
 
 
-@query("ann_recall_lsh", oracle=_ann_recall_sql)
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, cand_fn) -> DataFrame:
+    """Spark twin of :func:`_recall_sql`: per-query hit count of an
+    approximate path's top-10 against the exact brute-force top-10.
+    ``cand_fn(embs, queries) -> DataFrame`` supplies the candidate set."""
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
+    cand = cand_fn(embs, q).select(
+        F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
+    )
+    hit = (
+        exact.join(
+            cand,
+            (F.col("q_id") == F.col("l_q"))
+            & (F.col("neighbor_id") == F.col("l_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("l_n").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return hit.select(
+        "q_id",
+        "n_hits",
+        "k",
+        F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    )
+
+
+@query("ann_recall_lsh", oracle=lambda: _recall_sql(G.ann_lsh_topk_oracle()))
 def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@10 of the LSH scale path vs the exact brute-force
     ranking — THE metric an ANN deployment tracks when tuning
-    planes/tables/probes.  Pure composition of two oracled operators: a
-    left join on (q_id, neighbor_id) counts ground-truth neighbours the
-    LSH candidates recovered; integer percent keeps it cross-engine
+    planes/tables/probes.  Pure composition of two oracled operators via
+    :func:`_recall_vs_exact`; integer percent keeps it cross-engine
     exact."""
-    embs = _embs(spark, sf_dir)
-    q = embs.filter(F.col("vec_id") < _N_QUERIES)
-    exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
-    lsh = S.ann_lsh_topk(embs, q, DIM, k=10).select(
-        F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
-    )
-    hit = (
-        exact.join(
-            lsh,
-            (F.col("q_id") == F.col("l_q"))
-            & (F.col("neighbor_id") == F.col("l_n")),
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.count("l_n").cast("long").alias("n_hits"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-        )
-    )
-    return hit.select(
-        "q_id",
-        "n_hits",
-        "k",
-        F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    return _recall_vs_exact(
+        spark, sf_dir, lambda e, q: S.ann_lsh_topk(e, q, DIM, k=10)
     )
 
 
-def _ann_recall_ivf_sql() -> str:
-    return f"""
-WITH ivf AS ({G.ann_ivf_topk_oracle()}),
-ex AS ({_COSINE_SQL}),
-hit AS (
-  SELECT e.q_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
-  FROM ex e LEFT JOIN ivf l
-    ON l.q_id = e.q_id AND l.neighbor_id = e.neighbor_id
-  GROUP BY e.q_id
-),
-k AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM ex GROUP BY q_id)
-SELECT h.q_id, h.n_hits, k.k,
-       CAST(h.n_hits * 100 // k.k AS BIGINT) AS recall_pct
-FROM hit h JOIN k USING (q_id)
-"""
-
-
-@query("ann_recall_ivf", oracle=_ann_recall_ivf_sql)
+@query("ann_recall_ivf", oracle=lambda: _recall_sql(G.ann_ivf_topk_oracle()))
 def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@10 of the IVF scale path vs exact brute force —
-    the n_probe tuning signal, same composition as :func:`ann_recall_lsh_q`
-    with the IVF candidate generator."""
-    embs = _embs(spark, sf_dir)
-    q = embs.filter(F.col("vec_id") < _N_QUERIES)
-    exact = S.cosine_topk(embs, q, DIM, k=10).select("q_id", "neighbor_id")
-    ivf = S.ann_ivf_topk(embs, q, DIM, k=10).select(
-        F.col("q_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
-    )
-    hit = (
-        exact.join(
-            ivf,
-            (F.col("q_id") == F.col("l_q"))
-            & (F.col("neighbor_id") == F.col("l_n")),
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.count("l_n").cast("long").alias("n_hits"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-        )
-    )
-    return hit.select(
-        "q_id",
-        "n_hits",
-        "k",
-        F.expr("n_hits * 100 div k").cast("long").alias("recall_pct"),
+    the n_probe tuning signal; same shared composition."""
+    return _recall_vs_exact(
+        spark, sf_dir, lambda e, q: S.ann_ivf_topk(e, q, DIM, k=10)
     )
 
 
@@ -2603,16 +2574,17 @@ evsh AS (
         FROM evd)
 ),
 cosh AS (
-  SELECT doc_id, pos, {{h}} AS h
-  FROM (SELECT doc_id, text, n_chars,
-               unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
-        FROM cod)
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, {{h}} AS h
+    FROM (SELECT doc_id, text, n_chars,
+                 unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos
+          FROM cod)
+  )
 ),
-hits AS (SELECT c.doc_id, c.pos, e.eval_id, e.h
+hits AS (SELECT c.doc_id, e.eval_id, e.h
          FROM cosh c JOIN evsh e USING (h)),
-n_ev AS (SELECT doc_id AS eval_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
-         FROM (SELECT doc_id, unnest(generate_series(1, n_chars - {_XSUB_L} + 1)) AS pos FROM evd)
-         GROUP BY doc_id)
+n_ev AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+         FROM evsh GROUP BY eval_id)
 SELECT h.eval_id,
        CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_corpus_docs,
        CAST(count(DISTINCT h.h) AS BIGINT) AS n_leaked_shingles,
@@ -2629,11 +2601,14 @@ GROUP BY h.eval_id, n.n_eval_shingles
 @query("eval_leak_report", oracle=_EVAL_LEAK_SQL)
 def eval_leak_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The eval-owner's view of contamination: per BENCHMARK doc, how many
-    training docs leak it, how many of its distinct length-40 shingles
-    appear anywhere in the corpus, and the leaked fraction (ppm of its own
-    shingles) — the reverse of ``decontamination``, which reports per
-    training doc.  Same broadcast-eval shape: the wide side only ever
-    joins the 8-byte hash."""
+    training docs leak it, how many of its DISTINCT length-40 shingles
+    appear anywhere in the corpus, and the leaked fraction — numerator
+    and denominator are BOTH distinct-hash counts, so a fully-leaked eval
+    doc reports exactly 1,000,000 ppm regardless of internal repetition
+    (r7 review: a position-count denominator deflated periodic docs).
+    The reverse of ``decontamination``, which reports per training doc;
+    the eval side is shingled ONCE and both the broadcast hash set and
+    the per-doc denominators derive from that one distinct frame."""
     from pyfads.dedup import _shingle_occurrences
 
     d = _docs(spark, sf_dir)
@@ -2644,13 +2619,13 @@ def eval_leak_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h", F.col("doc_id").alias("eval_id"))
         .distinct()
     )
-    n_ev = (
-        _shingle_occurrences(ev, _XSUB_L, "text", "doc_id")
-        .groupBy(F.col("doc_id").alias("eval_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingles"))
+    n_ev = evsh.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_shingles")
     )
-    cosh = _shingle_occurrences(co, _XSUB_L, "text", "doc_id").select(
-        "doc_id", "h"
+    cosh = (
+        _shingle_occurrences(co, _XSUB_L, "text", "doc_id")
+        .select("doc_id", "h")
+        .distinct()
     )
     hits = cosh.join(F.broadcast(evsh), "h")
     return (

@@ -12,6 +12,7 @@ map-side-combined aggregations — no shuffles except where noted.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 from functools import reduce
 
 import pandas as pd
@@ -84,11 +85,11 @@ def md5_hash60_sql(seed: str, expr: str) -> str:
 def md5_hash60_py(seed: str, value: str) -> int:
     """Pure-Python twin of :func:`md5_hash60` — for driver/UDF-side code
     that must agree bit-for-bit with the JVM/DuckDB hashes (e.g. the
-    streaming decontamination gate).  Keep all three in lockstep."""
-    import hashlib
-
+    streaming decontamination gate, which calls this once per character
+    position — hence the module-level hashlib import).  Keep all three
+    in lockstep."""
     return int(
-        hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15], 16
+        _hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15], 16
     )
 
 

@@ -1541,7 +1541,7 @@ def test_contamination_gate_stream_drops_contaminated_docs(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("gate_out").collect()
     assert {r.doc_id for r in rows} == {2}
-    assert all(r.contam_shingle_ppm == 0 for r in rows)
+    assert all(r.contam_ppm == 0 for r in rows)
 
 
 def test_exact_substring_spans_hypothesis_vs_bruteforce(spark):
@@ -1644,3 +1644,63 @@ def test_cdc_duplicate_pairs_planted_shared_passage(spark):
     assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}
     [p] = pairs
     assert p.n_shared_chunks >= 1 and p.shared_chars > 0
+
+
+def test_contamination_gate_ppm_matches_batch_basis(spark, tmp_path):
+    """Code-review r7 #2: the gate's contam_ppm uses the batch report's
+    basis (merged span chars / doc chars), so a threshold tuned on batch
+    reports ports to the gate within the documented 1-ppm ceil/floor gap."""
+    from pyfads.dedup import contamination_gate_stream, contamination_report
+
+    passage = "the quick brown fox jumps over the lazy dog again and again!"
+    fill = " ".join(f"train{i:03d}" for i in range(12))
+    doc = fill + passage + fill.upper()
+    eval_df = spark.createDataFrame(
+        [(100, "eval preamble " + passage)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    [b] = contamination_report(batch, eval_df, L=40).collect()
+
+    src = str(tmp_path / "ppm_src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = contamination_gate_stream(
+        stream, eval_df, L=40, max_contam_ppm=10_000_000
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("ppm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ppm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    [g] = spark.table("ppm_out").collect()
+    # same basis: gate ceils, batch floors -> within 1 ppm
+    assert 0 <= g.contam_ppm - b.contam_ppm <= 1, (g.contam_ppm, b.contam_ppm)
+
+
+def test_eval_leak_ppm_full_leak_is_one_million_even_when_periodic(spark):
+    """Code-review r7 #1: a benchmark doc embedded VERBATIM in a training
+    doc must report leaked_ppm == 1,000,000 even when the eval doc is
+    internally repetitive (distinct-hash numerator AND denominator)."""
+    from pyfads.dedup import _shingle_occurrences
+    from pyspark.sql import functions as F
+
+    # replicate the query's core with explicit eval/corpus frames
+    eval_doc = "eval doc that is quite long: " + "uvwxyz" * 15  # periodic tail
+    train_doc = "lots of training prose before " + eval_doc + " and after"
+    ev = spark.createDataFrame([(7, eval_doc)], "doc_id long, text string")
+    co = spark.createDataFrame([(26, train_doc)], "doc_id long, text string")
+    evsh = (
+        _shingle_occurrences(ev, 40, "text", "doc_id")
+        .select("h", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    n_ev = evsh.groupBy("eval_id").count()
+    cosh = _shingle_occurrences(co, 40, "text", "doc_id").select("doc_id", "h").distinct()
+    leaked = cosh.join(evsh, "h").select("h").distinct().count()
+    total = n_ev.collect()[0]["count"]
+    assert leaked == total  # every distinct eval shingle appears in training
+    assert leaked * 1_000_000 // total == 1_000_000

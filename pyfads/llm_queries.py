@@ -2778,3 +2778,41 @@ def corpus_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated_docs",
         )
     )
+
+
+def _pack_bpe_sql() -> str:
+    golden = G.token_counts_bpe_oracle()
+    return f"""
+WITH bpe AS ({golden}),
+base AS (
+  SELECT d.doc_id, d.h % 8 AS shard, d.h AS pack_hash,
+         CAST(b.n_bpe_tokens AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {_h60('pack', 'CAST(doc_id AS VARCHAR)')} AS h
+        FROM documents) d
+  JOIN bpe b USING (doc_id)
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prefix_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_hash, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_idx
+FROM base
+"""
+
+
+@query("pack_contexts_bpe", oracle=_pack_bpe_sql)
+def pack_contexts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context packing budgeted by REAL BPE token counts instead of the
+    whitespace estimate — the bins then hold what the trainer actually
+    consumes (whitespace undercounts rare/long words that fragment into
+    many pieces).  Composes token_counts_bpe into pack_greedy's
+    ``count_col``; the oracle joins the BPE golden table into the same
+    pack SQL."""
+    docs = _docs(spark, sf_dir)
+    counts = X.bpe_token_counts(docs, n_merges=200, train_top_words=5000)
+    joined = docs.select("doc_id").join(
+        counts.select("doc_id", "n_bpe_tokens"), "doc_id"
+    )
+    return P.pack_greedy(
+        joined, context_len=512, n_shards=8, count_col="n_bpe_tokens"
+    )

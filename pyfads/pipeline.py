@@ -76,10 +76,16 @@ def pack_greedy(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "pack",
+    count_col: "str | None" = None,
 ) -> DataFrame:
     """Greedy sequence packing plan: shard documents by hash, order each
     shard deterministically, and assign every document to the context
     window (bin) its running token-prefix lands in.
+
+    ``count_col`` supplies a precomputed per-doc token count (e.g. real
+    BPE counts from :func:`pyfads.text.bpe_token_counts`) instead of the
+    default whitespace estimate — the bin budget then reflects what the
+    trainer actually consumes.
 
     This is the planning half of training-sequence packing ("concatenate
     docs into fixed-length contexts"): ``bin_idx = prefix_tokens //
@@ -92,7 +98,10 @@ def pack_greedy(
     if context_len < 1 or n_shards < 1:
         raise ValueError("context_len and n_shards must be >= 1")
     h = md5_hash60(F.col(id_col).cast("string"), seed)
-    n_tok = F.size(tokens(text_col)).cast("long")
+    if count_col is not None:
+        n_tok = F.col(count_col).cast("long")
+    else:
+        n_tok = F.size(tokens(text_col)).cast("long")
     base = df.select(
         F.col(id_col),
         (h % n_shards).cast("long").alias("shard"),

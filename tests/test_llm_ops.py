@@ -1704,3 +1704,32 @@ def test_eval_leak_ppm_full_leak_is_one_million_even_when_periodic(spark):
     total = n_ev.collect()[0]["count"]
     assert leaked == total  # every distinct eval shingle appears in training
     assert leaked * 1_000_000 // total == 1_000_000
+
+
+def test_cdc_chunks_tile_documents_hypothesis(spark):
+    """Property: CDC chunks always TILE each document — chunk lengths sum
+    to n_chars, every chunk is positive-length — across random texts
+    (boundary placement is content-dependent, tiling must not be)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyfads.dedup import _cdc_chunks
+
+    texts = st.text(alphabet="abc xyz", min_size=1, max_size=120)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=4))
+    def run(doc_texts):
+        df = spark.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(doc_texts)],
+            "doc_id long, text string",
+        )
+        rows = _cdc_chunks(df, 16, 64, "text", "doc_id").collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, t in enumerate(doc_texts):
+            chunks = by_doc[i + 1]
+            assert sum(c.clen for c in chunks) == len(t)
+            assert all(c.clen >= 1 for c in chunks)
+
+    run()

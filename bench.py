@@ -63,7 +63,10 @@ def compact_line(
     that fit in ``budget`` chars, the rest summarized by ``queries_omitted``
     + a pointer to the detail file.  Adaptive: however large the registry
     grows, the emitted line never exceeds ``budget`` + the omitted-count
-    suffix (pinned by tests/test_sql_surface.py)."""
+    suffix (pinned by tests/test_sql_surface.py).  An entry that overflows
+    the budget is dropped and LATER (shorter-named, still slower-first)
+    entries keep being tried, so the budget is packed rather than cut at
+    the first overflow (ADVICE r7)."""
     out = dict(summary)
     out["detail"] = detail_name
     out["queries"] = {}
@@ -71,7 +74,6 @@ def compact_line(
         out["queries"][name] = timings[name]
         if len(json.dumps(out, separators=(",", ":"))) > budget:
             del out["queries"][name]
-            break
     out["queries_omitted"] = len(timings) - len(out["queries"])
     return json.dumps(out, separators=(",", ":"))
 
@@ -153,11 +155,31 @@ def main() -> None:
             reps: list[float] = []
             # the flagship is the headline rows/s metric: always spend the
             # full rep budget on it (early convergence-stop measured it
-            # ~20% above its true steady state in r5)
-            full_budget = name == "fads_generalize_events"
-            while len(reps) < REPS and not (
-                not full_budget and _converged(reps)
-            ):
+            # ~20% above its true steady state in r5).  All three FADS
+            # entries are headline-adjacent, so they get the full budget
+            # too, with a rep floor of 5 (VERDICT r7 item 6: the r6->r7
+            # 82k->68k rows/s swing was pure rep sampling); the flagship
+            # additionally extends past the cap until its two fastest reps
+            # agree within 10%, so the recorded min is steady-state.
+            fads_entry = name in (
+                "fads_generalize_events",
+                "fads_partitioned_events",
+                "fads_hotkey_events",
+            )
+            budget = max(REPS, 5) if fads_entry and REPS > 1 else REPS
+            hard_cap = budget + 4 if name == "fads_generalize_events" else budget
+
+            def _done(reps: "list[float]") -> bool:
+                if fads_entry:
+                    if len(reps) < budget:
+                        return False
+                    if name != "fads_generalize_events" or len(reps) >= hard_cap:
+                        return True
+                    fastest, second = sorted(reps)[:2]
+                    return second <= fastest * 1.1
+                return len(reps) >= REPS or _converged(reps)
+
+            while not _done(reps):
                 # fn() runs INSIDE the timer: builders are normally lazy
                 # (microseconds of plan construction), but a few run real
                 # Spark jobs eagerly (contamination_bloom's filter

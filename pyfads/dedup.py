@@ -1139,6 +1139,10 @@ def exact_substring_scrub(
     """
     if L < 2:
         raise ValueError(f"exact_substring_scrub: L must be >= 2, got {L}")
+    if emit not in ("digest", "text"):
+        # validate before any plan construction so a typo'd emit fails
+        # immediately rather than after the whole lazy plan is built
+        raise ValueError(f"exact_substring_scrub: emit must be 'digest' or 'text', got {emit!r}")
     sh = _shingle_occurrences(df, L, text_col, id_col)
     wh = Window.partitionBy("h")
     rn = F.row_number().over(wh.orderBy(id_col, "pos"))
@@ -1207,8 +1211,6 @@ def exact_substring_scrub(
     )
     if emit == "text":
         return res.select(id_col, clean.alias(text_col), removed)
-    if emit != "digest":
-        raise ValueError(f"exact_substring_scrub: emit must be 'digest' or 'text', got {emit!r}")
     return res.select(
         id_col,
         F.md5(clean).alias("clean_md5"),
@@ -1223,6 +1225,42 @@ def _ceil_ppm(part: int, whole: int) -> int:
     whole > part * 1e6, which would leak contaminated long docs past a
     0-ppm gate)."""
     return -((-part * 1_000_000) // whole)
+
+
+def _gate_ppm_udf(bc, L: int):
+    """Arrow-batched contamination-ppm UDF over a BROADCAST eval-hash set.
+
+    ``bc`` is a ``pyspark.Broadcast`` of a frozenset of 60-bit shingle
+    hashes; the closure captures only the broadcast HANDLE (a few hundred
+    bytes however large the eval set grows — pinned by
+    tests/test_llm_ops.py), and ``bc.value`` resolves executor-side from
+    the torrent-distributed block, once per executor instead of once per
+    task.  Module-level so the test can price the pickled closure."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def contam_ppm(texts: pd.Series) -> pd.Series:
+        eval_hashes = bc.value
+
+        def one(t: "str | None") -> int:
+            if t is None or len(t) < L:
+                return 0
+            n = len(t) - L + 1
+            spans: "list[list[int]]" = []  # merged [s, e] hit spans
+            for i in range(n):
+                if md5_hash60_py(XSUB_SEED, t[i : i + L]) not in eval_hashes:
+                    continue
+                s, e = i, i + L - 1
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1][1] = e
+                else:
+                    spans.append([s, e])
+            covered = sum(e - s + 1 for s, e in spans)
+            return _ceil_ppm(covered, len(t))
+
+        return texts.map(one).astype("int64")
+
+    return contam_ppm
 
 
 def contamination_gate_stream(
@@ -1257,36 +1295,23 @@ def contamination_gate_stream(
     Python-side md5 per char position is the price of statelessness —
     right for a gate on an ingest stream (docs/sec, not TB/sec); the
     full-corpus backfill belongs to the batch operator.
-    """
-    from pyspark.sql import types as T
 
+    The eval hash set ships as a ``SparkContext.broadcast`` (one transfer
+    per executor, torrent-distributed) rather than a UDF closure capture,
+    which would re-serialize the whole set into every task's command
+    (ADVICE r7) — at realistic eval-set sizes (MBs of 60-bit hashes) the
+    closure path bloats every micro-batch's task setup.
+    """
     ev_rows = (
         _shingle_occurrences(eval_df, L, text_col, id_col)
         .select("h")
         .distinct()
         .collect()
     )
-    eval_hashes = frozenset(r["h"] for r in ev_rows)
-
-    @F.pandas_udf(T.LongType())
-    def contam_ppm(texts: pd.Series) -> pd.Series:
-        def one(t: "str | None") -> int:
-            if t is None or len(t) < L:
-                return 0
-            n = len(t) - L + 1
-            spans: "list[list[int]]" = []  # merged [s, e] hit spans
-            for i in range(n):
-                if md5_hash60_py(XSUB_SEED, t[i : i + L]) not in eval_hashes:
-                    continue
-                s, e = i, i + L - 1
-                if spans and s <= spans[-1][1] + 1:
-                    spans[-1][1] = e
-                else:
-                    spans.append([s, e])
-            covered = sum(e - s + 1 for s, e in spans)
-            return _ceil_ppm(covered, len(t))
-
-        return texts.map(one).astype("int64")
+    bc = stream.sparkSession.sparkContext.broadcast(
+        frozenset(r["h"] for r in ev_rows)
+    )
+    contam_ppm = _gate_ppm_udf(bc, L)
 
     out = stream.withColumn("contam_ppm", contam_ppm(F.col(text_col)))
     return out.filter(F.col("contam_ppm") <= max_contam_ppm)

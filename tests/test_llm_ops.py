@@ -1611,6 +1611,31 @@ def test_exact_substring_scrub_periodic_text_keeps_canonical_copy(spark):
     assert r.clean_md5 == hashlib.md5(("a" * 40).encode()).hexdigest()
 
 
+def test_gate_udf_closure_is_broadcast_not_set(spark):
+    """ADVICE r7: the gate's pandas UDF must capture the BROADCAST HANDLE,
+    not the eval-hash set itself — the closure pickles into every task's
+    command, so an embedded multi-MB frozenset would re-ship with each
+    micro-batch.  Pin it: the pickled closure of a UDF built over a 100k-
+    hash broadcast stays ~constant-size (handle only), orders of magnitude
+    under the pickled set."""
+    import pickle
+
+    from pyspark.serializers import CloudPickleSerializer
+
+    from pyfads.dedup import _gate_ppm_udf
+
+    big = frozenset(range(100_000))
+    bc = spark.sparkContext.broadcast(big)
+    try:
+        udf = _gate_ppm_udf(bc, 40)
+        closure_bytes = len(CloudPickleSerializer().dumps(udf.func))
+        set_bytes = len(pickle.dumps(big))
+        assert closure_bytes < 20_000, f"gate closure pickles at {closure_bytes}B"
+        assert closure_bytes < set_bytes / 20
+    finally:
+        bc.unpersist()
+
+
 def test_contamination_gate_ceiling_ppm():
     """Code-review r7: one hit in an arbitrarily long doc must score >= 1
     ppm (floor division reports 0 past a million shingles and would leak

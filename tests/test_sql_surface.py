@@ -151,3 +151,17 @@ def test_bench_stdout_line_stays_inside_driver_tail_capture():
     assert parsed["queries_omitted"] > 0
     # slowest-first priority: the single slowest query always makes the line
     assert "extremely_long_query_name_number_0999" in parsed["queries"]
+
+    # budget packing (ADVICE r7): an overflowing long-named entry must not
+    # stop shorter-named, still-slower-first entries from filling the line
+    base_len = len(
+        json.dumps(
+            {**summary, "detail": "d", "queries": {}, "queries_omitted": 0},
+            separators=(",", ":"),
+        )
+    )
+    timings = {"q_" + "x" * 120: 10.0, "qa": 9.0, "qb": 8.0}
+    line = bench.compact_line(summary, timings, "d", budget=base_len + 30)
+    parsed = json.loads(line)
+    assert "qa" in parsed["queries"] and "qb" in parsed["queries"]
+    assert "q_" + "x" * 120 not in parsed["queries"]

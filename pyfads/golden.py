@@ -362,6 +362,110 @@ def ann_ivf_topk_oracle(
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
 
 
+@functools.lru_cache(maxsize=None)
+def _semantic_dedup_cached(
+    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    plant_n: int = 0,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup: the SAME k-means codebook
+    (bitwise, via _ivf_centroids — trained on the UNPLANTED base, the
+    train-once/serve-many posture) embedded as '<repr>'::DOUBLE literals —
+    the strtod path, because here the centroid values feed the
+    centroid_cos OUTPUT column and the keeper-priority comparison, not
+    just a rank (contrast _ann_ivf_cached's bare literals).  Assignment
+    replays the fold-dot argmax; centroid_cos and the pair cosine replay
+    Spark's literal chain (dot_expr) term for term.  ``plant_n`` > 0
+    mirrors the registered query's planted scaled copies (the Gaussian
+    fixtures have no true semantic dups — same device as
+    embedding_near_dup)."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+
+    def dvec(v) -> str:
+        return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
+
+    vals = ",\n  ".join(f"({j}, {dvec(cents[j])})" for j in range(len(cents)))
+    norm0 = _chain_norm_sql("e0", dim)
+    assign_dot = _fold_dot("e.embedding", "c.cvec", dim)
+
+    # Spark side forces the FOLD path for every semantic-dedup expression
+    # (five 64-dim chains in one stage overflow janino's 64KB method limit
+    # — see similarity.semantic_dedup); fold == chain bitwise (left-
+    # associated, seed 0.0 + t1 == t1), but the twin folds anyway so
+    # equivalence is by construction, not by the doc claim.
+    def fdot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+
+    def fnorm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a},"
+            f" x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+        )
+
+    pchain = fdot("e.embedding", "c.cvec")
+    pair_dot = fdot("ea.embedding", "eb.embedding")
+    na, nb, ne = (fnorm(f"{t}.embedding") for t in ("ea", "eb", "e"))
+    src = "embeddings"
+    if plant_n > 0:
+        src = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id < {plant_n}
+)"""
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding FROM {src} e0 WHERE {norm0} > 0),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({assign_dot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+    FROM celldot)
+  WHERE rn = 1
+),
+withp AS (
+  SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
+),
+dropped AS (
+  SELECT pb.vec_id AS b_id, count(*) AS n
+  FROM withp pa
+  JOIN withp pb ON pa.cell = pb.cell
+   AND (pa.centroid_cos < pb.centroid_cos
+        OR (pa.centroid_cos = pb.centroid_cos AND pa.vec_id < pb.vec_id))
+  JOIN e ea ON ea.vec_id = pa.vec_id
+  JOIN e eb ON eb.vec_id = pb.vec_id
+  WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE
+  GROUP BY pb.vec_id
+)
+SELECT w.vec_id, CAST(w.cell AS INTEGER) AS cell, w.centroid_cos,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_better_neighbors,
+       COALESCE(d.n, 0) = 0 AS is_kept
+FROM withp w LEFT JOIN dropped d ON w.vec_id = d.b_id
+"""
+
+
+def semantic_dedup_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    seed: int = 7,
+    plant_n: int = 0,
+) -> str:
+    return _semantic_dedup_cached(
+        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_n
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN IVF-PQ: coarse codebook + PQ sub-codebooks trained at build time,
 # cell assignment, PQ encoding, and ADC scoring all recomputed in SQL

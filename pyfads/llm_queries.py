@@ -763,6 +763,28 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
 
+@query("dedup_semantic", oracle=lambda: G.semantic_dedup_oracle(plant_n=32))
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-class semantic dedup (Abbas et al. 2023): spherical-k-means
+    cells + within-cell cosine-threshold drop, keeper = lowest cosine to
+    the own-cell centroid.  The Gaussian fixtures hold no true paraphrase
+    pairs, so the query plants scaled copies for vec_id < 32 (cosine 1.0,
+    same cell — scale-invariant argmax) and must drop exactly one of each
+    pair; the oracle (pyfads.golden.semantic_dedup_oracle) replays the
+    bitwise-identical codebook, assignment, priority, and pair cosine.
+    Centroids are trained once on the UNPLANTED base both sides (the
+    train-once/serve-many posture)."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return S.semantic_dedup(
+        embs.unionByName(planted), DIM, threshold=0.9, centroids=cents
+    )
+
+
 @query("ann_ivfpq_topk", oracle=G.ann_ivfpq_topk_oracle)
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-10: product-quantized codes ranked by the

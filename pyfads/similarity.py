@@ -50,6 +50,7 @@ __all__ = [
     "ann_ivfpq_topk",
     "train_ivf_centroids",
     "train_pq_codebooks",
+    "semantic_dedup",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -107,10 +108,7 @@ def dot_expr(a_col: str, b_col: str, dim: int) -> "F.Column":
     return _dot_fold(a_col, b_col)
 
 
-def norm_expr(col: str, dim: int) -> "F.Column":
-    """L2 norm, dim-switched like :func:`dot_expr`."""
-    if dim <= CHAIN_MAX_DIM:
-        return _norm_chain(col, dim)
+def _norm_fold(col: str) -> "F.Column":
     return F.sqrt(
         F.aggregate(
             F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
@@ -118,6 +116,13 @@ def norm_expr(col: str, dim: int) -> "F.Column":
             lambda acc, v: acc + v,
         )
     )
+
+
+def norm_expr(col: str, dim: int) -> "F.Column":
+    """L2 norm, dim-switched like :func:`dot_expr`."""
+    if dim <= CHAIN_MAX_DIM:
+        return _norm_chain(col, dim)
+    return _norm_fold(col)
 
 
 def drop_zero_norm(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
@@ -453,6 +458,129 @@ def _kmeans_spherical(m: np.ndarray, n_centroids: int, seed: int, iters: int = 2
     return C
 
 
+def _cell_assign_udf(cents: np.ndarray, n_top: int):
+    """Arrow-batched coarse quantizer: per vector, the indices of its
+    ``n_top`` nearest (max-cosine) centroids.  The (tiny) codebook rides in
+    the UDF closure — the FAISS quantizer-broadcast shape.  Shared by
+    :func:`ann_ivf_topk`, :func:`ann_ivfpq_topk` probing and
+    :func:`semantic_dedup`."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T  # (n, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-class semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical k-means,
+    then inside each cluster drop every vector that has a higher-priority
+    neighbor at cosine >= ``threshold`` — paraphrase-level redundancy that
+    lexical MinHash/SimHash/ExactSubstr cannot see.
+
+    Keeper rule (the paper's): within a τ-duplicate relation the member
+    with the LOWEST cosine to its cluster centroid survives — keeping the
+    least-typical example preserves diversity.  Ties break on the id.
+    This is the pairwise (transitive-chain) variant: ANY higher-priority
+    τ-neighbor disqualifies a row, whether or not that neighbor itself
+    survives — one self-join instead of the paper's sequential per-cluster
+    scan (at τ >= 0.9 duplicate chains are short and the survivor sets
+    nearly coincide; a strict-sequential replay would need an iterative
+    loop like :func:`pyfads.dedup.connected_components`).
+
+    Returns ALL rows: ``(vec_id, cell, centroid_cos, n_better_neighbors,
+    is_kept)``.
+
+    Scale shape: the codebook is trained on a bounded md5-ordered sample
+    (:func:`train_ivf_centroids`) and broadcast; cell assignment is one
+    Arrow-batched UDF pass; the only wide exchange is the within-cell
+    self-join on the int cell id — O(sum c_i^2) pair work, NEVER corpus
+    all-pairs.  At 100 TB, size ``n_centroids`` so the expected cell is
+    bounded (SemDeDup used 50k clusters for LAION-scale); the centroid_cos
+    priority and the pair cosine are FOLD-form arithmetic (same
+    left-associated double sum as the chain, one higher-order expression
+    each): five 64-dim chains in one stage overflow janino's 64KB method
+    limit and drop the whole stage to interpreted projection (measured
+    20.6s -> fold fixed it), so this operator forces the fold path at
+    every dim; the DuckDB oracle folds identically.
+    """
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
+    )
+    spark = embeddings.sparkSession
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+            "cell int, cvec array<double>",
+        )
+    )
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    # priority = cosine to the own-cell centroid, computed IN THE PLAN
+    # against the literal centroid rows (not inside the numpy UDF) so the
+    # double agrees bit-for-bit with the oracle's chain; centroids are
+    # unit-norm by construction, so cos = dot / |v|.
+    withp = assigned.join(cents_df, "cell").select(
+        id_col,
+        "cell",
+        "__v",
+        (_dot_fold("__v", "cvec") / _norm_fold("__v")).alias("centroid_cos"),
+    )
+    a = withp.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__v").alias("a_vec"),
+        F.col("cell"),
+        F.col("centroid_cos").alias("a_cc"),
+    )
+    b = withp.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__v").alias("b_vec"),
+        F.col("cell"),
+        F.col("centroid_cos").alias("b_cc"),
+    )
+    better = (F.col("a_cc") < F.col("b_cc")) | (
+        (F.col("a_cc") == F.col("b_cc")) & (F.col("a_id") < F.col("b_id"))
+    )
+    cos = _dot_fold("a_vec", "b_vec") / (_norm_fold("a_vec") * _norm_fold("b_vec"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(better)
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_better_neighbors"))
+    )
+    out = withp.join(dropped, withp[id_col] == dropped["b_id"], "left")
+    n = F.coalesce(F.col("n_better_neighbors"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("centroid_cos"),
+        n.alias("n_better_neighbors"),
+        (n == 0).alias("is_kept"),
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -495,27 +623,15 @@ def ann_ivf_topk(
         if centroids is not None
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
-
-    def _cells(n_top: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs: pd.Series) -> pd.Series:
-            m = np.vstack(vecs.to_numpy())  # (n, dim)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cents.T  # (n, n_centroids)
-            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
-            return pd.Series(list(top))
-
-        return assign
-
     cb = embeddings.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(_cells(corpus_assign)(F.col(vec_col))).alias("cell"),
+        F.explode(_cell_assign_udf(cents, corpus_assign)(F.col(vec_col))).alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_cells(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(_cell_assign_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     cand = (
         qb.select("q_id", "cell")

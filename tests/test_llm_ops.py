@@ -206,6 +206,50 @@ def test_embedding_near_dup_planted(spark):
     assert got == {(j, 100 + j) for j in range(5)}
 
 
+def test_semantic_dedup_planted_paraphrase(spark):
+    """SemDeDup keeper semantics on a hand-built cluster geometry: within
+    a cell, every vector with a >= tau neighbor of LOWER centroid-cosine
+    (ties: lower id) is dropped; the least-typical member survives.
+
+    cents pinned so cell assignment is known: id1=(1,0,0,0) cell0 cc=1.0;
+    id2=(0.9,0.1,0,0) cell0 cc~0.9938 with cos(1,2)~0.9938 >= 0.9 -> id2
+    (farther from centroid) survives, id1 drops; id5 duplicates id1
+    exactly -> cc tie, id1 beats id5 on id, and id2 beats both, so id5
+    has TWO better neighbors; cell1's pair sits at cos 0.707 < 0.9 ->
+    both kept."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.5, 0.5, 0.0]),
+            (5, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(df, dim=4, threshold=0.9, centroids=cents).collect()
+    }
+    assert {i: rows[i]["is_kept"] for i in rows} == {
+        1: False,
+        2: True,
+        3: True,
+        4: True,
+        5: False,
+    }
+    assert rows[1]["n_better_neighbors"] == 1  # id2 only
+    assert rows[5]["n_better_neighbors"] == 2  # id2 and (id-tiebreak) id1
+    assert rows[1]["cell"] == rows[2]["cell"] == rows[5]["cell"] == 0
+    assert rows[3]["cell"] == rows[4]["cell"] == 1
+    assert abs(rows[1]["centroid_cos"] - 1.0) < 1e-12
+    # survivors of a tau-group are the LOW-centroid-cos members
+    assert rows[2]["centroid_cos"] < rows[1]["centroid_cos"]
+
+
 def test_ann_ivf_trained_recall_gate(spark):
     """Recall gate for the k-means-trained IVF codebook at sf0.01.
 

@@ -1466,6 +1466,97 @@ def classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 4096
+
+
+def _dsir_weights_ctes(target_sql: str = "lang = 'en'") -> str:
+    """CTE chain ending in ``dw(doc_id, n_feats, logw_bits)`` — the DuckDB
+    twin of pyfads.text.dsir_weights (floor-log2 fixed point via
+    length(bin(x))-1, identical in both engines)."""
+    bucket = f"{_h60('dsir', 'g')} % {_DSIR_BUCKETS}"
+    return f"""
+t AS (SELECT doc_id, ({target_sql}) AS tgt, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, tgt,
+         list_concat(toks, CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i + 1]))
+           ELSE [] END) AS feats
+  FROM t
+),
+h AS (
+  SELECT doc_id, tgt, CAST({bucket} AS BIGINT) AS b
+  FROM (SELECT doc_id, tgt, unnest(feats) AS g FROM f)
+),
+bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS q_cnt,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+  FROM h GROUP BY b
+),
+lam AS (
+  SELECT b,
+         ((length(bin(p_cnt + 1)) - 1)
+          - (length(bin(CAST(sum(p_cnt) OVER () AS BIGINT) + 1)) - 1))
+       - ((length(bin(q_cnt + 1)) - 1)
+          - (length(bin(CAST(sum(q_cnt) OVER () AS BIGINT) + 1)) - 1)) AS lam_bits
+  FROM bk
+),
+dagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lam_bits) AS BIGINT) AS logw_bits
+  FROM h JOIN lam USING (b) GROUP BY doc_id
+),
+dw AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(dagg.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(COALESCE(dagg.logw_bits, 0) AS BIGINT) AS logw_bits
+  FROM documents d LEFT JOIN dagg ON d.doc_id = dagg.doc_id
+)"""
+
+
+_DSIR_WEIGHTS_SQL = f"WITH {_dsir_weights_ctes()} SELECT doc_id, n_feats, logw_bits FROM dw"
+
+_DSIR_K = 100
+
+_DSIR_SAMPLE_SQL = f"""
+WITH {_dsir_weights_ctes()},
+r AS (
+  SELECT doc_id, logw_bits,
+         {_h60('dsirs', 'CAST(doc_id AS VARCHAR)')} AS u
+  FROM dw
+)
+SELECT doc_id, logw_bits,
+       CAST(60 - (length(bin(u + 1)) - 1) AS BIGINT) AS noise_bits,
+       CAST(logw_bits + 60 - (length(bin(u + 1)) - 1) AS BIGINT) AS race_key
+FROM r
+ORDER BY race_key DESC, u ASC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@query("dsir_weights", oracle=_DSIR_WEIGHTS_SQL)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models of target (lang='en') vs raw corpus; per-doc log2-ratio sum
+    in integer bits.  The lambda table is bounded at 4096 buckets and
+    broadcast — one explode, one map-side join, one doc-keyed shuffle."""
+    return X.dsir_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+
+
+@query("dsir_sample", oracle=_DSIR_SAMPLE_SQL)
+def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling: integer exponential race (geometric noise on the
+    log2 weights) -> top-100, planned as TakeOrderedAndProject."""
+    from pyfads.pipeline import dsir_sample
+
+    w = X.dsir_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return dsir_sample(w, k=_DSIR_K)
+
+
 # integer mixture weights over the 20 fixture sources; out_rows is ~40% of
 # the sf0.01 corpus so some strata cap at keep-everything (both branches of
 # the least() exercised)

@@ -19,6 +19,7 @@ from pyfads.text import md5_hash60, tokens
 
 __all__ = [
     "sample_by_hash",
+    "dsir_sample",
     "pack_greedy",
     "contamination_overlap",
     "split_assign",
@@ -66,6 +67,49 @@ def sample_by_hash(
         df.withColumn("samp_bucket", bucket.cast("long"))
         .filter(F.col("samp_bucket") < thresh)
         .select(id_col, strat_col, "samp_bucket")
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    k: int = 100,
+    seed: str = "dsirs",
+    bits_col: str = "logw_bits",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's resampling step (Xie et al. 2023): a weighted-without-
+    replacement top-k over importance weights given in log2 "bits"
+    (:func:`pyfads.text.dsir_weights`), via an INTEGER exponential race.
+
+    The exponential-race / Gumbel-max trick samples x with probability
+    proportional to w(x) by ranking on log w(x) + noise; here the noise is
+    the integer ``60 - bit_length(u)`` for a 60-bit md5 uniform ``u`` —
+    geometric(1/2), i.e. the exponential race at the same 1-bit resolution
+    as the weights themselves.  All-integer, so the sample is bit-exactly
+    reproducible across engines and replays (the reason this is not
+    float Gumbel noise); within-key ties break on (u, id).
+
+    Returns the k winners: ``(doc_id, <bits_col>, noise_bits, race_key)``.
+
+    Scale shape: one projection + ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-task top-k, then a single bounded merge),
+    the same shape as :func:`sample_priority_k`; nothing corpus-sized
+    moves.
+    """
+    u = md5_hash60(F.col(id_col).cast("string"), seed)
+    base = weights.select(
+        F.col(id_col),
+        F.col(bits_col).cast("long").alias(bits_col),
+        u.alias("__u"),
+        (F.lit(60) - (F.length(F.bin(u + 1)) - 1)).cast("long").alias("noise_bits"),
+    )
+    base = base.withColumn(
+        "race_key", (F.col(bits_col) + F.col("noise_bits")).cast("long")
+    )
+    return (
+        base.orderBy(F.col("race_key").desc(), F.col("__u").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, bits_col, "noise_bits", "race_key")
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "word_ngrams",
     "top_ngrams",
     "hashed_classifier_score",
+    "dsir_weights",
     "corpus_stats",
     "bpe_train_merges",
     "bpe_piece_count",
@@ -445,6 +446,86 @@ def hashed_classifier_score(
         "weight_sum",
         score.alias("clf_score"),
         (score >= F.lit(float(threshold))).alias("clf_pass"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: "str | Column",
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per document, an estimate of log p_target(x)/p_raw(x) under hashed
+    n-gram bag-of-words models of the target distribution (rows where
+    ``target_col`` is true) vs the raw corpus (all rows).
+
+    Fixed point is FLOOR-LOG2 ("bits", via ``length(bin(c)) - 1`` — the
+    cross-engine-exact integer log the sketches already use): each
+    feature's contribution is
+
+        lam[h] = (il(p[h]+1) - il(p_tot+1)) - (il(q[h]+1) - il(q_tot+1))
+
+    i.e. the smoothed log2-probability ratio at +-1-bit resolution, and a
+    document's ``logw_bits`` is the sum over its unigram+bigram
+    occurrences.  A true ln() would not be bit-reproducible across engines
+    (the BM25 odds-form precedent); 1-bit resolution per feature over
+    hundreds of features per doc still separates on-target from off-target
+    text by tens of bits.
+
+    Returns ALL rows: ``(doc_id, n_feats, logw_bits)``.
+
+    Scale shape: features explode once, bucket-hash to ``n_buckets`` keys;
+    the lambda table is BOUNDED at n_buckets rows (its totals window runs
+    on that tiny table, single partition by construction), broadcast back
+    onto the feature stream — so the corpus sees one explode, one
+    map-side broadcast join, and ONE doc-keyed shuffle, regardless of
+    corpus size.  This is DSIR's own design point: the model is a hashed
+    count vector, never vocabulary-sized state.
+    """
+    tgt = (F.col(target_col) if isinstance(target_col, str) else target_col).cast(
+        "boolean"
+    )
+    toks = tokens(text_col)
+    feats = F.concat(toks, word_ngrams(text_col, 2)) if bigrams else toks
+    hashed = df.select(
+        F.col(id_col),
+        tgt.alias("__t"),
+        F.explode(feats).alias("g"),
+    ).select(
+        id_col,
+        "__t",
+        (md5_hash60(F.col("g"), seed) % n_buckets).cast("long").alias("b"),
+    )
+    il = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    wtot = Window.partitionBy()  # whole-frame total over <= n_buckets rows
+    buckets = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("q_cnt"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("p_cnt"),
+    )
+    lam = buckets.select(
+        "b",
+        (
+            (il(F.col("p_cnt") + 1) - il(F.sum("p_cnt").over(wtot) + 1))
+            - (il(F.col("q_cnt") + 1) - il(F.sum("q_cnt").over(wtot) + 1))
+        ).alias("lam_bits"),
+    )
+    agg = (
+        hashed.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lam_bits").cast("long").alias("logw_bits"),
+        )
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("logw_bits"), F.lit(0)).cast("long").alias("logw_bits"),
     )
 
 

@@ -206,6 +206,74 @@ def test_embedding_near_dup_planted(spark):
     assert got == {(j, 100 + j) for j in range(5)}
 
 
+def test_dsir_weights_separate_target_vocab(spark):
+    """DSIR importance weights must rank docs made of target-distribution
+    vocabulary above docs made of off-target vocabulary (the paper's
+    selection property), here at floor-log2 resolution: 8 target docs
+    share one vocabulary, 8 raw-only docs another; two held-out probes
+    (target-vocab vs off-vocab, neither marked target) must order
+    accordingly and the gap must be material (>= 3 bits)."""
+    from pyfads.text import dsir_weights
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "alpha beta gamma alpha beta gamma", True))
+    for i in range(8, 16):
+        rows.append((i, "delta epsilon zeta delta epsilon zeta", False))
+    rows.append((100, "alpha beta gamma alpha beta gamma", False))  # probe: on-target
+    rows.append((101, "delta epsilon zeta delta epsilon zeta", False))  # probe: off
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {
+        r["doc_id"]: r["logw_bits"]
+        for r in dsir_weights(df, "tgt", n_buckets=64, text_col="text").collect()
+    }
+    assert w[100] - w[101] >= 3, (w[100], w[101])
+    # weights are a pure function of text: probe == its vocabulary twin
+    assert w[100] == w[0] and w[101] == w[8]
+
+
+def test_dsir_weights_fixture_prefers_target_language(spark):
+    """On the real documents fixture with target = lang='en', mean
+    logw_bits of en docs must exceed every other language's mean
+    (deterministic: measured ~-5.9 vs -11.8..-13.0 at sf0.01)."""
+    from pyfads.text import dsir_weights
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["lang"]: r["m"]
+        for r in w.groupBy("lang").agg(F.avg("logw_bits").alias("m")).collect()
+    }
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m + 3, (lang, means)
+
+
+def test_dsir_sample_race_semantics(spark):
+    """The integer exponential race: race_key = logw_bits + geometric
+    noise (60 - bit_length(md5 uniform)); a 100-bit weight gap cannot be
+    bridged by noise (max 60 bits), so all k winners come from the heavy
+    group, and the race is a pure function of (id, seed) — rerun equal."""
+    from pyfads.pipeline import dsir_sample
+    from pyfads.text import md5_hash60_py
+
+    heavy = [(i, 100) for i in range(20)]
+    light = [(i, 0) for i in range(20, 200)]
+    df = spark.createDataFrame(heavy + light, "doc_id long, logw_bits long")
+    got = dsir_sample(df, k=20).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(20))
+    for r in got:
+        u = md5_hash60_py("dsirs", str(r["doc_id"]))
+        noise = 60 - ((u + 1).bit_length() - 1)
+        assert r["noise_bits"] == noise
+        assert r["race_key"] == r["logw_bits"] + noise
+    assert [r["doc_id"] for r in dsir_sample(df, k=20).collect()] == [
+        r["doc_id"] for r in got
+    ]
+
+
 def test_semantic_dedup_planted_paraphrase(spark):
     """SemDeDup keeper semantics on a hand-built cluster geometry: within
     a cell, every vector with a >= tau neighbor of LOWER centroid-cosine

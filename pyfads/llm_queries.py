@@ -969,6 +969,66 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_band_sql(i: int) -> str:
+    """16-bit dHash band value from the 1-based ``px`` list (bit idx
+    16i+k, row-major r*8+c over the 9x8 grid) — the DuckDB twin of
+    multimodal._dhash_bands_from_pixels."""
+    terms = []
+    for k in range(16):
+        idx = 16 * i + k
+        r, c = divmod(idx, 8)
+        terms.append(
+            f"CASE WHEN px[{r * 9 + c + 1}] > px[{r * 9 + c + 2}] THEN {1 << k} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + f" AS INTEGER) AS b{i}"
+
+
+_DHASH_SIGS_CTE = f"""
+sigs AS (
+  SELECT media_id,
+         {", ".join(_dhash_band_sql(i) for i in range(4))}
+  FROM (
+    SELECT doc_id AS media_id,
+           list_transform(generate_series(0, 71),
+             j -> CASE WHEN j * greatest(length(text) // 72, 1) < length(text)
+                       THEN ord(substr(text, j * greatest(length(text) // 72, 1) + 1, 1))
+                       ELSE 0 END) AS px
+    FROM documents
+  )
+)"""
+
+_MEDIA_DHASH_SQL = f"WITH {_DHASH_SIGS_CTE} SELECT media_id, b0, b1, b2, b3 FROM sigs"
+
+_DHASH_HAMMING = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
+
+_MEDIA_NEARDUP_SQL = f"""
+WITH {_DHASH_SIGS_CTE}
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+       CAST({_DHASH_HAMMING} AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+WHERE {_DHASH_HAMMING} <= 3
+"""
+
+
+@query("media_image_dhash", oracle=_MEDIA_DHASH_SQL)
+def media_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash signatures over the binary media column
+    (deterministic fake decode: stride-sampled 9x8 'grayscale', 64
+    gradient bits as four 16-bit bands) — mapInPandas, bytes stay
+    executor-side."""
+    return M.image_dhash(_media(spark, sf_dir))
+
+
+@query("media_image_neardup", oracle=_MEDIA_NEARDUP_SQL)
+def media_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash banding (4 x 16-bit) +
+    exact Hamming <= 3 verify.  The oracle is exact all-pairs (affordable
+    at oracle scale); banding recall is perfect at max_hamming < bands by
+    pigeonhole, so the sets must match — 21 pairs at sf0.01, catching all
+    planted near-dup texts whose stride-sampled bytes align."""
+    return M.image_neardup_pairs(_media(spark, sf_dir), max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # High-dimension similarity (wide model embeddings: 768/1024/1536)
 # --------------------------------------------------------------------------

@@ -32,6 +32,8 @@ __all__ = [
     "extract_media_features",
     "resize_media",
     "sample_frames",
+    "image_dhash",
+    "image_neardup_pairs",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -232,6 +234,164 @@ def resize_media(
             )
 
     return media.mapInPandas(fn, schema)
+
+
+_DHASH_W, _DHASH_H = 9, 8  # 9x8 grayscale -> 8x8 horizontal gradients = 64 bits
+_DHASH_PIXELS = _DHASH_W * _DHASH_H
+_DHASH_BANDS = 4  # 4 x 16-bit bands for the LSH-style candidate join
+
+
+def _dhash_bands_from_pixels(px) -> "tuple[int, int, int, int]":
+    """64 dHash gradient bits (row-major: bit r*8+c set iff
+    px[r][c] > px[r][c+1]) packed into four 16-bit band values.  Bands
+    instead of one 64-bit int: band equality is the banding join key, and
+    bit 63 would overflow a signed BIGINT's positive range."""
+    bands = [0, 0, 0, 0]
+    for idx in range(64):
+        r, c = divmod(idx, 8)
+        if px[r * _DHASH_W + c] > px[r * _DHASH_W + c + 1]:
+            bands[idx // 16] |= 1 << (idx % 16)
+    return tuple(bands)
+
+
+def _fake_gray_pixels(content: bytes) -> "list[int]":
+    """Deterministic stand-in for decode+resize to 9x8 grayscale: every
+    ``stride``-th byte (the :func:`resize_media` fake-resample rule),
+    zero-padded — oracle-stable (DuckDB replays it with ord/substr)."""
+    stride = max(len(content) // _DHASH_PIXELS, 1)
+    px = list(content[::stride][:_DHASH_PIXELS])
+    return px + [0] * (_DHASH_PIXELS - len(px))
+
+
+def image_dhash(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Perceptual dHash signature per media row (the image twin of
+    SimHash): decode -> 9x8 grayscale -> 64 horizontal-gradient bits,
+    packed as four 16-bit bands ``(media_id, b0, b1, b2, b3)``.
+
+    dHash is robust to re-encode/resize/brightness shifts because it keeps
+    only the SIGN of adjacent-pixel gradients.  With ``decoder='real'``
+    (PIL) the 9x8 comes from convert('L') + LANCZOS resize; the default
+    deterministic fake (this container has no image codecs) stride-samples
+    the bytes like :func:`resize_media`, keeping the Spark plumbing and
+    the banding math identical and oracle-checkable.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, bytes never leave
+    the executor; the output is 4 ints + an id per image.
+    """
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{i}", T.IntegerType(), False) for i in range(_DHASH_BANDS)]
+    )
+    resolve = _pick_decoder(decoder)
+
+    def _real_pixels(content: bytes) -> "list[int]":
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).convert("L")
+        arr = np.asarray(
+            img.resize((_DHASH_W, _DHASH_H), Image.LANCZOS), dtype=np.int64
+        )
+        return [int(x) for x in arr.reshape(-1)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pixels = (
+            _fake_gray_pixels if resolve() is fake_decode_features else _real_pixels
+        )
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    bands = (0, 0, 0, 0)
+                else:
+                    bands = _dhash_bands_from_pixels(pixels(bytes(content)))
+                out["media_id"].append(mid)
+                for i in range(_DHASH_BANDS):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    **{
+                        f"b{i}": pd.array(out[f"b{i}"], dtype="int32")
+                        for i in range(_DHASH_BANDS)
+                    },
+                }
+            )
+
+    return media.mapInPandas(fn, schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: "int | None" = 64,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash signatures, banded candidate
+    join, exact Hamming verify — the multimodal member of the near-dup
+    family (MinHash for token sets, SimHash for term vectors, dHash for
+    pixels).
+
+    By pigeonhole, Hamming distance <= ``max_hamming`` < 4 bands forces
+    exact agreement on at least one 16-bit band, so banding has perfect
+    recall at the default ``max_hamming=3``; the join is an equi-join on
+    (band_idx, band_value) — never all-pairs — with the same hot-bucket
+    salt cap as every near-dup pipeline here (flat images collide on band
+    values far more than md5 keys do).  Verify is
+    ``sum(bit_count(a.b_i XOR b.b_i)) <= max_hamming``.
+    """
+    if max_hamming >= _DHASH_BANDS:
+        raise ValueError("banding guarantees recall only for max_hamming < 4 bands")
+    from pyfads.dedup import _salt_cap
+
+    sigs = image_dhash(media, decoder)
+    banded = sigs.select(
+        "media_id",
+        *[f"b{i}" for i in range(_DHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").cast("string").alias("band_key"),
+                    )
+                    for i in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        "media_id",
+        *[f"b{i}" for i in range(_DHASH_BANDS)],
+        "__b.band_idx",
+        "__b.band_key",
+    )
+    if max_bucket is not None:
+        banded = _salt_cap(banded, "media_id", "band_key", max_bucket, "band_idx")
+    a = banded.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(f"b{i}").alias(f"__a{i}") for i in range(_DHASH_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col("media_id").alias("b_id"),
+        *[F.col(f"b{i}").alias(f"__b{i}") for i in range(_DHASH_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
+        for i in range(_DHASH_BANDS)
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -520,6 +520,75 @@ def test_media_decoder_gating(spark):
         M.extract_media_features(media, decoder="nope")
 
 
+def test_image_dhash_planted_duplicates(spark):
+    """dHash near-dup semantics on planted media: an exact byte copy pairs
+    at hamming 0; a lightly-perturbed copy (few flipped bytes -> few
+    flipped gradient bits) still pairs within the 3-bit budget; unrelated
+    deterministic byte strings never pair at <= 3."""
+    import pyfads.multimodal as M
+
+    base = ("the quick brown fox jumps over the lazy dog " * 6).encode()
+    near = bytearray(base)
+    # perturb a byte the stride-3 fake resample actually SAMPLES (12 % 3
+    # == 0 -> px[4]='o'(111); neighbors px[3] and px[5] are both ' '(32)):
+    # dropping it to 32 flips exactly the px[4]>px[5] gradient bit
+    near[12] = 32
+    other = bytes((i * 37 + 11) % 251 for i in range(len(base)))
+    df = spark.createDataFrame(
+        [(1, bytes(base), "s"), (2, bytes(base), "s"),
+         (3, bytes(near), "s"), (4, other, "s")],
+        "doc_id long, raw binary, src string",
+    )
+    media = M.as_media(df, "doc_id", F.col("raw"), "image/fake", "src")
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in M.image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_dhash_band_packing():
+    """_dhash_bands_from_pixels bit layout: bit r*8+c (set iff
+    px[r][c] > px[r][c+1]) lands in band (r*8+c)//16 at position %16."""
+    import pyfads.multimodal as M
+
+    px = [0] * 72
+    px[0] = 5  # r0 c0 > r0 c1 -> bit 0 -> band 0, bit 0
+    px[9 * 2 + 3] = 7  # r2 c3 > r2 c4 -> bit 19 -> band 1, bit 3
+    px[9 * 7 + 7] = 9  # r7 c7 > r7 c8 -> bit 63 -> band 3, bit 15
+    assert M._dhash_bands_from_pixels(px) == (1, 8, 0, 32768)
+    # empty/flat content -> all-zero signature
+    assert M._dhash_bands_from_pixels([0] * 72) == (0, 0, 0, 0)
+
+
+def test_image_dhash_real_decoder_with_pil(spark):
+    """Real-PIL dHash path — runs only where pillow exists (skipped in
+    this container): a flat image has zero gradients everywhere, a
+    left-right gradient image sets every bit."""
+    pytest.importorskip("PIL")
+    import io as _io
+
+    import pyfads.multimodal as M
+    from PIL import Image
+
+    flat = _io.BytesIO()
+    Image.new("L", (32, 32), color=100).save(flat, format="PNG")
+    grad = Image.new("L", (32, 32))
+    grad.putdata([max(0, 255 - 8 * (i % 32)) for i in range(32 * 32)])
+    gbuf = _io.BytesIO()
+    grad.save(gbuf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, flat.getvalue(), "s"), (2, gbuf.getvalue(), "s")],
+        "doc_id long, raw binary, src string",
+    )
+    media = M.as_media(df, "doc_id", F.col("raw"), "image/png", "src")
+    sigs = {r["media_id"]: r for r in M.image_dhash(media, decoder="real").collect()}
+    assert (sigs[1]["b0"], sigs[1]["b1"], sigs[1]["b2"], sigs[1]["b3"]) == (0, 0, 0, 0)
+    assert all(sigs[2][f"b{i}"] == 65535 for i in range(4))
+
+
 def test_media_real_decode_with_pil(spark):
     """Real decode path end-to-end — runs only where pillow exists (skipped
     in this container); generates a tiny in-memory PNG and checks width/

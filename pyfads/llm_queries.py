@@ -2111,6 +2111,76 @@ FROM s
 """
 
 
+def _afp_band_sql(k: int) -> str:
+    """16-bit audio-fingerprint band from the 1-based frame-energy list
+    ``en`` (bit i set iff en[i+1] > en[i+2]) — the DuckDB twin of
+    multimodal._delta_bands."""
+    terms = []
+    for b in range(16):
+        i = 16 * k + b
+        terms.append(f"CASE WHEN en[{i + 1}] > en[{i + 2}] THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + f" AS INTEGER) AS b{k}"
+
+
+# Frame energies are integer sums of squared int16 samples — exact in
+# BIGINT however either engine sums them, so the delta-sign comparisons
+# (hence the fingerprint) are bit-identical by construction.
+_AFP_SIGS_CTE = f"""
+asrc AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         greatest(length(text) // 65, 1) AS L
+  FROM documents WHERE strlen(text) = length(text)
+),
+aen AS (
+  SELECT media_id, n,
+         list_transform(generate_series(0, 64),
+           j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(j * L + 1, least((j + 1) * L, n)),
+                    i -> CAST((ascii(substr(text, i, 1)) - 64) * 256 AS BIGINT)
+                       * ((ascii(substr(text, i, 1)) - 64) * 256))),
+                (a, b) -> a + b)) AS en
+  FROM asrc
+),
+afp AS (
+  SELECT media_id,
+         {", ".join(_afp_band_sql(k) for k in range(4))},
+         CAST(n AS BIGINT) AS n_frames
+  FROM aen
+)"""
+
+_MEDIA_AFP_SQL = f"WITH {_AFP_SIGS_CTE} SELECT media_id, b0, b1, b2, b3, n_frames FROM afp"
+
+_AFP_HAMMING = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
+
+_MEDIA_AUDIO_NEARDUP_SQL = f"""
+WITH {_AFP_SIGS_CTE}
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+       CAST({_AFP_HAMMING} AS INTEGER) AS hamming
+FROM afp a JOIN afp b ON a.media_id < b.media_id
+WHERE {_AFP_HAMMING} <= 3
+"""
+
+
+@query("media_audio_fingerprint", oracle=_MEDIA_AFP_SQL)
+def media_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprint with REAL WAV decode end-to-end:
+    text_to_wav bytes -> stdlib RIFF decoder -> 65 frame energies -> 64
+    delta-sign bits as four 16-bit bands; DuckDB recomputes the energies
+    analytically from the text_to_wav sample contract."""
+    docs = _docs(spark, sf_dir).filter(F.octet_length("text") == F.length("text"))
+    return M.audio_fingerprint(M.text_to_wav(docs))
+
+
+@query("media_audio_neardup", oracle=_MEDIA_AUDIO_NEARDUP_SQL)
+def media_audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the real-decode fingerprints: banded
+    candidate join + exact Hamming <= 3 verify vs an all-pairs oracle
+    (22 pairs at sf0.01 — the planted near-dup texts collide in energy
+    envelope just as they do in pixels)."""
+    docs = _docs(spark, sf_dir).filter(F.octet_length("text") == F.length("text"))
+    return M.audio_neardup_pairs(M.text_to_wav(docs), max_hamming=3)
+
+
 @query("media_audio", oracle=_MEDIA_AUDIO_SQL)
 def media_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, oracle-checked end-to-end: documents are encoded

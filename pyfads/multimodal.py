@@ -34,6 +34,8 @@ __all__ = [
     "sample_frames",
     "image_dhash",
     "image_neardup_pairs",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -539,4 +541,139 @@ def text_to_wav(
     return docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         enc(F.col(text_col)).alias("content"),
+    )
+
+
+_AFP_FRAMES = 65  # 65 energies -> 64 delta bits -> 4 x 16-bit bands
+
+
+def _delta_bands(vals) -> "tuple[int, int, int, int]":
+    """64 delta-sign bits (bit i set iff vals[i] > vals[i+1]) packed into
+    four 16-bit bands — the 1-D audio analogue of the dHash packing."""
+    bands = [0, 0, 0, 0]
+    for i in range(64):
+        if vals[i] > vals[i + 1]:
+            bands[i // 16] |= 1 << (i % 16)
+    return tuple(bands)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over PCM WAV bytes, REAL decode (the
+    chromaprint/Shazam shape reduced to its portable core): decode ->
+    65 fixed frames -> per-frame energy -> 64 energy-delta sign bits as
+    four 16-bit bands ``(media_id, b0..b3, n_frames)``.
+
+    Delta SIGNS survive gain changes and re-encoding (the same reason
+    dHash keeps gradient signs); frame energies are INTEGER sums of
+    squared int16 samples (exact in int64), so the fingerprint is
+    bit-reproducible and the DuckDB oracle recomputes it analytically
+    from the text_to_wav contract.  Frame length is ``max(n//65, 1)``
+    samples; frames past the signal contribute zero energy, trailing
+    remainder samples are ignored (documented framing, not a bug).
+
+    Undecodable/empty content yields the all-zero fingerprint with
+    ``n_frames = -1`` marking the failure — per-row surfacing, never a
+    task failure (the dirty-corpus posture of :func:`audio_features`).
+
+    Scale: one Arrow-batched ``mapInPandas`` pass; bytes stay
+    executor-side, 4 ints + 2 longs come back per clip.
+    """
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{i}", T.IntegerType(), False) for i in range(4)]
+        + [T.StructField("n_frames", T.LongType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": [], "n_frames": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    if content is None or len(content) == 0:
+                        raise ValueError("empty")
+                    _, nch, s = decode_wav(bytes(content))
+                    s = s.astype(np.int64)
+                    n = len(s) // max(nch, 1)
+                    L = max(n // _AFP_FRAMES, 1)
+                    e = [
+                        int((s[j * L : (j + 1) * L] ** 2).sum())
+                        for j in range(_AFP_FRAMES)
+                    ]
+                    bands = _delta_bands(e)
+                except Exception:
+                    bands, n = (0, 0, 0, 0), -1
+                out["media_id"].append(mid)
+                for i in range(4):
+                    out[f"b{i}"].append(bands[i])
+                out["n_frames"].append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    **{f"b{i}": pd.array(out[f"b{i}"], dtype="int32") for i in range(4)},
+                    "n_frames": pd.array(out["n_frames"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: "int | None" = 64,
+) -> DataFrame:
+    """Audio near-dup pairs over :func:`audio_fingerprint` signatures:
+    banded candidate equi-join (pigeonhole-perfect recall at
+    ``max_hamming`` < 4 bands) + exact Hamming verify — the audio member
+    of the near-dup family (MinHash: token sets, SimHash: term vectors,
+    dHash: pixels, this: PCM energy envelopes).  Failed decodes
+    (n_frames = -1) are excluded before banding so the all-zero failure
+    fingerprint never forms a giant bucket of mutual 'duplicates'."""
+    if max_hamming >= 4:
+        raise ValueError("banding guarantees recall only for max_hamming < 4 bands")
+    from pyfads.dedup import _salt_cap
+
+    sigs = audio_fingerprint(media).filter(F.col("n_frames") >= 0)
+    banded = sigs.select(
+        "media_id",
+        *[f"b{i}" for i in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").cast("string").alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        "media_id", *[f"b{i}" for i in range(4)], "__b.band_idx", "__b.band_key"
+    )
+    if max_bucket is not None:
+        banded = _salt_cap(banded, "media_id", "band_key", max_bucket, "band_idx")
+    a = banded.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(f"b{i}").alias(f"__a{i}") for i in range(4)],
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col("media_id").alias("b_id"),
+        *[F.col(f"b{i}").alias(f"__b{i}") for i in range(4)],
+        "band_idx",
+        "band_key",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

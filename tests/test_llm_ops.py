@@ -589,6 +589,68 @@ def test_image_dhash_real_decoder_with_pil(spark):
     assert all(sigs[2][f"b{i}"] == 65535 for i in range(4))
 
 
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_gain_invariance_and_failures(spark):
+    """The fingerprint keeps only energy-delta SIGNS, so a clean gain
+    change (x2 amplitude) must produce the IDENTICAL fingerprint (the
+    perceptual point); an exact copy pairs at hamming 0; garbage bytes
+    surface as n_frames=-1 and are excluded from the pair join instead of
+    forming an all-zero 'duplicate' bucket."""
+    import numpy as np
+
+    import pyfads.multimodal as M
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-4000, 4000, size=650)  # 65 frames x 10 samples
+    rows = [
+        (1, _wav_bytes(s), "s"),
+        (2, _wav_bytes(s), "s"),          # exact copy
+        (3, _wav_bytes(s * 2), "s"),      # gain x2: same delta signs
+        (4, b"not a wav at all", "s"),    # decode failure
+        (5, _wav_bytes(rng.integers(-4000, 4000, size=650)), "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw binary, src string")
+    media = M.as_media(df, "doc_id", F.col("raw"), "audio/wav", "src")
+    sigs = {r["media_id"]: r for r in M.audio_fingerprint(media).collect()}
+    assert sigs[4]["n_frames"] == -1
+    assert tuple(sigs[1][f"b{i}"] for i in range(4)) == tuple(
+        sigs[3][f"b{i}"] for i in range(4)
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in M.audio_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_audio_delta_band_packing():
+    """_delta_bands bit layout: bit i (vals[i] > vals[i+1]) -> band i//16,
+    position i%16."""
+    import pyfads.multimodal as M
+
+    vals = [0] * 66
+    vals[0] = 5    # bit 0 -> band 0, bit 0
+    vals[19] = 7   # bit 19 -> band 1, bit 3
+    vals[63] = 9   # bit 63 -> band 3, bit 15
+    assert M._delta_bands(vals) == (1, 8, 0, 32768)
+    assert M._delta_bands([0] * 66) == (0, 0, 0, 0)
+
+
 def test_media_real_decode_with_pil(spark):
     """Real decode path end-to-end — runs only where pillow exists (skipped
     in this container); generates a tiny in-memory PNG and checks width/

@@ -983,17 +983,20 @@ def _dhash_band_sql(i: int) -> str:
     return "CAST(" + " + ".join(terms) + f" AS INTEGER) AS b{i}"
 
 
-_DHASH_SIGS_CTE = f"""
-sigs AS (
-  SELECT media_id,
-         {", ".join(_dhash_band_sql(i) for i in range(4))}
-  FROM (
+# the shared fake decode+resample: 72 stride-sampled byte 'pixels' per doc
+_DHASH_PX_SRC = """
     SELECT doc_id AS media_id,
            list_transform(generate_series(0, 71),
              j -> CASE WHEN j * greatest(length(text) // 72, 1) < length(text)
                        THEN ord(substr(text, j * greatest(length(text) // 72, 1) + 1, 1))
                        ELSE 0 END) AS px
-    FROM documents
+    FROM documents"""
+
+_DHASH_SIGS_CTE = f"""
+sigs AS (
+  SELECT media_id,
+         {", ".join(_dhash_band_sql(i) for i in range(4))}
+  FROM ({_DHASH_PX_SRC}
   )
 )"""
 
@@ -1017,6 +1020,34 @@ def media_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient bits as four 16-bit bands) — mapInPandas, bytes stay
     executor-side."""
     return M.image_dhash(_media(spark, sf_dir))
+
+
+def _ahash_band_sql(k: int) -> str:
+    terms = []
+    for b in range(16):
+        i = 16 * k + b
+        terms.append(f"CASE WHEN px[{i + 1}] * 64 > tot THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + f" AS INTEGER) AS b{k}"
+
+
+_MEDIA_AHASH_SQL = f"""
+WITH tots AS (
+  SELECT media_id, px,
+         list_reduce(list_prepend(0, list_slice(px, 1, 64)), (a, b) -> a + b) AS tot
+  FROM ({_DHASH_PX_SRC}
+  )
+)
+SELECT media_id, {", ".join(_ahash_band_sql(k) for k in range(4))}
+FROM tots
+"""
+
+
+@query("media_image_ahash", oracle=_MEDIA_AHASH_SQL)
+def media_image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash (average hash) signatures — the global-structure
+    complement of dHash's local gradients; integer cross-multiplication
+    mean test (px*64 > sum), no division."""
+    return M.image_ahash(_media(spark, sf_dir))
 
 
 @query("media_image_neardup", oracle=_MEDIA_NEARDUP_SQL)

@@ -33,6 +33,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "image_dhash",
+    "image_ahash",
     "image_neardup_pairs",
     "audio_fingerprint",
     "audio_neardup_pairs",
@@ -309,6 +310,77 @@ def image_dhash(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     bands = (0, 0, 0, 0)
                 else:
                     bands = _dhash_bands_from_pixels(pixels(bytes(content)))
+                out["media_id"].append(mid)
+                for i in range(_DHASH_BANDS):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    **{
+                        f"b{i}": pd.array(out[f"b{i}"], dtype="int32")
+                        for i in range(_DHASH_BANDS)
+                    },
+                }
+            )
+
+    return media.mapInPandas(fn, schema)
+
+
+def _ahash_bands_from_pixels(px) -> "tuple[int, int, int, int]":
+    """64 aHash bits over an 8x8 pixel block (bit i set iff
+    px[i] * 64 > sum(px) — the strict integer form of 'pixel above the
+    block mean', no division so the comparison is exact) packed into four
+    16-bit bands like the dHash packing."""
+    px64 = px[:64]
+    total = sum(px64)
+    bands = [0, 0, 0, 0]
+    for i in range(64):
+        if px64[i] * 64 > total:
+            bands[i // 16] |= 1 << (i % 16)
+    return tuple(bands)
+
+
+def image_ahash(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Perceptual aHash (average hash) signature per media row: decode ->
+    8x8 grayscale -> bit per pixel above the block mean, packed as four
+    16-bit bands ``(media_id, b0..b3)``.
+
+    aHash complements :func:`image_dhash` the way SimHash complements
+    MinHash: dHash keys on local gradients (robust to global brightness),
+    aHash on global structure (robust to local noise); perceptual-dedup
+    pipelines run both and union the candidate pairs.  The mean test is
+    the integer cross-multiplication ``px*64 > sum`` so both engines
+    compare exactly; the 8x8 block is the first 64 of the same 72
+    stride-sampled 'pixels' the dHash fake path uses (real-PIL path
+    resizes to 8x8 directly).
+    """
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{i}", T.IntegerType(), False) for i in range(_DHASH_BANDS)]
+    )
+    resolve = _pick_decoder(decoder)
+
+    def _real_pixels(content: bytes) -> "list[int]":
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).convert("L")
+        arr = np.asarray(img.resize((8, 8), Image.LANCZOS), dtype=np.int64)
+        return [int(x) for x in arr.reshape(-1)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pixels = (
+            _fake_gray_pixels if resolve() is fake_decode_features else _real_pixels
+        )
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    bands = (0, 0, 0, 0)
+                else:
+                    bands = _ahash_bands_from_pixels(pixels(bytes(content)))
                 out["media_id"].append(mid)
                 for i in range(_DHASH_BANDS):
                     out[f"b{i}"].append(bands[i])

@@ -563,6 +563,23 @@ def test_image_dhash_band_packing():
     assert M._dhash_bands_from_pixels([0] * 72) == (0, 0, 0, 0)
 
 
+def test_image_ahash_mean_semantics():
+    """aHash bit = pixel strictly above the 8x8 block mean, tested in the
+    exact integer form px*64 > sum: a uniform block has NO bit set (strict
+    >), one bright pixel sets exactly its own bit."""
+    import pyfads.multimodal as M
+
+    assert M._ahash_bands_from_pixels([10] * 72) == (0, 0, 0, 0)
+    px = [0] * 72
+    px[20] = 100  # bit 20 -> band 1, bit 4
+    assert M._ahash_bands_from_pixels(px) == (0, 16, 0, 0)
+    # pixels 64..71 are ignored (8x8 block): lighting them changes nothing
+    px2 = [10] * 72
+    for j in range(64, 72):
+        px2[j] = 255
+    assert M._ahash_bands_from_pixels(px2) == (0, 0, 0, 0)
+
+
 def test_image_dhash_real_decoder_with_pil(spark):
     """Real-PIL dHash path — runs only where pillow exists (skipped in
     this container): a flat image has zero gradients everywhere, a

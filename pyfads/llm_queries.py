@@ -1636,6 +1636,18 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dsir_serve", oracle=_DSIR_WEIGHTS_SQL)
+def dsir_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/serve-many DSIR: dsir_train_lambda collects the bounded
+    4096-bucket model, dsir_score_serve scores via ONE array literal —
+    pure column expression, zero shuffles, stream-safe.  Oracle is the
+    dsir_weights twin verbatim: on the training corpus every feature
+    bucket was seen, so served == joined scores exactly."""
+    docs = _docs(spark, sf_dir)
+    lam = X.dsir_train_lambda(docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
+    return X.dsir_score_serve(docs, lam)
+
+
 @query("dsir_sample", oracle=_DSIR_SAMPLE_SQL)
 def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling: integer exponential race (geometric noise on the

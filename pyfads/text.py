@@ -36,6 +36,8 @@ __all__ = [
     "top_ngrams",
     "hashed_classifier_score",
     "dsir_weights",
+    "dsir_train_lambda",
+    "dsir_score_serve",
     "corpus_stats",
     "bpe_train_merges",
     "bpe_piece_count",
@@ -486,33 +488,8 @@ def dsir_weights(
     corpus size.  This is DSIR's own design point: the model is a hashed
     count vector, never vocabulary-sized state.
     """
-    tgt = (F.col(target_col) if isinstance(target_col, str) else target_col).cast(
-        "boolean"
-    )
-    toks = tokens(text_col)
-    feats = F.concat(toks, word_ngrams(text_col, 2)) if bigrams else toks
-    hashed = df.select(
-        F.col(id_col),
-        tgt.alias("__t"),
-        F.explode(feats).alias("g"),
-    ).select(
-        id_col,
-        "__t",
-        (md5_hash60(F.col("g"), seed) % n_buckets).cast("long").alias("b"),
-    )
-    il = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
-    wtot = Window.partitionBy()  # whole-frame total over <= n_buckets rows
-    buckets = hashed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("q_cnt"),
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("p_cnt"),
-    )
-    lam = buckets.select(
-        "b",
-        (
-            (il(F.col("p_cnt") + 1) - il(F.sum("p_cnt").over(wtot) + 1))
-            - (il(F.col("q_cnt") + 1) - il(F.sum("q_cnt").over(wtot) + 1))
-        ).alias("lam_bits"),
-    )
+    hashed = _dsir_hashed_features(df, target_col, n_buckets, seed, text_col, id_col, bigrams)
+    lam = _dsir_lambda_frame(hashed)
     agg = (
         hashed.join(F.broadcast(lam), "b")
         .groupBy(id_col)
@@ -526,6 +503,132 @@ def dsir_weights(
         id_col,
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce(F.col("logw_bits"), F.lit(0)).cast("long").alias("logw_bits"),
+    )
+
+
+def _dsir_il(c) -> Column:
+    """floor(log2(x)) for x >= 1 via bit length — the cross-engine integer
+    log (same device as the sketches)."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def _dsir_feats(text_col: str, bigrams: bool) -> Column:
+    toks = tokens(text_col)
+    return F.concat(toks, word_ngrams(text_col, 2)) if bigrams else toks
+
+
+def _dsir_hashed_features(
+    df: DataFrame,
+    target_col: "str | Column",
+    n_buckets: int,
+    seed: str,
+    text_col: str,
+    id_col: str,
+    bigrams: bool,
+) -> DataFrame:
+    """(id, __t, b): one row per feature occurrence with its bucket id."""
+    tgt = (F.col(target_col) if isinstance(target_col, str) else target_col).cast(
+        "boolean"
+    )
+    return df.select(
+        F.col(id_col),
+        tgt.alias("__t"),
+        F.explode(_dsir_feats(text_col, bigrams)).alias("g"),
+    ).select(
+        id_col,
+        "__t",
+        (md5_hash60(F.col("g"), seed) % n_buckets).cast("long").alias("b"),
+    )
+
+
+def _dsir_lambda_frame(hashed: DataFrame) -> DataFrame:
+    """(b, lam_bits): the smoothed log2-ratio table (only buckets with at
+    least one corpus occurrence — absent buckets never join anyway)."""
+    il = _dsir_il
+    wtot = Window.partitionBy()  # whole-frame total over <= n_buckets rows
+    buckets = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("q_cnt"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("p_cnt"),
+    )
+    return buckets.select(
+        "b",
+        (
+            (il(F.col("p_cnt") + 1) - il(F.sum("p_cnt").over(wtot) + 1))
+            - (il(F.col("q_cnt") + 1) - il(F.sum("q_cnt").over(wtot) + 1))
+        ).alias("lam_bits"),
+    )
+
+
+def dsir_train_lambda(
+    df: DataFrame,
+    target_col: "str | Column",
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> "list[int]":
+    """Train the DSIR model ONCE and return it as a dense per-bucket
+    lambda list for :func:`dsir_score_serve` — the train-once/serve-many
+    artifact (same posture as the IVF codebook store).  Buckets the
+    training corpus never hashed into get the c=0 smoothed value
+    ``il(q_tot+1) - il(p_tot+1)`` (both count terms at il(0+1) = 0), so
+    unseen features at serve time score maximally-smoothed rather than 0.
+
+    Driver collect is BOUNDED at n_buckets rows (KBs) — the whole point
+    of feature hashing: the model never grows with the vocabulary."""
+    hashed = _dsir_hashed_features(
+        df, target_col, n_buckets, seed, text_col, id_col, bigrams
+    )
+    rows = _dsir_lambda_frame(hashed).collect()
+    tots = hashed.agg(
+        F.count(F.lit(1)).alias("q_tot"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("p_tot"),
+    ).collect()[0]
+    default = ((int(tots["q_tot"]) + 1).bit_length() - 1) - (
+        (int(tots["p_tot"] or 0) + 1).bit_length() - 1
+    )
+    lam = [default] * n_buckets
+    for r in rows:
+        lam[int(r["b"])] = int(r["lam_bits"])
+    return lam
+
+
+def dsir_score_serve(
+    df: DataFrame,
+    lam: "list[int]",
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Model-serve form of :func:`dsir_weights`: the trained lambda table
+    rides as ONE array literal (like the hashed classifier's weights) and
+    the per-doc score is a pure column expression — zero shuffles, zero
+    state, so it runs UNCHANGED on batch tables or streaming ingest (the
+    quality-gate shape: score arriving docs against a model trained on
+    yesterday's corpus).
+
+    Served scores equal :func:`dsir_weights` exactly wherever every
+    feature bucket was seen in training (asserted by the registered
+    twin); unseen buckets get the trainer's smoothed default."""
+    n_buckets = len(lam)
+    lam_lit = F.lit([int(x) for x in lam])
+    feats = _dsir_feats(text_col, bigrams)
+    logw = F.aggregate(
+        F.transform(
+            feats,
+            lambda g: F.element_at(
+                lam_lit, ((md5_hash60(g, seed) % n_buckets) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        logw.alias("logw_bits"),
     )
 
 

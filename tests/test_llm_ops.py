@@ -105,7 +105,14 @@ def test_text_ops_run_on_streams_unchanged(spark, tmp_path_factory):
     batch_docs = read_table(spark, "/root/testdata/sf0.001", "documents")
     stream_docs = spark.readStream.schema(batch_docs.schema).parquet(d)
 
-    for i, op in enumerate([X.text_stats, X.quality_score, X.token_counts, X.lang_id]):
+    # dsir_score_serve's literal-array model makes it stream-safe too —
+    # train on the batch side, serve on the stream (the quality-gate shape)
+    lam = X.dsir_train_lambda(batch_docs, F.col("lang") == "en", n_buckets=256)
+    serve = lambda df: X.dsir_score_serve(df, lam)  # noqa: E731
+
+    for i, op in enumerate(
+        [X.text_stats, X.quality_score, X.token_counts, X.lang_id, serve]
+    ):
         name = f"text_stream_{i}"
         q = (
             op(stream_docs)

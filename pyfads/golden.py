@@ -362,23 +362,15 @@ def ann_ivf_topk_oracle(
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
 
 
-@functools.lru_cache(maxsize=None)
-def _semantic_dedup_cached(
-    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
-    plant_n: int = 0,
-) -> str:
-    """DuckDB twin of similarity.semantic_dedup: the SAME k-means codebook
-    (bitwise, via _ivf_centroids — trained on the UNPLANTED base, the
-    train-once/serve-many posture) embedded as '<repr>'::DOUBLE literals —
-    the strtod path, because here the centroid values feed the
-    centroid_cos OUTPUT column and the keeper-priority comparison, not
-    just a rank (contrast _ann_ivf_cached's bare literals).  Assignment
-    replays the fold-dot argmax; centroid_cos and the pair cosine replay
-    Spark's literal chain (dot_expr) term for term.  ``plant_n`` > 0
-    mirrors the registered query's planted scaled copies (the Gaussian
-    fixtures have no true semantic dups — same device as
-    embedding_near_dup)."""
-    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str) -> str:
+    """Shared SQL body for the semantic-dedup twins: ``cents`` is the
+    (n_centroids, dim) codebook to embed as '<repr>'::DOUBLE literals —
+    the strtod path, because the centroid values feed the centroid_cos
+    OUTPUT column and the keeper-priority comparison, not just a rank
+    (contrast _ann_ivf_cached's bare literals); ``src`` is the embedding
+    source subquery (table or computed CTE) exposing (vec_id, embedding).
+    Assignment replays the fold-dot argmax; centroid_cos and the pair
+    cosine replay Spark's fold expressions term for term."""
 
     def dvec(v) -> str:
         return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
@@ -407,15 +399,6 @@ def _semantic_dedup_cached(
     pchain = fdot("e.embedding", "c.cvec")
     pair_dot = fdot("ea.embedding", "eb.embedding")
     na, nb, ne = (fnorm(f"{t}.embedding") for t in ("ea", "eb", "e"))
-    src = "embeddings"
-    if plant_n > 0:
-        src = f"""(
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 10000000 AS vec_id,
-         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
-  FROM embeddings WHERE vec_id < {plant_n}
-)"""
     return f"""
 WITH cents(cell, cvec) AS (VALUES
   {vals}
@@ -454,6 +437,30 @@ FROM withp w LEFT JOIN dropped d ON w.vec_id = d.b_id
 """
 
 
+@functools.lru_cache(maxsize=None)
+def _semantic_dedup_cached(
+    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    plant_n: int = 0,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup over the embeddings table:
+    the SAME k-means codebook (bitwise, via _ivf_centroids — trained on
+    the UNPLANTED base, the train-once/serve-many posture).  ``plant_n``
+    > 0 mirrors the registered query's planted scaled copies (the
+    Gaussian fixtures have no true semantic dups — same device as
+    embedding_near_dup)."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    src = "embeddings"
+    if plant_n > 0:
+        src = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id < {plant_n}
+)"""
+    return _semantic_dedup_sql(cents, dim, threshold, src)
+
+
 def semantic_dedup_oracle(
     dim: int = 64,
     threshold: float = 0.9,
@@ -463,6 +470,100 @@ def semantic_dedup_oracle(
 ) -> str:
     return _semantic_dedup_cached(
         oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_n
+    )
+
+
+def _doc_embed_vectors(sf_dir: str, dim: int, hseed: str):
+    """Pure-Python twin of text.doc_embed_hash over the documents parquet:
+    (sorted doc_ids, int-valued float64 matrix).  Tokenization mirrors
+    Spark split(text, ' ') exactly (str.split(' ') keeps empties), bigrams
+    mirror word_ngrams(2); bucket = low md5 bits, sign = md5 bit 32."""
+    import duckdb
+
+    from pyfads.text import md5_hash60_py
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{_table_path(sf_dir, 'documents')}'"
+    ).fetchall()
+    con.close()
+    ids, vecs = [], []
+    for doc_id, text in sorted(rows):
+        toks = text.split(" ")
+        feats = list(toks)
+        if len(toks) >= 2:
+            feats += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        v = np.zeros(dim, dtype=np.float64)
+        for g in feats:
+            h = md5_hash60_py(hseed, g)
+            v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+        ids.append(doc_id)
+        vecs.append(v)
+    return ids, np.asarray(vecs)
+
+
+def _doc_embed_sql(dim: int, hseed: str) -> str:
+    """The computed-embedding source subquery: one row per doc with the
+    hashed +-1 projection as a DOUBLE list (exact integer coordinates)."""
+    from pyfads.text import md5_hash60_sql
+
+    h = md5_hash60_sql(hseed, "g")
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS DOUBLE)"
+        for j in range(dim)
+    )
+    return f"""(
+  SELECT doc_id AS vec_id, [{sums}] AS embedding
+  FROM (
+    SELECT doc_id, h % {dim} AS b,
+           CASE WHEN (h // 4294967296) % 2 = 1 THEN 1 ELSE -1 END AS s
+    FROM (
+      SELECT doc_id, {h} AS h
+      FROM (
+        SELECT doc_id, unnest(list_concat(toks,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                                          i -> concat_ws(' ', toks[i], toks[i + 1]))
+                      ELSE [] END)) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    )
+  )
+  GROUP BY doc_id
+)"""
+
+
+@functools.lru_cache(maxsize=None)
+def _semantic_dedup_docs_cached(
+    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    hseed: str,
+) -> str:
+    """semantic_dedup over hashed-projection DOC embeddings (the
+    model-free end-to-end composition): the codebook is spherical k-means
+    over the md5-ordered bounded sample of the COMPUTED doc vectors
+    (python twin shares tokenization + hash with the SQL), then the same
+    shared SQL body runs with the computed-embedding subquery as source."""
+    ids, m = _doc_embed_vectors(sf_dir, dim, hseed)
+    keep = (m * m).sum(axis=1) > 0  # drop_zero_norm twin
+    ids = [i for i, k in zip(ids, keep) if k]
+    m = m[keep]
+    order = sorted(range(len(ids)), key=lambda j: hashlib.md5(str(ids[j]).encode()).hexdigest())
+    sample = m[order[:4096]]
+    from pyfads.similarity import _kmeans_spherical
+
+    cents = _kmeans_spherical(sample, n_centroids, seed)
+    return _semantic_dedup_sql(cents, dim, threshold, _doc_embed_sql(dim, hseed))
+
+
+def semantic_dedup_docs_oracle(
+    dim: int = 64,
+    threshold: float = 0.8,
+    n_centroids: int = 32,
+    seed: int = 7,
+    hseed: str = "emb",
+) -> str:
+    return _semantic_dedup_docs_cached(
+        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, hseed
     )
 
 

@@ -785,6 +785,21 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_semantic_docs", oracle=lambda: G.semantic_dedup_docs_oracle())
+def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic dedup END-TO-END on raw text: hashed signed-
+    projection doc embeddings (text.doc_embed_hash — near-dup texts share
+    most n-grams, so they land at cosine ~0.98 vs ~0.5 unrelated) feed
+    semantic_dedup at tau=0.8.  The whole composition is oracle-checked:
+    DuckDB recomputes the projection in SQL, the codebook is spherical
+    k-means over the same md5-ordered sample of the computed vectors, and
+    the keeper logic replays the shared semantic SQL body."""
+    docs = _docs(spark, sf_dir)
+    embs = X.doc_embed_hash(docs).withColumnRenamed("doc_id", "vec_id")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    return S.semantic_dedup(embs, DIM, threshold=0.8, centroids=cents)
+
+
 @query("ann_ivfpq_topk", oracle=G.ann_ivfpq_topk_oracle)
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-10: product-quantized codes ranked by the

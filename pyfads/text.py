@@ -38,6 +38,7 @@ __all__ = [
     "dsir_weights",
     "dsir_train_lambda",
     "dsir_score_serve",
+    "doc_embed_hash",
     "corpus_stats",
     "bpe_train_merges",
     "bpe_piece_count",
@@ -629,6 +630,55 @@ def dsir_score_serve(
         F.col(id_col),
         F.size(feats).cast("long").alias("n_feats"),
         logw.alias("logw_bits"),
+    )
+
+
+def doc_embed_hash(
+    df: DataFrame,
+    dim: int = 64,
+    seed: str = "emb",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Model-free document embeddings via the hashing trick + signed
+    random projection (Weinberger et al. 2009): each unigram/bigram
+    occurrence adds +-1 (sign = one md5 bit) to one of ``dim`` buckets
+    (bucket = low md5 bits), so near-duplicate texts — which share most
+    n-grams — land at high cosine while unrelated texts decorrelate.
+    Returns ``(doc_id, embedding array<double>)`` with exact integer
+    coordinates (bit-reproducible; the oracle recomputes them in SQL).
+
+    This is the cheap on-ramp to :func:`pyfads.similarity.semantic_dedup`
+    when no learned embedding column exists yet: the composition gives
+    paraphrase-class dedup over raw text with zero model dependencies.
+
+    Shape: one explode -> one doc-keyed agg with ``dim`` map-side-combined
+    conditional sums (the SimHash vote shape) -> array assembly.  Sign
+    comes from md5 bit 32, disjoint from the bucket bits for any dim up
+    to 2^32."""
+    feats = _dsir_feats(text_col, bigrams)
+    h = md5_hash60(F.col("g"), seed)
+    ex = df.select(F.col(id_col), F.explode(feats).alias("g")).select(
+        id_col,
+        (h % dim).cast("int").alias("b"),
+        F.when(F.shiftright(h, 32).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("s"),
+    )
+    sums = [
+        F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0))
+        .cast("double")
+        .alias(f"v{j}")
+        for j in range(dim)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*sums)
+        .select(
+            id_col,
+            F.array(*[F.col(f"v{j}") for j in range(dim)]).alias("embedding"),
+        )
     )
 
 

@@ -325,6 +325,42 @@ def test_semantic_dedup_planted_paraphrase(spark):
     assert rows[2]["centroid_cos"] < rows[1]["centroid_cos"]
 
 
+def test_semantic_dedup_docs_catches_planted_text_neardups(spark):
+    """The model-free composition (hashed-projection embeddings ->
+    semantic_dedup) must DEDUP the fixture's planted near-dup text pairs:
+    for every pair sharing an 80-char prefix, at most one side survives
+    when both hash to the same cell (cosine ~0.98 >> tau=0.8); overall
+    the majority of the corpus is kept."""
+    from pyfads.text import doc_embed_hash
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.substring("a.text", 1, 80) == F.substring("b.text", 1, 80)
+            ),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    assert len(pairs) >= 20  # the fixture plants ~24
+    embs = doc_embed_hash(docs).withColumnRenamed("doc_id", "vec_id")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, 64), 64, 32, 7)
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(embs, 64, threshold=0.8, centroids=cents).collect()
+    }
+    same_cell = [p for p in pairs if out[p["x"]]["cell"] == out[p["y"]]["cell"]]
+    assert same_cell, "no planted pair landed in one cell — geometry broke"
+    for p in same_cell:
+        assert not (out[p["x"]]["is_kept"] and out[p["y"]]["is_kept"]), p
+    kept = sum(1 for r in out.values() if r["is_kept"])
+    assert kept > len(out) * 0.7
+
+
 def test_ann_ivf_trained_recall_gate(spark):
     """Recall gate for the k-means-trained IVF codebook at sf0.01.
 

@@ -166,8 +166,15 @@ def main() -> None:
                 "fads_partitioned_events",
                 "fads_hotkey_events",
             )
+            # REPS == 1 (the --sf1 default) collapses the whole policy to
+            # single-rep: no floor, no convergence extension (a 1-element
+            # rep list must never reach the two-fastest unpack below)
             budget = max(REPS, 5) if fads_entry and REPS > 1 else REPS
-            hard_cap = budget + 4 if name == "fads_generalize_events" else budget
+            hard_cap = (
+                budget + 4
+                if name == "fads_generalize_events" and REPS > 1
+                else budget
+            )
 
             def _done(reps: "list[float]") -> bool:
                 if fads_entry:

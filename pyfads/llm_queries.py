@@ -909,6 +909,16 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.as_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "txt", "source")
 
 
+def _media_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII-only media rows (octet_length == length selects exactly the
+    one-byte-per-char docs in both engines): the image dHash/aHash twins
+    recompute per CODEPOINT while Spark strides BYTES, so non-ASCII rows
+    would silently diverge — same guard as media_audio (code-review r8
+    #4, the text_to_wav precedent)."""
+    docs = _docs(spark, sf_dir).filter(F.octet_length("text") == F.length("text"))
+    return M.as_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "txt", "source")
+
+
 _MEDIA_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
@@ -1005,7 +1015,7 @@ _DHASH_PX_SRC = """
              j -> CASE WHEN j * greatest(length(text) // 72, 1) < length(text)
                        THEN ord(substr(text, j * greatest(length(text) // 72, 1) + 1, 1))
                        ELSE 0 END) AS px
-    FROM documents"""
+    FROM documents WHERE strlen(text) = length(text)"""
 
 _DHASH_SIGS_CTE = f"""
 sigs AS (
@@ -1017,15 +1027,41 @@ sigs AS (
 
 _MEDIA_DHASH_SQL = f"WITH {_DHASH_SIGS_CTE} SELECT media_id, b0, b1, b2, b3 FROM sigs"
 
-_DHASH_HAMMING = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
-
-_MEDIA_NEARDUP_SQL = f"""
-WITH {_DHASH_SIGS_CTE}
-SELECT a.media_id AS a_id, b.media_id AS b_id,
-       CAST({_DHASH_HAMMING} AS INTEGER) AS hamming
-FROM sigs a JOIN sigs b ON a.media_id < b.media_id
-WHERE {_DHASH_HAMMING} <= 3
+def _banded_hamming_sql(max_hamming: int = 3, max_bucket: int = 64) -> str:
+    """Tail SQL replaying multimodal._banded_hamming_pairs over a CTE
+    ``sigs(media_id, b0..b3)``: band explode, the SAME hot-bucket salt cap
+    (row_number // max_bucket, id-ordered), candidate equi-join, exact
+    Hamming verify.  Replayed rather than approximated by all-pairs so a
+    band bucket wider than the cap diverges NEITHER side (the minhash
+    twin precedent; code-review r8 #3)."""
+    ham = " + ".join(f"bit_count(xor(sa.b{i}, sb.b{i}))" for i in range(4))
+    return f"""
+banded AS (
+  SELECT media_id, band_idx,
+         concat_ws('#', CAST(band_key AS VARCHAR),
+                   CAST((row_number() OVER (PARTITION BY band_idx, band_key
+                                            ORDER BY media_id) - 1)
+                        // {max_bucket} AS VARCHAR)) AS band_key
+  FROM (
+    SELECT media_id, unnest([0, 1, 2, 3]) AS band_idx,
+           unnest([b0, b1, b2, b3]) AS band_key
+    FROM sigs
+  )
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.media_id < b.media_id
+)
+SELECT c.a_id, c.b_id, CAST({ham} AS INTEGER) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.media_id = c.a_id
+JOIN sigs sb ON sb.media_id = c.b_id
+WHERE {ham} <= {max_hamming}
 """
+
+
+_MEDIA_NEARDUP_SQL = f"WITH {_DHASH_SIGS_CTE}, {_banded_hamming_sql()}"
 
 
 @query("media_image_dhash", oracle=_MEDIA_DHASH_SQL)
@@ -1034,7 +1070,7 @@ def media_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic fake decode: stride-sampled 9x8 'grayscale', 64
     gradient bits as four 16-bit bands) — mapInPandas, bytes stay
     executor-side."""
-    return M.image_dhash(_media(spark, sf_dir))
+    return M.image_dhash(_media_ascii(spark, sf_dir))
 
 
 def _ahash_band_sql(k: int) -> str:
@@ -1062,7 +1098,7 @@ def media_image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual aHash (average hash) signatures — the global-structure
     complement of dHash's local gradients; integer cross-multiplication
     mean test (px*64 > sum), no division."""
-    return M.image_ahash(_media(spark, sf_dir))
+    return M.image_ahash(_media_ascii(spark, sf_dir))
 
 
 @query("media_image_neardup", oracle=_MEDIA_NEARDUP_SQL)
@@ -1072,7 +1108,7 @@ def media_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at oracle scale); banding recall is perfect at max_hamming < bands by
     pigeonhole, so the sets must match — 21 pairs at sf0.01, catching all
     planted near-dup texts whose stride-sampled bytes align."""
-    return M.image_neardup_pairs(_media(spark, sf_dir), max_hamming=3)
+    return M.image_neardup_pairs(_media_ascii(spark, sf_dir), max_hamming=3)
 
 
 # --------------------------------------------------------------------------
@@ -2208,15 +2244,11 @@ afp AS (
 
 _MEDIA_AFP_SQL = f"WITH {_AFP_SIGS_CTE} SELECT media_id, b0, b1, b2, b3, n_frames FROM afp"
 
-_AFP_HAMMING = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
-
-_MEDIA_AUDIO_NEARDUP_SQL = f"""
-WITH {_AFP_SIGS_CTE}
-SELECT a.media_id AS a_id, b.media_id AS b_id,
-       CAST({_AFP_HAMMING} AS INTEGER) AS hamming
-FROM afp a JOIN afp b ON a.media_id < b.media_id
-WHERE {_AFP_HAMMING} <= 3
-"""
+_MEDIA_AUDIO_NEARDUP_SQL = (
+    f"WITH {_AFP_SIGS_CTE},\n"
+    "sigs AS (SELECT media_id, b0, b1, b2, b3 FROM afp),\n"
+    + _banded_hamming_sql()
+)
 
 
 @query("media_audio_fingerprint", oracle=_MEDIA_AFP_SQL)

@@ -397,6 +397,68 @@ def image_ahash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(fn, schema)
 
 
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    max_bucket: "int | None",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Shared banding join for the 4x16-bit perceptual signatures
+    (image dHash, audio fingerprint): explode the 4 bands, salt-cap hot
+    buckets, self-join on (band_idx, band_value), verify exact Hamming.
+    By pigeonhole the banding has perfect recall at ``max_hamming`` < 4
+    (one fix lands in every modality — code-review r8 #7)."""
+    if max_hamming >= _DHASH_BANDS:
+        raise ValueError("banding guarantees recall only for max_hamming < 4 bands")
+    from pyfads.dedup import _salt_cap
+
+    banded = sigs.select(
+        id_col,
+        *[f"b{i}" for i in range(_DHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").cast("string").alias("band_key"),
+                    )
+                    for i in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        id_col,
+        *[f"b{i}" for i in range(_DHASH_BANDS)],
+        "__b.band_idx",
+        "__b.band_key",
+    )
+    if max_bucket is not None:
+        banded = _salt_cap(banded, id_col, "band_key", max_bucket, "band_idx")
+    a = banded.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"b{i}").alias(f"__a{i}") for i in range(_DHASH_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"b{i}").alias(f"__b{i}") for i in range(_DHASH_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
+        for i in range(_DHASH_BANDS)
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def image_neardup_pairs(
     media: DataFrame,
     max_hamming: int = 3,
@@ -416,56 +478,7 @@ def image_neardup_pairs(
     values far more than md5 keys do).  Verify is
     ``sum(bit_count(a.b_i XOR b.b_i)) <= max_hamming``.
     """
-    if max_hamming >= _DHASH_BANDS:
-        raise ValueError("banding guarantees recall only for max_hamming < 4 bands")
-    from pyfads.dedup import _salt_cap
-
-    sigs = image_dhash(media, decoder)
-    banded = sigs.select(
-        "media_id",
-        *[f"b{i}" for i in range(_DHASH_BANDS)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.col(f"b{i}").cast("string").alias("band_key"),
-                    )
-                    for i in range(_DHASH_BANDS)
-                ]
-            )
-        ).alias("__b"),
-    ).select(
-        "media_id",
-        *[f"b{i}" for i in range(_DHASH_BANDS)],
-        "__b.band_idx",
-        "__b.band_key",
-    )
-    if max_bucket is not None:
-        banded = _salt_cap(banded, "media_id", "band_key", max_bucket, "band_idx")
-    a = banded.select(
-        F.col("media_id").alias("a_id"),
-        *[F.col(f"b{i}").alias(f"__a{i}") for i in range(_DHASH_BANDS)],
-        "band_idx",
-        "band_key",
-    )
-    b = banded.select(
-        F.col("media_id").alias("b_id"),
-        *[F.col(f"b{i}").alias(f"__b{i}") for i in range(_DHASH_BANDS)],
-        "band_idx",
-        "band_key",
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
-        for i in range(_DHASH_BANDS)
-    )
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return _banded_hamming_pairs(image_dhash(media, decoder), max_hamming, max_bucket)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
@@ -639,9 +652,11 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     dHash keeps gradient signs); frame energies are INTEGER sums of
     squared int16 samples (exact in int64), so the fingerprint is
     bit-reproducible and the DuckDB oracle recomputes it analytically
-    from the text_to_wav contract.  Frame length is ``max(n//65, 1)``
-    samples; frames past the signal contribute zero energy, trailing
-    remainder samples are ignored (documented framing, not a bug).
+    from the text_to_wav contract.  Multi-channel clips are mixed down
+    to mono by integer channel sum before framing (gain-irrelevant under
+    delta signs).  Frame length is ``max(n//65, 1)`` samples; frames
+    past the signal contribute zero energy, trailing remainder samples
+    are ignored (documented framing, not a bug).
 
     Undecodable/empty content yields the all-zero fingerprint with
     ``n_frames = -1`` marking the failure — per-row surfacing, never a
@@ -667,7 +682,15 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                         raise ValueError("empty")
                     _, nch, s = decode_wav(bytes(content))
                     s = s.astype(np.int64)
-                    n = len(s) // max(nch, 1)
+                    # decode_wav returns INTERLEAVED samples: mix down to
+                    # mono (integer channel sum — exact, and a no-op for
+                    # mono) BEFORE framing, so multi-channel clips frame
+                    # the full duration instead of the first 1/nch with
+                    # channel-mixed windows (code-review r8 #2)
+                    nch = max(nch, 1)
+                    if nch > 1:
+                        s = s[: (len(s) // nch) * nch].reshape(-1, nch).sum(axis=1)
+                    n = len(s)
                     L = max(n // _AFP_FRAMES, 1)
                     e = [
                         int((s[j * L : (j + 1) * L] ** 2).sum())
@@ -703,49 +726,6 @@ def audio_neardup_pairs(
     dHash: pixels, this: PCM energy envelopes).  Failed decodes
     (n_frames = -1) are excluded before banding so the all-zero failure
     fingerprint never forms a giant bucket of mutual 'duplicates'."""
-    if max_hamming >= 4:
-        raise ValueError("banding guarantees recall only for max_hamming < 4 bands")
-    from pyfads.dedup import _salt_cap
-
-    sigs = audio_fingerprint(media).filter(F.col("n_frames") >= 0)
-    banded = sigs.select(
-        "media_id",
-        *[f"b{i}" for i in range(4)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.col(f"b{i}").cast("string").alias("band_key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("__b"),
-    ).select(
-        "media_id", *[f"b{i}" for i in range(4)], "__b.band_idx", "__b.band_key"
-    )
-    if max_bucket is not None:
-        banded = _salt_cap(banded, "media_id", "band_key", max_bucket, "band_idx")
-    a = banded.select(
-        F.col("media_id").alias("a_id"),
-        *[F.col(f"b{i}").alias(f"__a{i}") for i in range(4)],
-        "band_idx",
-        "band_key",
-    )
-    b = banded.select(
-        F.col("media_id").alias("b_id"),
-        *[F.col(f"b{i}").alias(f"__b{i}") for i in range(4)],
-        "band_idx",
-        "band_key",
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}"))) for i in range(4)
-    )
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _banded_hamming_pairs(
+        audio_fingerprint(media).filter(F.col("n_frames") >= 0), max_hamming, max_bucket
     )

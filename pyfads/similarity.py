@@ -531,37 +531,65 @@ def semantic_dedup(
             "cell int, cvec array<double>",
         )
     )
-    assigned = embeddings.select(
+    # Cell assignment IN THE PLAN, not in a numpy UDF: argmax over the 32
+    # fold dots against centroid literals, tie -> lowest cell, via one
+    # array_max over (dp, -cell) structs — EXACTLY the computation the
+    # oracle's celldot/row_number CTEs run (raw un-normalized dot: argmax
+    # is scale-invariant), so assignment parity is by construction rather
+    # than by "BLAS rounds like the SQL fold" (code-review r8 #8).  Also
+    # map-only: no Arrow hop, no per-row normalization.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot_fold("__v", f"__c{j}").alias("dp"),
+                    F.lit(-j).alias("negcell"),
+                )
+                for j in range(len(cents))
+            ]
+        )
+    )
+    with_cents = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+        *[
+            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
+            for j in range(len(cents))
+        ],
     )
-    # priority = cosine to the own-cell centroid, computed IN THE PLAN
-    # against the literal centroid rows (not inside the numpy UDF) so the
-    # double agrees bit-for-bit with the oracle's chain; centroids are
-    # unit-norm by construction, so cos = dot / |v|.
+    assigned = with_cents.select(
+        id_col, "__v", (-best["negcell"]).cast("int").alias("cell")
+    )
+    # priority = cosine to the own-cell centroid; centroids are unit-norm
+    # by construction, so cos = dot / |v|.  The row's norm is computed
+    # ONCE here and carried through the pair join (the quadratic stage)
+    # instead of re-folded per candidate pair (code-review r8 #6) —
+    # bit-identical doubles, one-third the per-pair arithmetic.
     withp = assigned.join(cents_df, "cell").select(
         id_col,
         "cell",
         "__v",
+        _norm_fold("__v").alias("__n"),
         (_dot_fold("__v", "cvec") / _norm_fold("__v")).alias("centroid_cos"),
     )
     a = withp.select(
         F.col(id_col).alias("a_id"),
         F.col("__v").alias("a_vec"),
+        F.col("__n").alias("a_n"),
         F.col("cell"),
         F.col("centroid_cos").alias("a_cc"),
     )
     b = withp.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
+        F.col("__n").alias("b_n"),
         F.col("cell"),
         F.col("centroid_cos").alias("b_cc"),
     )
     better = (F.col("a_cc") < F.col("b_cc")) | (
         (F.col("a_cc") == F.col("b_cc")) & (F.col("a_id") < F.col("b_id"))
     )
-    cos = _dot_fold("a_vec", "b_vec") / (_norm_fold("a_vec") * _norm_fold("b_vec"))
+    cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
     dropped = (
         a.join(b, "cell")
         .filter(better)

@@ -542,16 +542,21 @@ def _dsir_hashed_features(
     )
 
 
+def _dsir_bucket_counts(hashed: DataFrame) -> DataFrame:
+    """(b, q_cnt, p_cnt): per-bucket corpus/target feature counts —
+    bounded at n_buckets rows."""
+    return hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("q_cnt"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("p_cnt"),
+    )
+
+
 def _dsir_lambda_frame(hashed: DataFrame) -> DataFrame:
     """(b, lam_bits): the smoothed log2-ratio table (only buckets with at
     least one corpus occurrence — absent buckets never join anyway)."""
     il = _dsir_il
     wtot = Window.partitionBy()  # whole-frame total over <= n_buckets rows
-    buckets = hashed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("q_cnt"),
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("p_cnt"),
-    )
-    return buckets.select(
+    return _dsir_bucket_counts(hashed).select(
         "b",
         (
             (il(F.col("p_cnt") + 1) - il(F.sum("p_cnt").over(wtot) + 1))
@@ -577,21 +582,23 @@ def dsir_train_lambda(
     unseen features at serve time score maximally-smoothed rather than 0.
 
     Driver collect is BOUNDED at n_buckets rows (KBs) — the whole point
-    of feature hashing: the model never grows with the vocabulary."""
+    of feature hashing: the model never grows with the vocabulary.  ONE
+    Spark job over the exploded feature stream (code-review r8 #5): the
+    totals and every lam_bits derive driver-side from the collected
+    bucket counts with the same integer math as _dsir_lambda_frame."""
     hashed = _dsir_hashed_features(
         df, target_col, n_buckets, seed, text_col, id_col, bigrams
     )
-    rows = _dsir_lambda_frame(hashed).collect()
-    tots = hashed.agg(
-        F.count(F.lit(1)).alias("q_tot"),
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("p_tot"),
-    ).collect()[0]
-    default = ((int(tots["q_tot"]) + 1).bit_length() - 1) - (
-        (int(tots["p_tot"] or 0) + 1).bit_length() - 1
-    )
+    rows = _dsir_bucket_counts(hashed).collect()
+    q_tot = sum(int(r["q_cnt"]) for r in rows)
+    p_tot = sum(int(r["p_cnt"]) for r in rows)
+    il = lambda x: (x).bit_length() - 1  # noqa: E731  (x >= 1)
+    default = il(q_tot + 1) - il(p_tot + 1)
     lam = [default] * n_buckets
     for r in rows:
-        lam[int(r["b"])] = int(r["lam_bits"])
+        lam[int(r["b"])] = (il(int(r["p_cnt"]) + 1) - il(p_tot + 1)) - (
+            il(int(r["q_cnt"]) + 1) - il(q_tot + 1)
+        )
     return lam
 
 

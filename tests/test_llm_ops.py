@@ -698,6 +698,26 @@ def test_audio_fingerprint_gain_invariance_and_failures(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_image_neardup_salt_cap_semantics(spark):
+    """The hot-bucket salt cap on the perceptual banding join: 70
+    identical images share every band value, so each band bucket splits
+    at 64 into id-ordered salt groups and pairs survive only WITHIN a
+    group — C(64,2)+C(6,2) = 2031, not C(70,2) = 2415.  This is exactly
+    what the DuckDB twin replays (code-review r8 #3); uncapped
+    (max_bucket=None) recovers all 2415."""
+    import pyfads.multimodal as M
+
+    blob = ("pixel soup " * 30).encode()
+    df = spark.createDataFrame(
+        [(i, blob, "s") for i in range(70)], "doc_id long, raw binary, src string"
+    )
+    media = M.as_media(df, "doc_id", F.col("raw"), "image/fake", "src")
+    capped = M.image_neardup_pairs(media, max_hamming=3, max_bucket=64).count()
+    assert capped == (64 * 63) // 2 + (6 * 5) // 2
+    full = M.image_neardup_pairs(media, max_hamming=3, max_bucket=None).count()
+    assert full == (70 * 69) // 2
+
+
 def test_audio_delta_band_packing():
     """_delta_bands bit layout: bit i (vals[i] > vals[i+1]) -> band i//16,
     position i%16."""

@@ -955,3 +955,102 @@ def _bpe_counts_cached(sf_dir: str, n_merges: int, train_top_words: int) -> str:
 
 def token_counts_bpe_oracle(n_merges: int = 200, train_top_words: int = 5000) -> str:
     return _bpe_counts_cached(oracle_sf_dir(), n_merges, train_top_words)
+
+
+def _semantic_incremental_sql(
+    cents, dim: int, threshold: float, corpus_src: str, batch_src: str
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup_incremental: both sides
+    assign cells via the fold-dot argmax against the same strtod centroid
+    literals; a batch row's n_corpus_dups counts same-cell corpus vectors
+    at fold-cosine >= threshold."""
+
+    def dvec(v) -> str:
+        return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
+
+    vals = ",\n  ".join(f"({j}, {dvec(cents[j])})" for j in range(len(cents)))
+    norm0 = _chain_norm_sql("e0", dim)
+
+    def fdot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+
+    def fnorm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a},"
+            f" x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+        )
+
+    def assign(side: str) -> str:
+        return f"""(
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_fold_dot("e.embedding", "c.cvec", dim)} DESC,
+                                       c.cell) AS rn
+    FROM {side} e CROSS JOIN cents c)
+  WHERE rn = 1
+)"""
+
+    cos = (
+        f"({fdot('eb.embedding', 'ec.embedding')})"
+        f" / (({fnorm('eb.embedding')}) * ({fnorm('ec.embedding')}))"
+    )
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+cp AS (SELECT vec_id, embedding FROM {corpus_src} e0 WHERE {norm0} > 0),
+bt AS (SELECT vec_id, embedding FROM {batch_src} e0 WHERE {norm0} > 0),
+cpa AS (SELECT * FROM {assign("cp")}),
+bta AS (SELECT * FROM {assign("bt")}),
+dups AS (
+  SELECT b.vec_id AS b_id, count(*) AS n
+  FROM bta b JOIN cpa c USING (cell)
+  JOIN bt eb ON eb.vec_id = b.vec_id
+  JOIN cp ec ON ec.vec_id = c.vec_id
+  WHERE ({cos}) >= '{threshold!r}'::DOUBLE
+  GROUP BY b.vec_id
+)
+SELECT bta.vec_id, CAST(bta.cell AS INTEGER) AS cell,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_corpus_dups,
+       COALESCE(d.n, 0) = 0 AS is_new
+FROM bta LEFT JOIN dups d ON bta.vec_id = d.b_id
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _semantic_incremental_cached(
+    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    plant_dups: int, plant_new: int,
+) -> str:
+    """Incremental gate twin: corpus = embeddings; batch = scaled copies
+    of vec_id < plant_dups (cosine 1 -> duplicates) plus NEGATED-scaled
+    copies of vec_id in [100, 100+plant_new) (cosine -1 to their source,
+    and random Gaussians never reach +0.9 -> genuinely new)."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    batch = f"""(
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id < {plant_dups}
+  UNION ALL
+  SELECT vec_id + 20000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(-1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + plant_new}
+)"""
+    return _semantic_incremental_sql(cents, dim, threshold, "embeddings", batch)
+
+
+def semantic_dedup_incremental_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    seed: int = 7,
+    plant_dups: int = 32,
+    plant_new: int = 16,
+) -> str:
+    return _semantic_incremental_cached(
+        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_dups, plant_new
+    )

@@ -785,6 +785,32 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_incremental",
+    oracle=lambda: G.semantic_dedup_incremental_oracle(),
+)
+def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest semantic gate (the semantic twin of
+    dedup_incremental): a batch of 32 scaled corpus copies (cosine 1 ->
+    duplicates) + 16 negated copies (cosine -1 -> genuinely new) gated
+    against the embeddings corpus; expects exactly is_new=false for the
+    32 and true for the 16.  Codebook trained once on the corpus both
+    sides."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    dups = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+    )
+    return S.semantic_dedup_incremental(
+        dups.unionByName(new), embs, DIM, threshold=0.9, centroids=cents
+    )
+
+
 @query("dedup_semantic_docs", oracle=lambda: G.semantic_dedup_docs_oracle())
 def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free semantic dedup END-TO-END on raw text: hashed signed-
@@ -2269,6 +2295,34 @@ def media_audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope just as they do in pixels)."""
     docs = _docs(spark, sf_dir).filter(F.octet_length("text") == F.length("text"))
     return M.audio_neardup_pairs(M.text_to_wav(docs), max_hamming=3)
+
+
+_MEDIA_VIDEO_NEARDUP_SQL = """
+WITH vfr AS (
+  SELECT DISTINCT media_id, md5(substr(text, j * 32 + 1, 32)) AS fh
+  FROM (
+    SELECT doc_id AS media_id, text,
+           unnest(generate_series(0, least(16, greatest(1, length(text) // 32)) - 1)) AS j
+    FROM documents WHERE strlen(text) = length(text)
+  )
+)
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+       CAST(count(*) AS BIGINT) AS shared_frames
+FROM vfr a JOIN vfr b ON a.fh = b.fh AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@query("media_video_neardup", oracle=_MEDIA_VIDEO_NEARDUP_SQL)
+def media_video_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by shared-frame fingerprints (shot-hash method):
+    sample 16 32-byte frames per clip, pair clips sharing >= 2 distinct
+    frame hashes via an equi-join on the hash (never all-pairs).  Finds
+    exactly the 24 planted near-dup pairs at sf0.01."""
+    return M.video_frame_neardup(
+        _media_ascii(spark, sf_dir), every_n_bytes=32, max_frames=16, min_shared=2
+    )
 
 
 @query("media_audio", oracle=_MEDIA_AUDIO_SQL)

@@ -37,6 +37,7 @@ __all__ = [
     "image_neardup_pairs",
     "audio_fingerprint",
     "audio_neardup_pairs",
+    "video_frame_neardup",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -507,6 +508,44 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             )
 
     return media.mapInPandas(fn, schema)
+
+
+def video_frame_neardup(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs by shared-frame fingerprints (the shot-hash
+    method: sample frames, hash each, match videos on common shot
+    hashes): two media rows pair when they share at least ``min_shared``
+    distinct sampled-frame hashes.  Returns ``(a_id, b_id,
+    shared_frames)``.
+
+    Completes the near-dup family's third modality (image: dHash bands,
+    audio: energy-delta fingerprint, video: frame-set overlap).  This is
+    the exact-aligned variant — frames are fixed windows from the clip
+    start, so content shared at DIFFERENT offsets needs the CDC treatment
+    (:func:`pyfads.dedup.cdc_duplicate_pairs` shows that shape); real
+    video frames are decode-anchored, making alignment a non-issue there.
+
+    Scale: frames explode bounded at ``max_frames`` per clip; the pair
+    join is an equi-join on the 16-byte frame hash (the CDC-pairs shape,
+    never all-pairs); the per-pair count is a map-side-combinable agg.
+    """
+    frames = sample_frames(media, every_n_bytes, max_frames)
+    fh = frames.select(
+        "media_id", F.md5("frame_bytes").alias("fh")
+    ).distinct()
+    a = fh.select(F.col("media_id").alias("a_id"), "fh")
+    b = fh.select(F.col("media_id").alias("b_id"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
 
 
 # --------------------------------------------------------------------------

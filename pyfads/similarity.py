@@ -51,6 +51,7 @@ __all__ = [
     "train_ivf_centroids",
     "train_pq_codebooks",
     "semantic_dedup",
+    "semantic_dedup_incremental",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -476,6 +477,103 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int):
     return assign
 
 
+def _assign_cells_inplan(
+    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cell assignment IN THE PLAN, not in a numpy UDF: argmax over the
+    fold dots against centroid literals, tie -> lowest cell, via one
+    array_max over (dp, -cell) structs — EXACTLY the computation the
+    oracle's celldot/row_number CTEs run (raw un-normalized dot: argmax
+    is scale-invariant), so assignment parity is by construction rather
+    than by "BLAS rounds like the SQL fold" (code-review r8 #8).  Also
+    map-only: no Arrow hop, no per-row normalization.  Returns
+    ``(id_col, __v, cell)``."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot_fold("__v", f"__c{j}").alias("dp"),
+                    F.lit(-j).alias("negcell"),
+                )
+                for j in range(len(cents))
+            ]
+        )
+    )
+    with_cents = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        *[
+            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
+            for j in range(len(cents))
+        ],
+    )
+    return with_cents.select(
+        id_col, "__v", (-best["negcell"]).cast("int").alias("cell")
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Incremental-ingest semantic dedup: gate each BATCH vector against
+    the standing CORPUS — the semantic twin of
+    :func:`pyfads.dedup.incremental_dedup` (which gates on MinHash).  A
+    batch row is a duplicate when any corpus vector in its cell sits at
+    cosine >= ``threshold``; the corpus always wins (the newcomer drops —
+    no keeper priority, unlike the batch :func:`semantic_dedup`).
+    Returns ALL batch rows: ``(vec_id, cell, n_corpus_dups, is_new)``.
+    Within-batch duplicates are not gated here — run
+    :func:`semantic_dedup` over the surviving batch for that.
+
+    Scale shape: the codebook is the train-once artifact (pass
+    ``centroids``; training on the corpus otherwise); both sides assign
+    cells map-only in-plan; the only wide exchange is the batch-corpus
+    equi-join on the cell id — and the BATCH side of an ingest tick is
+    small, so Catalyst broadcasts it.
+    """
+    batch = drop_zero_norm(batch, dim, vec_col)
+    corpus = drop_zero_norm(corpus, dim, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, dim, n_centroids, seed, id_col, vec_col)
+    )
+    bt = _assign_cells_inplan(batch, cents, id_col, vec_col)
+    cp = _assign_cells_inplan(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("__v").alias("c_vec"),
+        _norm_fold("__v").alias("c_n"),
+        "cell",
+    )
+    b = bt.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__v").alias("b_vec"),
+        _norm_fold("__v").alias("b_n"),
+        "cell",
+    )
+    cos = _dot_fold("b_vec", "c_vec") / (F.col("b_n") * F.col("c_n"))
+    dups = (
+        b.join(cp, "cell")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_dups"))
+    )
+    out = bt.join(dups, bt[id_col] == dups["b_id"], "left")
+    n = F.coalesce(F.col("n_corpus_dups"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col), F.col("cell"), n.alias("n_corpus_dups"), (n == 0).alias("is_new")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     dim: int,
@@ -531,35 +629,7 @@ def semantic_dedup(
             "cell int, cvec array<double>",
         )
     )
-    # Cell assignment IN THE PLAN, not in a numpy UDF: argmax over the 32
-    # fold dots against centroid literals, tie -> lowest cell, via one
-    # array_max over (dp, -cell) structs — EXACTLY the computation the
-    # oracle's celldot/row_number CTEs run (raw un-normalized dot: argmax
-    # is scale-invariant), so assignment parity is by construction rather
-    # than by "BLAS rounds like the SQL fold" (code-review r8 #8).  Also
-    # map-only: no Arrow hop, no per-row normalization.
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _dot_fold("__v", f"__c{j}").alias("dp"),
-                    F.lit(-j).alias("negcell"),
-                )
-                for j in range(len(cents))
-            ]
-        )
-    )
-    with_cents = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        *[
-            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
-            for j in range(len(cents))
-        ],
-    )
-    assigned = with_cents.select(
-        id_col, "__v", (-best["negcell"]).cast("int").alias("cell")
-    )
+    assigned = _assign_cells_inplan(embeddings, cents, id_col, vec_col)
     # priority = cosine to the own-cell centroid; centroids are unit-norm
     # by construction, so cos = dot / |v|.  The row's norm is computed
     # ONCE here and carried through the pair join (the quadratic stage)

@@ -325,6 +325,36 @@ def test_semantic_dedup_planted_paraphrase(spark):
     assert rows[2]["centroid_cos"] < rows[1]["centroid_cos"]
 
 
+def test_semantic_dedup_incremental_gate(spark):
+    """Incremental semantic gate semantics: exact corpus copies drop
+    (is_new=false), orthogonal/negated vectors pass, and the corpus
+    always wins — no keeper priority on the batch side."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of corpus 1 -> dup
+            (11, [0.0, 0.0, 1.0, 0.0]),   # orthogonal -> new
+            (12, [0.95, 0.05, 0.0, 0.0]), # near corpus 1 (cos ~0.999) -> dup
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_incremental(
+            batch, corpus, dim=4, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert rows[10]["is_new"] is False and rows[10]["n_corpus_dups"] == 1
+    assert rows[12]["is_new"] is False
+    assert rows[11]["is_new"] is True and rows[11]["n_corpus_dups"] == 0
+
+
 def test_semantic_dedup_docs_catches_planted_text_neardups(spark):
     """The model-free composition (hashed-projection embeddings ->
     semantic_dedup) must DEDUP the fixture's planted near-dup text pairs:

@@ -811,6 +811,29 @@ def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_report_oracle() -> str:
+    return f"""
+WITH body AS ({G.semantic_dedup_oracle(plant_n=32)})
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_better_neighbors) AS BIGINT) AS n_dup_edges
+FROM body GROUP BY cell
+"""
+
+
+@query("semdedup_cell_report", oracle=_semdedup_report_oracle)
+def semdedup_cell_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup diagnostic (the paper reports dedup rate by
+    cluster): vectors, survivors, and tau-edge count per cell — one agg
+    over the dedup_semantic output."""
+    out = dedup_semantic_q(spark, sf_dir)
+    return out.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("n_better_neighbors").cast("long").alias("n_dup_edges"),
+    )
+
+
 @query("dedup_semantic_docs", oracle=lambda: G.semantic_dedup_docs_oracle())
 def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free semantic dedup END-TO-END on raw text: hashed signed-

@@ -404,3 +404,50 @@ def p4_arrival_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(ev, "ts").alias("arrival_ms"),
         F.row_number().over(w).cast("long").alias("arrival_seq"),
     )
+
+
+def _utility_oracle() -> str:
+    from pyfads import golden as _golden
+
+    base = _golden.fads_generalize_events_oracle()
+    return f"""
+WITH rel AS ({base}),
+u AS (
+  SELECT 'user_id' AS qid, user_id_hi - user_id_lo AS w,
+         user_id_lo AS lo, user_id_hi AS hi FROM rel
+  UNION ALL
+  SELECT 'value', value_hi - value_lo, value_lo, value_hi FROM rel
+  UNION ALL
+  SELECT 'ts_millis', ts_millis_hi - ts_millis_lo, ts_millis_lo, ts_millis_hi FROM rel
+)
+SELECT qid, CAST(count(*) AS BIGINT) AS n_released,
+       min(w) AS min_width,
+       quantile_cont(w, 0.5) AS median_width,
+       max(w) AS max_width,
+       CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       min(lo) AS global_lo, max(hi) AS global_hi
+FROM u GROUP BY qid
+"""
+
+
+@query("fads_utility_report", oracle=_utility_oracle)
+def fads_utility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility (information-loss) report over the flagship FADS release —
+    the k-anonymization literature's evaluation metric (narrower released
+    intervals = more utility), computed per QID with only order-
+    independent statistics (min/median/max widths, exact-release count,
+    released envelope).  Oracle: the same aggregation over the golden
+    FADS table."""
+    from pyfads import FADSConfig, fads_generalize
+    from pyfads.io import events_with_arrival
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    released = fads_generalize(events_with_arrival(spark, sf_dir), cfg)
+    return P.utility_report(released)

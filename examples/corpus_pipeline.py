@@ -89,6 +89,21 @@ def main() -> None:
         ),
     )
 
+    # 2c. semantic (paraphrase-level) dedup — model-free: hashing-trick
+    # doc embeddings feed SemDeDup-class cell dedup; lexical passes above
+    # cannot see reworded redundancy
+    from pyfads import similarity as S
+
+    embs = X.doc_embed_hash(scrubbed).withColumnRenamed("doc_id", "vec_id")
+    sem = S.semantic_dedup(embs, dim=64, threshold=0.8)
+    scrubbed = stage(
+        "semantic_dedup",
+        scrubbed.join(
+            sem.filter(F.col("is_kept")).select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+        ),
+    )
+
     # 3. benchmark-contamination gate (self-benchmark demo: first 5 docs):
     # token-overlap screen (bloom-style) + exact span-level report —
     # either signal drops the doc
@@ -107,6 +122,16 @@ def main() -> None:
         ),
     )
     n_clean = funnel[-1][1]
+
+    # 3b. DSIR importance selection toward the target distribution
+    # (here: lang='en'): integer log2 importance weights + the
+    # exponential-race sample keeps the docs that look most like the
+    # target while staying reproducible
+    if n_clean > 0:
+        w = X.dsir_weights(clean, F.col("lang") == "en", n_buckets=1024)
+        picked = P.dsir_sample(w, k=max(n_clean * 3 // 4, 1))
+        clean = stage("dsir_selected", clean.join(picked.select("doc_id"), "doc_id"))
+        n_clean = funnel[-1][1]
 
     # 4. source-mixture sample (equal mixture weights across sources);
     # an empty decontaminated frame ends the funnel gracefully at zeros

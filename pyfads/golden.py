@@ -1054,3 +1054,75 @@ def semantic_dedup_incremental_oracle(
     return _semantic_incremental_cached(
         oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_dups, plant_new
     )
+
+
+def _py_fold_dot(a, b) -> float:
+    """In-order IEEE double left fold 0.0 + a1*b1 + ... — bit-identical to
+    similarity._dot_fold (Spark evaluates the lambda sequentially over the
+    zipped array; Python float ops are the same IEEE doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _py_fold_norm(v) -> float:
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+@functools.lru_cache(maxsize=None)
+def _kcenter_cached(sf_dir: str, k: int, dim: int) -> str:
+    """Golden twin of similarity.kcenter_select: the greedy farthest-point
+    loop replayed in pure Python with the SAME in-order fold arithmetic
+    (left-fold dot/norm, cos division order, argmax with id tiebreak), so
+    the selected set and every recorded mindist are bit-identical; the
+    oracle is the resulting k-row literal table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'"
+    ).fetchall()
+    con.close()
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in rows
+        if _py_fold_norm(v) > 0
+    ]
+    rows.sort()
+    norms = {i: _py_fold_norm(v) for i, v in rows}
+    vecs = dict(rows)
+    selected = [(0, rows[0][0], None)]
+    sel = [rows[0][0]]
+    for r in range(1, k):
+        best = None
+        for i, v in rows:
+            if i in sel:
+                continue
+            d = min(
+                1.0 - _py_fold_dot(v, vecs[s]) / (norms[i] * norms[s]) for s in sel
+            )
+            # argmax with lowest-id tiebreak == ORDER BY d DESC, id ASC
+            if best is None or d > best[1] or (d == best[1] and i < best[0]):
+                best = (i, d)
+        selected.append((r, best[0], best[1]))
+        sel.append(best[0])
+    vals = ",\n  ".join(
+        f"({r}, {i}, " + ("NULL::DOUBLE" if d is None else f"'{_lit(d)}'::DOUBLE") + ")"
+        for r, i, d in selected
+    )
+    return f"""
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, CAST(vec_id AS BIGINT) AS vec_id, mindist
+FROM (VALUES
+  {vals}
+) AS t(sel_rank, vec_id, mindist)
+"""
+
+
+def kcenter_select_oracle(k: int = 8, dim: int = 64) -> str:
+    return _kcenter_cached(oracle_sf_dir(), k, dim)

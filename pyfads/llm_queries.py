@@ -834,6 +834,21 @@ def semdedup_cell_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kcenter_select", oracle=lambda: G.kcenter_select_oracle(k=8))
+def kcenter_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
+    selection over the embeddings — the coreset/eval-set picker.  An
+    inherently iterative algorithm: k bounded driver-coordinated rounds,
+    each a small Spark job (fold-dot distances to the selected literals,
+    TakeOrdered argmax); the golden twin replays the loop in pure Python
+    with bit-identical in-order fold arithmetic."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    sel = S.kcenter_select(embs, k=8, dim=DIM)
+    return spark.createDataFrame(
+        sel, "sel_rank long, vec_id long, mindist double"
+    )
+
+
 @query("dedup_semantic_docs", oracle=lambda: G.semantic_dedup_docs_oracle())
 def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free semantic dedup END-TO-END on raw text: hashed signed-

@@ -52,6 +52,7 @@ __all__ = [
     "train_pq_codebooks",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "kcenter_select",
     "embedding_near_dup_pairs",
     "embedding_norms",
 ]
@@ -1208,3 +1209,81 @@ def read_codebook_store(spark, path: str) -> "tuple[np.ndarray, np.ndarray]":
     for r in b:
         books[r.sub, r.code, r.j] = r.v
     return cents, books
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, int, float | None]]":
+    """Greedy k-center (farthest-point) selection over cosine distance —
+    the classic 2-approximation coreset picker (Gonzalez 1985), the
+    standard way to choose a small DIVERSE subset (eval sets, prompt
+    seeds, codebook inits) rather than a random one.
+
+    Iterative by nature: ``k`` driver-coordinated rounds, each one small
+    Spark job computing every row's distance to the selected set (fold
+    dots against the selected vectors as literals — the bounded-broadcast
+    shape) and taking the argmax via TakeOrdered.  k is small by
+    definition (the same bounded-rounds discipline as
+    ``connected_components`` and codebook training); the corpus is
+    scanned k times, never collected.
+
+    Returns ``[(rank, id, mindist_at_selection)]`` — the seed (rank 0,
+    smallest id) has no prior set, so its mindist is None.  Deterministic:
+    argmax ties break on the id; distances are fold-double arithmetic, so
+    the DuckDB golden twin (pyfads.golden.kcenter_select_oracle) replays
+    the selection bit-for-bit with a plain in-order Python loop.
+    """
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    seed_row = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(1)
+        .collect()[0]
+    )
+    selected: "list[tuple[int, int, float | None]]" = [
+        (0, int(seed_row[id_col]), None)
+    ]
+    sel_vecs = [[float(x) for x in seed_row[vec_col]]]
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("__n", _norm_fold("__v"))
+    for r in range(1, k):
+        dists = []
+        for j, sv in enumerate(sel_vecs):
+            sn = _py_fold_norm(sv)
+            cos = _dot_fold("__v", f"__s{j}") / (F.col("__n") * F.lit(sn))
+            dists.append(F.lit(1.0) - cos)
+        cand = base.select(
+            id_col,
+            "__v",
+            "__n",
+            *[F.lit(sel_vecs[j]).alias(f"__s{j}") for j in range(len(sel_vecs))],
+        ).select(
+            id_col,
+            "__v",
+            F.least(*dists).alias("__d") if len(dists) > 1 else dists[0].alias("__d"),
+        )
+        top = (
+            cand.filter(~F.col(id_col).isin([s[1] for s in selected]))
+            .orderBy(F.desc("__d"), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((r, int(top[id_col]), float(top["__d"])))
+        sel_vecs.append([float(x) for x in top["__v"]])
+    return selected
+
+
+def _py_fold_norm(v: "list[float]") -> float:
+    """In-order Python twin of :func:`_norm_fold` — bit-identical IEEE
+    double left fold (0.0 + x1*x1 + ...)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)

@@ -325,6 +325,27 @@ def test_semantic_dedup_planted_paraphrase(spark):
     assert rows[2]["centroid_cos"] < rows[1]["centroid_cos"]
 
 
+def test_kcenter_select_farthest_point_order(spark):
+    """Greedy k-center picks the farthest point from the selected set each
+    round: from seed (1,0,..), the antipode (cos dist 2) comes first, the
+    orthogonal (dist 1) second, and the near-seed clone last."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # seed (lowest id)
+            (2, [0.999, 0.0447, 0.0, 0.0]),  # near seed -> picked last
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> dist 1
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # antipode  -> dist 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sel = S.kcenter_select(df, k=4, dim=4)
+    assert [s[1] for s in sel] == [1, 4, 3, 2]
+    assert sel[0][2] is None
+    assert abs(sel[1][2] - 2.0) < 1e-12
+    assert abs(sel[2][2] - 1.0) < 1e-12
+    assert sel[3][2] < 0.1  # the clone is close to the seed
+
+
 def test_semantic_dedup_incremental_gate(spark):
     """Incremental semantic gate semantics: exact corpus copies drop
     (is_new=false), orthogonal/negated vectors pass, and the corpus

@@ -859,7 +859,15 @@ def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means over the same md5-ordered sample of the computed vectors, and
     the keeper logic replays the shared semantic SQL body."""
     docs = _docs(spark, sf_dir)
-    embs = X.doc_embed_hash(docs).withColumnRenamed("doc_id", "vec_id")
+    # localCheckpoint: the derived embedding table is referenced four
+    # times downstream (codebook sample + assignment + both pair sides) —
+    # materialize the explode+agg once instead of re-running it per
+    # branch (at 100 TB this is the write-embeddings-then-dedup posture)
+    embs = (
+        X.doc_embed_hash(docs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
     return S.semantic_dedup(embs, DIM, threshold=0.8, centroids=cents)
 

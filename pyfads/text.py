@@ -660,10 +660,14 @@ def doc_embed_hash(
     when no learned embedding column exists yet: the composition gives
     paraphrase-class dedup over raw text with zero model dependencies.
 
-    Shape: one explode -> one doc-keyed agg with ``dim`` map-side-combined
-    conditional sums (the SimHash vote shape) -> array assembly.  Sign
-    comes from md5 bit 32, disjoint from the bucket bits for any dim up
-    to 2^32."""
+    Shape: one explode -> map-side-combined (doc, bucket) integer sums ->
+    one doc-keyed map assembly -> dense array via a sequence transform.
+    (The one-agg form with ``dim`` conditional sums compiles a
+    doAggregateWithKeysOutput past janino's method limit at dim 64 and
+    drops the whole aggregate to interpreted mode — the two-stage map
+    shape keeps codegen, and the integer sums are exact in any order so
+    parity is unaffected.)  Sign comes from md5 bit 32, disjoint from the
+    bucket bits for any dim up to 2^32."""
     feats = _dsir_feats(text_col, bigrams)
     h = md5_hash60(F.col("g"), seed)
     ex = df.select(F.col(id_col), F.explode(feats).alias("g")).select(
@@ -673,20 +677,15 @@ def doc_embed_hash(
         .otherwise(-1)
         .alias("s"),
     )
-    sums = [
-        F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0))
-        .cast("double")
-        .alias(f"v{j}")
-        for j in range(dim)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*sums)
-        .select(
-            id_col,
-            F.array(*[F.col(f"v{j}") for j in range(dim)]).alias("embedding"),
-        )
+    per = ex.groupBy(id_col, "b").agg(F.sum("s").cast("double").alias("v"))
+    vec = per.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("__m")
     )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at("__m", j.cast("int")), F.lit(0.0)),
+    )
+    return vec.select(id_col, dense.alias("embedding"))
 
 
 def corpus_stats(

@@ -84,6 +84,12 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames
     "corpus_manifest",  # same class: keyless 1-row component aggs, <= 1 partial row per task
+    # DSIR lambda totals: a whole-frame window over the bucket-count table,
+    # which is BOUNDED at n_buckets (4096) rows by construction — the
+    # hashed model never grows with the corpus, so the single partition
+    # holds KBs at any scale (same class as corpus_mix_temp's stratum fold)
+    "dsir_weights",
+    "dsir_sample",
     "session_outliers",  # keyless med/MAD percentile aggs, <= 1 partial row per task
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task

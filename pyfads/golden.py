@@ -362,7 +362,7 @@ def ann_ivf_topk_oracle(
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
 
 
-def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str) -> str:
+def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str, n_assign: int = 1) -> str:
     """Shared SQL body for the semantic-dedup twins: ``cents`` is the
     (n_centroids, dim) codebook to embed as '<repr>'::DOUBLE literals —
     the strtod path, because the centroid values feed the centroid_cos
@@ -399,6 +399,46 @@ def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str) -> str:
     pchain = fdot("e.embedding", "c.cvec")
     pair_dot = fdot("ea.embedding", "eb.embedding")
     na, nb, ne = (fnorm(f"{t}.embedding") for t in ("ea", "eb", "e"))
+    verify = (
+        f"(pa.centroid_cos < pb.centroid_cos\n"
+        f"        OR (pa.centroid_cos = pb.centroid_cos AND pa.vec_id < pb.vec_id))\n"
+        f"  JOIN e ea ON ea.vec_id = pa.vec_id\n"
+        f"  JOIN e eb ON eb.vec_id = pb.vec_id\n"
+        f"  WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE"
+    )
+    if n_assign <= 1:
+        dropped_sql = f"""dropped AS (
+  SELECT pb.vec_id AS b_id, count(*) AS n
+  FROM withp pa
+  JOIN withp pb ON pa.cell = pb.cell
+   AND {verify}
+  GROUP BY pb.vec_id
+)"""
+    else:
+        # multi-probe: candidates come from SHARED probe cells (rn <=
+        # n_assign), deduped to distinct pairs BEFORE the verify so a pair
+        # sharing two probe cells counts once; priority stays the PRIMARY
+        # cell's centroid_cos (withp)
+        dropped_sql = f"""probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+    FROM celldot)
+  WHERE rn <= {n_assign}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM probe a JOIN probe b USING (cell)
+  WHERE a.vec_id <> b.vec_id
+),
+dropped AS (
+  SELECT c.b_id, count(*) AS n
+  FROM cand c
+  JOIN withp pa ON pa.vec_id = c.a_id
+  JOIN withp pb ON pb.vec_id = c.b_id
+   AND {verify}
+  GROUP BY c.b_id
+)"""
     return f"""
 WITH cents(cell, cvec) AS (VALUES
   {vals}
@@ -419,17 +459,7 @@ withp AS (
   SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
   FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
 ),
-dropped AS (
-  SELECT pb.vec_id AS b_id, count(*) AS n
-  FROM withp pa
-  JOIN withp pb ON pa.cell = pb.cell
-   AND (pa.centroid_cos < pb.centroid_cos
-        OR (pa.centroid_cos = pb.centroid_cos AND pa.vec_id < pb.vec_id))
-  JOIN e ea ON ea.vec_id = pa.vec_id
-  JOIN e eb ON eb.vec_id = pb.vec_id
-  WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE
-  GROUP BY pb.vec_id
-)
+{dropped_sql}
 SELECT w.vec_id, CAST(w.cell AS INTEGER) AS cell, w.centroid_cos,
        CAST(COALESCE(d.n, 0) AS BIGINT) AS n_better_neighbors,
        COALESCE(d.n, 0) = 0 AS is_kept
@@ -440,7 +470,7 @@ FROM withp w LEFT JOIN dropped d ON w.vec_id = d.b_id
 @functools.lru_cache(maxsize=None)
 def _semantic_dedup_cached(
     sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
-    plant_n: int = 0,
+    plant_n: int = 0, n_assign: int = 1,
 ) -> str:
     """DuckDB twin of similarity.semantic_dedup over the embeddings table:
     the SAME k-means codebook (bitwise, via _ivf_centroids — trained on
@@ -458,7 +488,7 @@ def _semantic_dedup_cached(
          list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
   FROM embeddings WHERE vec_id < {plant_n}
 )"""
-    return _semantic_dedup_sql(cents, dim, threshold, src)
+    return _semantic_dedup_sql(cents, dim, threshold, src, n_assign)
 
 
 def semantic_dedup_oracle(
@@ -467,9 +497,10 @@ def semantic_dedup_oracle(
     n_centroids: int = 32,
     seed: int = 7,
     plant_n: int = 0,
+    n_assign: int = 1,
 ) -> str:
     return _semantic_dedup_cached(
-        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_n
+        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_n, n_assign
     )
 
 

@@ -811,6 +811,28 @@ def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_probe2",
+    oracle=lambda: G.semantic_dedup_oracle(plant_n=32, n_assign=2),
+)
+def dedup_semantic_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup (n_assign=2): tau-pairs whose members straddle
+    a cell boundary — the single-cell variant's known recall gap — become
+    candidates whenever ANY of their top-2 cells coincide, with pairs
+    deduped before the verify.  Same planted copies and train-once
+    codebook as dedup_semantic; the twin replays the probe CTE + distinct
+    candidates."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return S.semantic_dedup(
+        embs.unionByName(planted), DIM, threshold=0.9, centroids=cents, n_assign=2
+    )
+
+
 def _semdedup_report_oracle() -> str:
     return f"""
 WITH body AS ({G.semantic_dedup_oracle(plant_n=32)})

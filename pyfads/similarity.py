@@ -478,6 +478,43 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int):
     return assign
 
 
+def _probe_cells_inplan(
+    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Top-``n`` probe cells per vector, in-plan like
+    :func:`_assign_cells_inplan`: ascending array_sort of the (dp, -cell)
+    structs puts the best (highest dp, then lowest cell) LAST, so the last
+    ``n`` elements are exactly the oracle's ``rn <= n`` rows.  Returns
+    ``(id_col, cell)`` exploded — n rows per vector."""
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dot_fold("__v", f"__c{j}").alias("dp"),
+                    F.lit(-j).alias("negcell"),
+                )
+                for j in range(len(cents))
+            ]
+        )
+    )
+    with_cents = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        *[
+            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
+            for j in range(len(cents))
+        ],
+    )
+    return with_cents.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.slice(arr, -n, n), lambda t: (-t["negcell"]).cast("int")
+            )
+        ).alias("cell"),
+    )
+
+
 def _assign_cells_inplan(
     df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -584,6 +621,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with spherical k-means,
@@ -661,8 +699,25 @@ def semantic_dedup(
         (F.col("a_cc") == F.col("b_cc")) & (F.col("a_id") < F.col("b_id"))
     )
     cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
+    if n_assign <= 1:
+        cand = a.join(b, "cell")
+    else:
+        # multi-probe: tau-pairs whose members straddle a cell BOUNDARY —
+        # SemDeDup's known recall gap — are candidates whenever ANY of
+        # their top-n_assign cells coincide; dedup to distinct pairs
+        # BEFORE the verify so a pair sharing two probe cells counts once.
+        # Priority stays the PRIMARY cell's centroid_cos.
+        probe = _probe_cells_inplan(embeddings, cents, id_col, vec_col, n_assign)
+        pc = (
+            probe.select(F.col(id_col).alias("a_id"), "cell")
+            .join(probe.select(F.col(id_col).alias("b_id"), "cell"), "cell")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        cand = pc.join(a.drop("cell"), "a_id").join(b.drop("cell"), "b_id")
     dropped = (
-        a.join(b, "cell")
+        cand
         .filter(better)
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= F.lit(float(threshold)))

@@ -346,6 +346,38 @@ def test_kcenter_select_farthest_point_order(spark):
     assert sel[3][2] < 0.1  # the clone is close to the seed
 
 
+def test_semantic_dedup_multiprobe_catches_boundary_pairs(spark):
+    """SemDeDup's known recall gap: a tau-pair whose members sit just
+    either side of a cell boundary is invisible to single-assignment
+    (different primary cells) but caught at n_assign=2 (each member's
+    second-best cell is the other's primary)."""
+    import math
+
+    t0, t1, t2 = math.radians(19), math.radians(21), math.radians(40)
+    cents = __import__("numpy").array(
+        [[1.0, 0.0, 0.0, 0.0], [math.cos(t2), math.sin(t2), 0.0, 0.0]]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [math.cos(t0), math.sin(t0), 0.0, 0.0]),  # primary cell 0
+            (2, [math.cos(t1), math.sin(t1), 0.0, 0.0]),  # primary cell 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    single = {
+        r["vec_id"]: r["is_kept"]
+        for r in S.semantic_dedup(df, 4, threshold=0.9, centroids=cents).collect()
+    }
+    assert single == {1: True, 2: True}  # boundary pair missed
+    probe2 = {
+        r["vec_id"]: r["is_kept"]
+        for r in S.semantic_dedup(
+            df, 4, threshold=0.9, centroids=cents, n_assign=2
+        ).collect()
+    }
+    assert sorted(probe2.values()) == [False, True]  # exactly one survives
+
+
 def test_semantic_dedup_incremental_gate(spark):
     """Incremental semantic gate semantics: exact corpus copies drop
     (is_new=false), orthogonal/negated vectors pass, and the corpus

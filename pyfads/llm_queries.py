@@ -836,6 +836,33 @@ def dedup_semantic_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_twolevel",
+    oracle=lambda: G.semantic_dedup_twolevel_oracle(plant_n=32),
+)
+def dedup_semantic_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TWO-LEVEL (coarse -> fine) codebook — the 100 TB
+    shape where the adaptive law asks for more cells than one k-means
+    sample supports (r8 verdict #4): a bounded-sample coarse quantizer
+    partitions the space, per-cell fine k-means refines it (n_coarse *
+    n_fine effective cells, every training collect bounded).  Same planted
+    scaled copies as dedup_semantic; assignment is hierarchical (coarse
+    argmax, then that cell's fine centroids only) and the twin replays
+    both stages + the shared keeper tail.  Fixture scale uses 8x8=64
+    effective cells; the scale posture (4096x16 = 65k cells) is asserted
+    at 200k synthetic rows in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    base = S.drop_zero_norm(embs, DIM)
+    cb = S.train_two_level_centroids(base, DIM, n_coarse=8, n_fine=8, seed=7)
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return S.semantic_dedup(
+        embs.unionByName(planted), DIM, threshold=0.9, centroids=cb
+    )
+
+
 def _semdedup_report_oracle() -> str:
     return f"""
 WITH body AS ({G.semantic_dedup_oracle(plant_n=32)})
@@ -879,8 +906,10 @@ def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free semantic dedup END-TO-END on raw text: hashed signed-
     projection doc embeddings (text.doc_embed_hash — near-dup texts share
     most n-grams, so they land at cosine ~0.98 vs ~0.5 unrelated) feed
-    semantic_dedup at tau=0.8.  The whole composition is oracle-checked:
-    DuckDB recomputes the projection in SQL, the codebook is spherical
+    semantic_dedup at tau=0.8 with an ADAPTIVE codebook.  The whole
+    composition is oracle-checked: the python twin recomputes the
+    projection (same tokenization + md5 hash) and materializes it once as
+    a golden parquet the DuckDB body reads, the codebook is spherical
     k-means over the same md5-ordered sample of the computed vectors, and
     the keeper logic replays the shared semantic SQL body."""
     docs = _docs(spark, sf_dir)
@@ -893,12 +922,14 @@ def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
         .localCheckpoint(eager=False)
     )
-    # fixed 32-cell codebook here (not adaptive): the DuckDB twin must
-    # evaluate every centroid fold against the COMPUTED embedding CTE,
-    # and 78+ cells x recomputed 64-element lists OOM the oracle at the
-    # sf0.1 sweep; this entry's sf1 ratio is 7.2x (sublinear) at 32 cells,
-    # so the adaptive rule is not needed for its scale story
-    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, 32, 7)
+    # adaptive codebook on the NONZERO-norm doc count (the twin derives
+    # the same count from its golden-embeddings parquet — the r8 32-cell
+    # pin existed only because the old twin re-evaluated the computed-
+    # embedding CTE per centroid and OOM'd past ~78 cells); past 64 cells
+    # this entry exercises the bit-exact Arrow-UDF assignment path
+    nz = S.drop_zero_norm(embs, DIM)
+    nc = S.adaptive_n_centroids(nz.count())
+    cents = S.train_ivf_centroids(nz, DIM, nc, 7)
     return S.semantic_dedup(embs, DIM, threshold=0.8, centroids=cents)
 
 

@@ -575,6 +575,135 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int):
 INPLAN_MAX_CENTROIDS = 64
 
 
+def default_fine_sample(n_fine: int) -> int:
+    """Per-coarse-cell training-sample bound for the fine level: >= 16
+    observations per fine centroid, floored at 256."""
+    return max(256, 16 * n_fine)
+
+
+def _train_fine_codebooks(
+    members: "dict[int, np.ndarray]",
+    coarse: np.ndarray,
+    n_fine: int,
+    seed: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-coarse-cell fine k-means, shared by the Spark trainer and the
+    DuckDB oracle builder so both derive bitwise the same fine codebook.
+    ``members[c]`` is the (md5-ordered, bounded) training matrix of coarse
+    cell ``c``; a cell with no sample members keeps its coarse centroid as
+    the single fine centroid.  Per-cell seeds are decorrelated
+    deterministically (``seed + 7919*(c+1)``).  Returns ``(fine,
+    fine_coarse)``: the flattened (n_fine_total, dim) codebook and the
+    coarse cell each fine centroid refines — the global cell id IS the
+    fine index."""
+    fine, fine_coarse = [], []
+    for c in range(len(coarse)):
+        mem = members.get(c)
+        if mem is None or len(mem) == 0:
+            fine.append(coarse[c][None, :])
+            fine_coarse.append(np.array([c]))
+            continue
+        k = min(n_fine, len(mem))
+        fc = _kmeans_spherical(np.asarray(mem, dtype=np.float64), k, seed + 7919 * (c + 1))
+        fine.append(fc)
+        fine_coarse.append(np.full(len(fc), c))
+    return np.vstack(fine), np.concatenate(fine_coarse).astype(np.int64)
+
+
+def train_two_level_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_coarse: int = 64,
+    n_fine: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_sample: int | None = None,
+    fine_sample_per_cell: int | None = None,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Two-level (coarse -> fine) codebook — the true 100 TB semantic-dedup
+    shape (FAISS IVF's own quantizer-of-quantizers trick): a bounded-sample
+    coarse codebook (<= MAX_CODEBOOK_SAMPLE/16 cells) partitions the space,
+    then an independent fine k-means runs INSIDE each coarse cell on a
+    per-cell bounded sample, giving ``n_coarse * n_fine`` effective cells —
+    millions at scale — while every training collect stays bounded:
+    the coarse sample at :func:`default_codebook_sample` rows and the fine
+    stage at ``n_coarse * fine_sample_per_cell`` rows, gathered by ONE
+    distributed per-cell top-N (window rank over the md5 order), never a
+    corpus collect.  SemDeDup's 50k-cluster LAION posture is n_coarse=4096,
+    n_fine=16 here.
+
+    Returns ``(coarse, fine, fine_coarse)`` — pass the tuple as
+    ``centroids=`` to :func:`semantic_dedup`; assignment is hierarchical
+    (coarse argmax, then argmax among that cell's fine centroids), and the
+    DuckDB twin (pyfads.golden._semantic_dedup_two_level_sql) replays both
+    stages with the same fold arithmetic and tiebreaks."""
+    if fine_sample_per_cell is None:
+        fine_sample_per_cell = default_fine_sample(n_fine)
+    coarse = train_ivf_centroids(
+        embeddings, dim, n_coarse, seed, id_col, vec_col, sample_rows=coarse_sample
+    )
+    w = Window.partitionBy("cell").orderBy("__o", id_col)
+    sample = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__o"),
+            _two_level_coarse_udf(coarse)(F.col(vec_col)).alias("cell"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= fine_sample_per_cell)
+        .select("cell", "__o", id_col, "__v")
+        .collect()
+    )
+    members: dict[int, list] = {}
+    for r in sorted(sample, key=lambda r: (r["cell"], r["__o"], r[id_col])):
+        members.setdefault(r["cell"], []).append(r["__v"])
+    mats = {c: np.asarray(v, dtype=np.float64) for c, v in members.items()}
+    fine, fine_coarse = _train_fine_codebooks(mats, coarse, n_fine, seed)
+    return coarse, fine, fine_coarse
+
+
+def _two_level_coarse_udf(coarse: np.ndarray):
+    """Coarse-stage-only assignment (used while SAMPLING for fine training
+    — same fold arithmetic as the scoring UDF)."""
+    C = np.ascontiguousarray(coarse, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        return pd.Series(top_cells(fold_dots(m, C), 1)[:, 0])
+
+    return assign
+
+
+def _two_level_assign_udf(coarse: np.ndarray, fine: np.ndarray, fine_coarse: np.ndarray):
+    """Hierarchical Arrow-batched quantizer: coarse fold-dot argmax, then
+    fold-dot argmax among the fine centroids OF that coarse cell; the
+    returned global cell id is the fine centroid's index.  Ties break to
+    the lowest cell at both stages (np.argmax takes the first max and the
+    per-cell fine indices are ascending) — exactly the oracle's ``dp DESC,
+    cell`` / ``dp DESC, fid`` row_numbers."""
+    C = np.ascontiguousarray(coarse, dtype=np.float64)
+    Fm = np.ascontiguousarray(fine, dtype=np.float64)
+    fc = np.asarray(fine_coarse, dtype=np.int64)
+    groups = [np.where(fc == c)[0] for c in range(len(C))]
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        ca = top_cells(fold_dots(m, C), 1)[:, 0]
+        out = np.empty(len(m), dtype=np.int32)
+        for c in np.unique(ca):
+            rows = np.where(ca == c)[0]
+            idx = groups[c]
+            fd = fold_dots(m[rows], Fm[idx])
+            out[rows] = idx[np.argmax(fd, axis=1)].astype(np.int32)
+        return pd.Series(out)
+
+    return assign
+
+
 def adaptive_n_centroids(n_rows: int, target_cell: int = 64, floor: int = 32) -> int:
     """SemDeDup's scaling law as a default: size the codebook so the
     EXPECTED cell stays ~``target_cell`` rows (pair work per cell is then
@@ -736,8 +865,10 @@ def semantic_dedup(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
+    centroids: "np.ndarray | tuple | None" = None,
     n_assign: int = 1,
+    two_level: bool = False,
+    n_fine: int = 8,
 ) -> DataFrame:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with spherical k-means,
@@ -758,12 +889,22 @@ def semantic_dedup(
     Returns ALL rows: ``(vec_id, cell, centroid_cos, n_better_neighbors,
     is_kept)``.
 
+    Codebooks: ``centroids`` may be a flat (n, dim) array, or the
+    ``(coarse, fine, fine_coarse)`` tuple from
+    :func:`train_two_level_centroids` for hierarchical assignment
+    (``two_level=True`` trains one in place with ``n_coarse=n_centroids``
+    and ``n_fine`` fine cells each) — the scale path when the adaptive law
+    asks for more cells than one k-means sample can support; the global
+    cell id is then the fine centroid's index and the keeper priority is
+    the cosine to the FINE centroid.
+
     Scale shape: the codebook is trained on a bounded md5-ordered sample
     (:func:`train_ivf_centroids`) and broadcast; cell assignment is one
     Arrow-batched UDF pass; the only wide exchange is the within-cell
     self-join on the int cell id — O(sum c_i^2) pair work, NEVER corpus
     all-pairs.  At 100 TB, size ``n_centroids`` so the expected cell is
-    bounded (SemDeDup used 50k clusters for LAION-scale); the centroid_cos
+    bounded (SemDeDup used 50k clusters for LAION-scale — two-level
+    n_coarse=4096 x n_fine=16 here); the centroid_cos
     priority and the pair cosine are FOLD-form arithmetic (same
     left-associated double sum as the chain, one higher-order expression
     each): five 64-dim chains in one stage overflow janino's 64KB method
@@ -772,11 +913,24 @@ def semantic_dedup(
     every dim; the DuckDB oracle folds identically.
     """
     embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    if two_level and centroids is None:
+        centroids = train_two_level_centroids(
+            embeddings, dim, n_centroids, n_fine, seed, id_col, vec_col
+        )
     cents = (
         centroids
         if centroids is not None
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
+    hierarchical = isinstance(cents, tuple)
+    if hierarchical:
+        if n_assign > 1:
+            raise ValueError(
+                "multi-probe (n_assign > 1) is not supported with a "
+                "two-level codebook — probe the flat codebook instead"
+            )
+        coarse, fine, fine_coarse = cents
+        cents = np.asarray(fine)  # cell id = fine index; priority vs fine
     spark = embeddings.sparkSession
     cents_df = F.broadcast(
         spark.createDataFrame(
@@ -784,7 +938,15 @@ def semantic_dedup(
             "cell int, cvec array<double>",
         )
     )
-    if len(cents) <= INPLAN_MAX_CENTROIDS:
+    if hierarchical:
+        assigned = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _two_level_assign_udf(coarse, fine, fine_coarse)(F.col(vec_col)).alias(
+                "cell"
+            ),
+        )
+    elif len(cents) <= INPLAN_MAX_CENTROIDS:
         assigned = _assign_cells_inplan(embeddings, cents, id_col, vec_col)
     else:
         assigned = embeddings.select(

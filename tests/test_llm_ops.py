@@ -2309,3 +2309,58 @@ def test_udf_assignment_tie_breaks_to_lowest_cell(spark):
     }
     assert out[1][0] == 0 and out[2][0] == 1  # first max = lowest cell
     assert out[1] == [0, 2, 1] and out[2] == [1, 3, 0]  # stable among ties
+
+
+def test_two_level_semantic_dedup_200k_bounded_cells(spark):
+    """The two-level codebook's scale claim, measured: at 200k synthetic
+    rows with 64x64 = 4096 effective cells, (a) the requested fine
+    codebook is actually PRODUCED (no silent clamp — every training
+    collect is bounded per level), (b) cell widths stay bounded (the
+    within-cell pair stage is O(sum c_i^2), so a hot cell is the scale
+    killer), and (c) planted scaled copies land in their source's cell and
+    exactly one member of each pair drops (the x1.5 in doubles perturbs
+    centroid_cos by ulps, so WHICH member wins the priority is rounding-
+    determined — only the one-survivor invariant is semantic)."""
+    import numpy as np
+
+    n, dim = 200_000, 16
+    embs = _synth_embs(spark, n, dim=dim)
+    base = S.drop_zero_norm(embs, dim)
+    cb = S.train_two_level_centroids(base, dim, n_coarse=64, n_fine=64, seed=7)
+    coarse, fine, fine_coarse = cb
+    assert len(coarse) == 64
+    assert len(fine) == 64 * 64  # every coarse cell supported 64 fine cells
+    assert len(fine_coarse) == len(fine)
+
+    planted = embs.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    out = S.semantic_dedup(
+        embs.unionByName(planted), dim, threshold=0.9999, centroids=cb
+    )
+    widths = out.groupBy("cell").count().collect()
+    counts = np.array([r["count"] for r in widths])
+    assert len(counts) >= 3000  # cells actually used
+    mean = counts.mean()
+    assert counts.max() <= 40 * mean, (counts.max(), mean)
+
+    pl = {
+        r["vec_id"]: r
+        for r in out.filter(
+            (F.col("vec_id") < 100) | (F.col("vec_id") >= 10_000_000)
+        ).collect()
+    }
+    dropped_total = out.filter(~F.col("is_kept")).count()
+    for i in range(100):
+        a, b = pl[i], pl[i + 10_000_000]
+        assert a["cell"] == b["cell"]  # scale-invariant hierarchical argmax
+        assert a["is_kept"] != b["is_kept"]  # exactly one survivor per pair
+    assert dropped_total == 100  # no random tau-pairs at 0.9999
+
+
+def test_two_level_rejects_multiprobe(spark):
+    embs = _synth_embs(spark, 300, dim=8)
+    cb = S.train_two_level_centroids(embs, 8, n_coarse=4, n_fine=4, seed=7)
+    with pytest.raises(ValueError, match="two-level"):
+        S.semantic_dedup(embs, 8, centroids=cb, n_assign=2)

@@ -813,6 +813,53 @@ def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semantic serve-many store (train-once posture for the semantic family):
+# built once per process per sf_dir — rep 1 pays training + the store
+# write, the steady-state min is the true serve path (two parquet scans +
+# the gate join).  Same oracle as dedup_semantic_incremental: the store
+# round-trip is bit-exact, so the gate verdicts are identical.
+_SEMSTORE_PATHS: dict[str, str] = {}
+
+
+def _semstore(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _SEMSTORE_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pyfads_semstore_")
+        embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+        nc = S.adaptive_n_centroids(embs.count())
+        cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
+        S.write_semantic_store(spark, path, cents, embs, DIM)
+        _SEMSTORE_PATHS[sf_dir] = path
+    return S.read_semantic_store(spark, _SEMSTORE_PATHS[sf_dir])
+
+
+@query(
+    "dedup_semantic_served",
+    oracle=lambda: G.semantic_dedup_incremental_oracle(),
+)
+def dedup_semantic_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_incremental served from the persisted semantic store
+    (r8 verdict #6): the codebook AND the cell-assigned corpus with
+    precomputed norms load as parquet scans — no training, no corpus
+    re-assignment in the query path; the plan is batch-assign (map-only)
+    + one cell equi-join.  Bit-identical verdicts to the train-inline
+    gate (same oracle; store round trip is exact doubles)."""
+    cents, corpus = _semstore(spark, sf_dir)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    dups = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+    )
+    return S.semantic_dedup_incremental_served(
+        dups.unionByName(new), cents, corpus, DIM, threshold=0.9
+    )
+
+
 @query(
     "dedup_semantic_probe2",
     oracle=lambda: G.semantic_dedup_oracle(plant_n=32, n_assign=2),

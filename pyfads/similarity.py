@@ -821,13 +821,7 @@ def semantic_dedup_incremental(
         else train_ivf_centroids(corpus, dim, n_centroids, seed, id_col, vec_col)
     )
     def _assign(df: DataFrame) -> DataFrame:
-        if len(cents) <= INPLAN_MAX_CENTROIDS:
-            return _assign_cells_inplan(df, cents, id_col, vec_col)
-        return df.select(
-            F.col(id_col),
-            F.col(vec_col).alias("__v"),
-            F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
-        )
+        return _assign_cells(df, cents, id_col, vec_col)
 
     bt = _assign(batch)
     cp = _assign(corpus).select(
@@ -836,6 +830,16 @@ def semantic_dedup_incremental(
         _norm_fold("__v").alias("c_n"),
         "cell",
     )
+    return _semantic_gate(bt, cp, id_col, threshold)
+
+
+def _semantic_gate(bt: DataFrame, cp: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """The incremental-gate join body, shared by the train-inline
+    (:func:`semantic_dedup_incremental`) and the store-served
+    (:func:`semantic_dedup_incremental_served`) paths: ``bt`` is the
+    assigned batch ``(id_col, __v, cell)``, ``cp`` the assigned corpus
+    ``(c_id, c_vec, c_n, cell)`` (norms precomputed — from the store on
+    the served path, bit-identical either way)."""
     b = bt.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
@@ -855,6 +859,127 @@ def semantic_dedup_incremental(
     return out.select(
         F.col(id_col), F.col("cell"), n.alias("n_corpus_dups"), (n == 0).alias("is_new")
     )
+
+
+def _assign_cells(
+    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Hybrid single-cell assignment (in-plan fold argmax <= 64 cells,
+    bit-exact Arrow UDF above) — returns ``(id_col, __v, cell)``."""
+    if len(cents) <= INPLAN_MAX_CENTROIDS:
+        return _assign_cells_inplan(df, cents, id_col, vec_col)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+
+
+def write_semantic_store(
+    spark,
+    path: str,
+    cents: np.ndarray,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the semantic-dedup SERVE-MANY artifact (the
+    write_codebook_store / write_signature_store precedent, r8 verdict
+    #6): the trained codebook plus the standing corpus pre-assigned to its
+    cells with the fold norm precomputed — so incremental gates and the
+    streaming gate never retrain and never re-assign the corpus.  Doubles
+    round-trip parquet exactly, so a store-served gate agrees
+    BIT-FOR-BIT with the train-inline one (asserted in tests).
+
+    Layout (all plain parquet, engine-portable):
+      ``{path}/centroids``  (cell int, j int, v double) — flat codebook
+      ``{path}/corpus``     (c_id, c_vec, c_n double, cell int) — written
+      partitioned by nothing but sized by the upstream shuffle; at 100 TB
+      partition this table by ``cell`` so a gate's stream-static join
+      prunes to probed cells."""
+    crows = [
+        (int(c), int(j), float(v))
+        for c, row in enumerate(cents)
+        for j, v in enumerate(row)
+    ]
+    spark.createDataFrame(crows, "cell int, j int, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/centroids")
+    corpus = drop_zero_norm(corpus, dim, vec_col)
+    cp = _assign_cells(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("__v").alias("c_vec"),
+        _norm_fold("__v").alias("c_n"),
+        "cell",
+    )
+    cp.write.mode("overwrite").parquet(path + "/corpus")
+
+
+def read_semantic_store(spark, path: str) -> "tuple[np.ndarray, DataFrame]":
+    """Load a :func:`write_semantic_store` artifact: the exact centroid
+    array (bounded collect) and the assigned-corpus DataFrame (stays
+    distributed — never collected)."""
+    c = spark.read.parquet(path + "/centroids").collect()
+    nc = max(r.cell for r in c) + 1
+    dim = max(r.j for r in c) + 1
+    cents = np.zeros((nc, dim))
+    for r in c:
+        cents[r.cell, r.j] = r.v
+    return cents, spark.read.parquet(path + "/corpus")
+
+
+def semantic_dedup_incremental_served(
+    batch: DataFrame,
+    store_cents: np.ndarray,
+    store_corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup_incremental` served from a persisted
+    :func:`write_semantic_store` artifact: no training and no corpus
+    re-assignment in the query path — the plan is batch-assign (map-only)
+    + one equi-join on the cell id against the store table.  Output is
+    bit-identical to the train-inline gate (same oracle)."""
+    batch = drop_zero_norm(batch, dim, vec_col)
+    bt = _assign_cells(batch, store_cents, id_col, vec_col)
+    return _semantic_gate(bt, store_corpus, id_col, threshold)
+
+
+def semantic_gate_stream(
+    stream: DataFrame,
+    store_cents: np.ndarray,
+    store_corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming semantic ingest gate — the semantic twin of
+    :func:`pyfads.dedup.contamination_gate_stream` (r8 verdict #5): score
+    each incoming record against the STANDING corpus and emit only the
+    genuinely-new rows (the batch gate's ``is_new`` survivors,
+    label-for-label — asserted in tests/test_llm_ops.py).
+
+    Shape: cell assignment is a stateless projection (in-plan fold argmax,
+    or the bit-exact Arrow UDF past 64 cells); the corpus side is the
+    persisted :func:`write_semantic_store` artifact, so the join is
+    STREAM-STATIC — Spark re-plans the static side per micro-batch, no
+    streaming state, no watermark.  A LEFT ANTI join (supported
+    stream-static) drops every batch row with a same-cell corpus neighbor
+    at fold-cosine >= threshold; survivors keep ``(id_col, cell)``.
+    Rows whose vector is zero-norm are dropped (cosine undefined), as in
+    every batch entry point."""
+    stream = drop_zero_norm(stream, dim, vec_col)
+    bt = _assign_cells(stream, store_cents, id_col, vec_col)
+    b = bt.select(
+        F.col(id_col), F.col("__v").alias("b_vec"), _norm_fold("__v").alias("b_n"), "cell"
+    )
+    cos = _dot_fold("b_vec", "c_vec") / (F.col("b_n") * F.col("c_n"))
+    cond = (b["cell"] == store_corpus["cell"]) & (cos >= F.lit(float(threshold)))
+    return b.join(store_corpus, cond, "left_anti").select(id_col, "cell")
 
 
 def semantic_dedup(
@@ -946,14 +1071,8 @@ def semantic_dedup(
                 "cell"
             ),
         )
-    elif len(cents) <= INPLAN_MAX_CENTROIDS:
-        assigned = _assign_cells_inplan(embeddings, cents, id_col, vec_col)
     else:
-        assigned = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col).alias("__v"),
-            F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
-        )
+        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
     # priority = cosine to the own-cell centroid; centroids are unit-norm
     # by construction, so cos = dot / |v|.  The row's norm is computed
     # ONCE here and carried through the pair join (the quadratic stage)

@@ -2364,3 +2364,72 @@ def test_two_level_rejects_multiprobe(spark):
     cb = S.train_two_level_centroids(embs, 8, n_coarse=4, n_fine=4, seed=7)
     with pytest.raises(ValueError, match="two-level"):
         S.semantic_dedup(embs, 8, centroids=cb, n_assign=2)
+
+
+def test_semantic_gate_stream_matches_batch_gate(spark, tmp_path_factory):
+    """The streaming semantic gate (stream-static LEFT ANTI join against
+    the persisted semantic store) must emit EXACTLY the batch gate's
+    is_new survivors, cell-for-cell, across micro-batches — the semantic
+    twin of the contamination-gate stream parity suite."""
+    from pyfads.io import read_table
+
+    base = str(tmp_path_factory.mktemp("semgate"))
+    store, chunks = base + "/store", base + "/chunks"
+
+    embs = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, 64), 64, 32, 7)
+    S.write_semantic_store(spark, store, cents, embs, 64)
+    cents2, corpus = S.read_semantic_store(spark, store)
+    import numpy as np
+
+    assert np.array_equal(cents2, cents)  # store round-trip exact
+
+    dups = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+    )
+    batch = dups.unionByName(new)
+    # two micro-batches: chunk files + maxFilesPerTrigger=1
+    batch.filter(F.col("vec_id") < 15_000_000).coalesce(1).write.parquet(
+        chunks + "/c0.parquet"
+    )
+    batch.filter(F.col("vec_id") >= 15_000_000).coalesce(1).write.parquet(
+        chunks + "/c1.parquet"
+    )
+
+    expected = {
+        r["vec_id"]: r["cell"]
+        for r in S.semantic_dedup_incremental_served(
+            batch, cents, corpus, 64, threshold=0.9
+        )
+        .filter(F.col("is_new"))
+        .collect()
+    }
+    assert set(expected) == {i + 20_000_000 for i in range(100, 116)}
+
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks)
+    )
+    gated = S.semantic_gate_stream(src, cents, corpus, 64, threshold=0.9)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("semgate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # stateless gate: terminates
+    finally:
+        q.stop()
+    streamed = {
+        r["vec_id"]: r["cell"] for r in spark.table("semgate_out").collect()
+    }
+    assert streamed == expected

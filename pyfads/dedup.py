@@ -47,6 +47,7 @@ __all__ = [
     "contamination_report",
     "exact_substring_scrub",
     "contamination_gate_stream",
+    "broadcast_eval_hashes",
     "cdc_duplicate_pairs",
 ]
 
@@ -1270,6 +1271,7 @@ def contamination_gate_stream(
     max_contam_ppm: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_broadcast=None,
 ) -> DataFrame:
     """Streaming ingest decontamination: drop (or threshold) incoming docs
     that share any length-``L`` substring with the eval set — the
@@ -1301,17 +1303,39 @@ def contamination_gate_stream(
     which would re-serialize the whole set into every task's command
     (ADVICE r7) — at realistic eval-set sizes (MBs of 60-bit hashes) the
     closure path bloats every micro-batch's task setup.
+
+    Broadcast ownership (ADVICE r8): a broadcast built HERE lives for the
+    SparkContext's lifetime — fine for the one-long-lived-gate production
+    shape, but constructing many gates (per-test, per-job loops) leaks
+    executor memory.  For that pattern, build the set once with
+    :func:`broadcast_eval_hashes`, pass it as ``eval_broadcast=``, and
+    ``.unpersist()`` it yourself when the last gate terminates.
     """
-    ev_rows = (
+    if eval_broadcast is None:
+        ev_rows = (
+            _shingle_occurrences(eval_df, L, text_col, id_col)
+            .select("h")
+            .distinct()
+            .collect()
+        )
+        eval_broadcast = stream.sparkSession.sparkContext.broadcast(
+            frozenset(r["h"] for r in ev_rows)
+        )
+    contam_ppm = _gate_ppm_udf(eval_broadcast, L)
+
+    out = stream.withColumn("contam_ppm", contam_ppm(F.col(text_col)))
+    return out.filter(F.col("contam_ppm") <= max_contam_ppm)
+
+
+def broadcast_eval_hashes(spark, eval_df: DataFrame, L: int = 40, text_col: str = "text", id_col: str = "doc_id"):
+    """Build the eval-set shingle-hash broadcast ONCE for reuse across
+    gates — the caller owns it (``.unpersist()`` when the last gate built
+    from it terminates).  Pass the result as ``eval_broadcast=`` to
+    :func:`contamination_gate_stream`."""
+    rows = (
         _shingle_occurrences(eval_df, L, text_col, id_col)
         .select("h")
         .distinct()
         .collect()
     )
-    bc = stream.sparkSession.sparkContext.broadcast(
-        frozenset(r["h"] for r in ev_rows)
-    )
-    contam_ppm = _gate_ppm_udf(bc, L)
-
-    out = stream.withColumn("contam_ppm", contam_ppm(F.col(text_col)))
-    return out.filter(F.col("contam_ppm") <= max_contam_ppm)
+    return spark.sparkContext.broadcast(frozenset(r["h"] for r in rows))

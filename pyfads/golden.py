@@ -690,7 +690,9 @@ def _doc_embed_vectors(sf_dir: str, dim: int, hseed: str):
     con.close()
     ids, vecs = [], []
     for doc_id, text in sorted(rows):
-        toks = text.split(" ")
+        # NULL text keeps its row with the zero vector (doc_embed_hash's
+        # left join), which the nonzero-norm filter then drops uniformly
+        toks = text.split(" ") if text is not None else []
         feats = list(toks)
         if len(toks) >= 2:
             feats += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
@@ -701,37 +703,6 @@ def _doc_embed_vectors(sf_dir: str, dim: int, hseed: str):
         ids.append(doc_id)
         vecs.append(v)
     return ids, np.asarray(vecs)
-
-
-def _doc_embed_sql(dim: int, hseed: str) -> str:
-    """The computed-embedding source subquery: one row per doc with the
-    hashed +-1 projection as a DOUBLE list (exact integer coordinates)."""
-    from pyfads.text import md5_hash60_sql
-
-    h = md5_hash60_sql(hseed, "g")
-    sums = ", ".join(
-        f"CAST(sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS DOUBLE)"
-        for j in range(dim)
-    )
-    return f"""(
-  SELECT doc_id AS vec_id, [{sums}] AS embedding
-  FROM (
-    SELECT doc_id, h % {dim} AS b,
-           CASE WHEN (h // 4294967296) % 2 = 1 THEN 1 ELSE -1 END AS s
-    FROM (
-      SELECT doc_id, {h} AS h
-      FROM (
-        SELECT doc_id, unnest(list_concat(toks,
-                 CASE WHEN len(toks) >= 2
-                      THEN list_transform(generate_series(1, len(toks) - 1),
-                                          i -> concat_ws(' ', toks[i], toks[i + 1]))
-                      ELSE [] END)) AS g
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      )
-    )
-  )
-  GROUP BY doc_id
-)"""
 
 
 @functools.lru_cache(maxsize=None)

@@ -1284,10 +1284,13 @@ def media_image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("media_image_neardup", oracle=_MEDIA_NEARDUP_SQL)
 def media_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs: dHash banding (4 x 16-bit) +
-    exact Hamming <= 3 verify.  The oracle is exact all-pairs (affordable
-    at oracle scale); banding recall is perfect at max_hamming < bands by
-    pigeonhole, so the sets must match — 21 pairs at sf0.01, catching all
-    planted near-dup texts whose stride-sampled bytes align."""
+    exact Hamming <= 3 verify.  The oracle REPLAYS the banding join
+    INCLUDING the hot-bucket salt cap (_banded_hamming_sql), like the
+    minhash twin — an all-pairs oracle would diverge once any band bucket
+    exceeds the cap (test_image_neardup_salt_cap_semantics pins this).
+    Within capped buckets, banding recall is perfect at max_hamming <
+    bands by pigeonhole — 21 pairs at sf0.01, catching all planted
+    near-dup texts whose stride-sampled bytes align."""
     return M.image_neardup_pairs(_media_ascii(spark, sf_dir), max_hamming=3)
 
 

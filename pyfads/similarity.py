@@ -1705,6 +1705,13 @@ def kcenter_select(
     the selection bit-for-bit with a plain in-order Python loop.
     """
     embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    n_avail = embeddings.count()
+    if n_avail < k:
+        raise ValueError(
+            f"kcenter_select: k={k} exceeds the {n_avail} nonzero-norm "
+            f"candidate rows (zero-norm vectors are dropped — cosine "
+            f"distance is undefined for them)"
+        )
     seed_row = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)

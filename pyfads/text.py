@@ -681,11 +681,18 @@ def doc_embed_hash(
     vec = per.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("__m")
     )
+    # left-join back onto the full id set: a NULL text explodes to zero
+    # feature rows, which would silently DROP the doc from the output
+    # (ADVICE r8) — instead it keeps its row with the zero vector (the
+    # coalesce below densifies a NULL map to all-zeros), which downstream
+    # drop_zero_norm then handles uniformly, like dsir_weights' left join.
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at("__m", j.cast("int")), F.lit(0.0)),
     )
-    return vec.select(id_col, dense.alias("embedding"))
+    return (
+        df.select(id_col).join(vec, id_col, "left").select(id_col, dense.alias("embedding"))
+    )
 
 
 def corpus_stats(

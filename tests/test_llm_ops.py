@@ -2433,3 +2433,29 @@ def test_semantic_gate_stream_matches_batch_gate(spark, tmp_path_factory):
         r["vec_id"]: r["cell"] for r in spark.table("semgate_out").collect()
     }
     assert streamed == expected
+
+
+def test_doc_embed_hash_keeps_null_text_rows(spark):
+    """A NULL-text doc keeps its row as the zero vector instead of
+    silently vanishing from the embedding output (ADVICE r8)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["embedding"]) for r in X.doc_embed_hash(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == [0.0] * 64
+    assert any(v != 0.0 for v in out[1])
+
+
+def test_kcenter_select_validates_k(spark):
+    """k > nonzero-norm candidates raises a descriptive error instead of a
+    bare IndexError (ADVICE r8); zero vectors don't count as candidates."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="nonzero-norm"):
+        S.kcenter_select(df, k=3, dim=2)
+    sel = S.kcenter_select(df, k=2, dim=2)
+    assert [s[1] for s in sel] == [1, 2]

@@ -52,6 +52,68 @@ __all__ = [
 ]
 
 
+def segment_dedup_scrub(
+    df: DataFrame,
+    words_per_segment: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style segment-level global deduplication (Wenzek et al. 2019
+    dedups paragraphs by hash across the whole crawl — the standard
+    boilerplate killer: headers, footers, license blurbs occur verbatim in
+    millions of docs).  The fixture corpus is single-spaced prose without
+    newline paragraphs, so the segmentation unit is a fixed width of
+    ``words_per_segment`` words; with real newline-delimited text, split
+    on the separator upstream and pass 1-line segments through the same
+    keeper logic.
+
+    Keeper rule: the globally FIRST occurrence (lexicographic min of
+    ``(doc_id, segment_index)``) of every distinct segment survives; all
+    other occurrences are scrubbed.  Docs are reassembled from their
+    surviving segments in order.  Returns ``(doc_id, n_segments,
+    n_dropped, scrubbed_text)`` for every doc with a non-null text.
+
+    Scale shape: the keeper is a ``groupBy(segment).agg(min(struct))`` —
+    map-side combinable, so a billion-copy boilerplate segment partial-
+    aggregates instead of hot-keying one reducer (a window row_number
+    over the segment would); the re-join back is an equi-join on the
+    segment.  At 100 TB, key both on a 128-bit hash of the segment
+    instead of the string to shrink shuffle bytes (the fixture keys on
+    the string so the DuckDB twin is collision-free by construction)."""
+    words = F.split(F.col(text_col), " ")
+    w = words_per_segment
+    nseg = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda b: F.concat_ws(" ", F.slice(words, b * w + 1, w)),
+    )
+    seg = df.select(F.col(id_col), F.posexplode(segs).alias("blk", "seg"))
+    keeper = seg.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("blk").alias("kblk"))).alias(
+            "k"
+        )
+    )
+    marked = seg.join(keeper, "seg").withColumn(
+        "is_keeper",
+        (F.col(id_col) == F.col("k.kid")) & (F.col("blk") == F.col("k.kblk")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_keeper"), F.struct("blk", "seg"))
+                    )
+                ),
+                lambda t: t["seg"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one representative (min id) per distinct text.
 

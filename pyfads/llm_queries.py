@@ -646,6 +646,59 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return S.cosine_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
 
+
+_MRL_DIM = 16
+
+
+def _mrl_sql(a: str, b: str, op: str) -> str:
+    if op == "dot":
+        return " + ".join(
+            f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE"
+            for i in range(1, _MRL_DIM + 1)
+        )
+    sq = " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE"
+        for i in range(1, _MRL_DIM + 1)
+    )
+    return f"sqrt({sq})"
+
+
+_MATRYOSHKA_SQL = f"""
+WITH e AS (SELECT * FROM embeddings e0
+           WHERE {" + ".join(f"e0.embedding[{i}]::DOUBLE * e0.embedding[{i}]::DOUBLE" for i in range(1, _MRL_DIM + 1))} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ({_mrl_sql('q', 'c', 'dot')}) / ({_mrl_sql('q', 'q', 'norm')} * {_mrl_sql('c', 'c', 'norm')}) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+
+@query("ann_matryoshka_topk", oracle=_MATRYOSHKA_SQL)
+def ann_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-embedding retrieval (Kusupati et al.
+    2022: MRL models pack coarse semantics into the leading coordinates,
+    so scoring on a PREFIX of the embedding trades recall for a dim/d'
+    speedup): cosine top-10 over the first 16 of 64 dims.  Truncation is
+    a plan-side slice — the parquet scan still reads the column, but the
+    per-pair arithmetic (the quadratic term) drops 4x; at 100 TB store
+    the prefix as its own column so the scan prunes too.  Recall vs the
+    full-dim baseline is measured in tests/test_llm_ops.py."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    return S.cosine_topk(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), _MRL_DIM, k=10
+    )
+
 _KNN_LABEL_SQL = f"""
 WITH topk AS ({_COSINE_SQL}),
 votes AS (
@@ -2620,6 +2673,45 @@ FROM spans GROUP BY doc_id
 """.format(
     h=X.md5_hash60_sql(D.XSUB_SEED, f"substr(text, pos, {_XSUB_L})")
 )
+
+
+_SEG_W = 16
+
+_SEGMENT_SCRUB_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, CAST(u.blk AS INT) AS blk,
+         array_to_string(ws[u.blk * {_SEG_W} + 1 : u.blk * {_SEG_W} + {_SEG_W}], ' ') AS seg
+  FROM words,
+       unnest(generate_series(0, CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT) - 1)) AS u(blk)
+),
+marked AS (
+  SELECT doc_id, blk, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, blk) AS rk
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY blk), '') AS scrubbed_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("dedup_segments_scrub", oracle=_SEGMENT_SCRUB_SQL)
+def dedup_segments_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level global dedup (Wenzek et al. 2019 — the
+    paragraph-hash boilerplate killer): fixed 16-word segments, globally
+    first occurrence of each distinct segment survives, docs reassembled
+    from surviving segments.  Complements ExactSubstr (position-level
+    spans) with the cheap hash-per-segment shape real crawls dedup with
+    first.  The twin replays segmentation, the keep-first rule (its
+    window row_number equals the min-struct keeper the Spark side uses —
+    map-side combinable, no hot reducer on billion-copy boilerplate), and
+    the ordered reassembly."""
+    return D.segment_dedup_scrub(_docs(spark, sf_dir), words_per_segment=_SEG_W)
 
 
 @query("dedup_exact_substring", oracle=_EXACT_SUBSTRING_SQL)

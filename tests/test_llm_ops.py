@@ -2459,3 +2459,72 @@ def test_kcenter_select_validates_k(spark):
         S.kcenter_select(df, k=3, dim=2)
     sel = S.kcenter_select(df, k=2, dim=2)
     assert [s[1] for s in sel] == [1, 2]
+
+
+def test_segment_dedup_scrub_semantics(spark):
+    """Keep-first segment dedup on a hand-built corpus: the shared
+    boilerplate segment survives only in the earliest (doc_id, blk)
+    position; unique segments are untouched; docs reassemble in order."""
+    w = " ".join  # 4-word segments below
+    boiler = "all rights reserved here"
+    df = spark.createDataFrame(
+        [
+            (1, w([boiler, "alpha beta gamma delta"])),
+            (2, w(["epsilon zeta eta theta", boiler])),
+            (3, w([boiler, boiler])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup_scrub(df, words_per_segment=4).collect()
+    }
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["scrubbed_text"] == w([boiler, "alpha beta gamma delta"])
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["scrubbed_text"] == "epsilon zeta eta theta"
+    assert out[3]["n_dropped"] == 2  # both copies lose to doc 1's blk 0
+    assert out[3]["scrubbed_text"] == ""
+    assert all(r["n_segments"] == 2 for r in out.values())
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    """A trailing segment shorter than the width is its own unit — docs
+    tile into ceil(n_words / W) segments."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup_scrub(df, words_per_segment=4).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[2]["n_segments"] == 2
+    assert out[2]["n_dropped"] == 1  # shared 'a b c d' head
+    assert out[2]["scrubbed_text"] == "f"
+
+
+def test_matryoshka_recall_vs_full_dim(spark):
+    """Truncated-prefix retrieval must stay deterministic and overlap the
+    full-dim baseline meaningfully even on structureless Gaussian fixtures
+    (an MRL-trained model would concentrate signal in the prefix; here the
+    prefix is just a 4x-cheaper unbiased subsample of the dims)."""
+    from pyfads.io import read_table
+
+    embs = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = embs.filter(F.col("vec_id") < 8)
+    full = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.cosine_topk(embs, q, dim=64, k=10).collect()
+    }
+    trunc16 = embs.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.cosine_topk(
+            trunc16, trunc16.filter(F.col("vec_id") < 8), dim=16, k=10
+        ).collect()
+    }
+    assert len(got) == len(full) == 80
+    # Gaussian floor: E[overlap] for random top-10 of ~500 is ~0.2/query;
+    # the prefix shares 16/64 of the signal so it must beat random
+    assert len(got & full) >= 8

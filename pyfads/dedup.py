@@ -25,6 +25,7 @@ from pyfads.text import md5_hash60, md5_hash60_py, tokens
 __all__ = [
     "exact_dedup",
     "exact_dedup_stream",
+    "segment_dedup_scrub",
     "shingles",
     "shingle_sets",
     "minhash_signature",
@@ -1293,17 +1294,18 @@ def _ceil_ppm(part: int, whole: int) -> int:
 def _gate_ppm_udf(bc, L: int):
     """Arrow-batched contamination-ppm UDF over a BROADCAST eval-hash set.
 
-    ``bc`` is a ``pyspark.Broadcast`` of a frozenset of 60-bit shingle
-    hashes; the closure captures only the broadcast HANDLE (a few hundred
-    bytes however large the eval set grows — pinned by
-    tests/test_llm_ops.py), and ``bc.value`` resolves executor-side from
-    the torrent-distributed block, once per executor instead of once per
-    task.  Module-level so the test can price the pickled closure."""
+    ``bc`` is a ``pyspark.Broadcast`` of ``(L, frozenset)`` — the 60-bit
+    shingle hashes tagged with the length they were computed at; the
+    closure captures only the broadcast HANDLE (a few hundred bytes
+    however large the eval set grows — pinned by tests/test_llm_ops.py),
+    and ``bc.value`` resolves executor-side from the torrent-distributed
+    block, once per executor instead of once per task.  Module-level so
+    the test can price the pickled closure."""
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
     def contam_ppm(texts: pd.Series) -> pd.Series:
-        eval_hashes = bc.value
+        eval_hashes = bc.value[1]
 
         def one(t: "str | None") -> int:
             if t is None or len(t) < L:
@@ -1374,14 +1376,14 @@ def contamination_gate_stream(
     ``.unpersist()`` it yourself when the last gate terminates.
     """
     if eval_broadcast is None:
-        ev_rows = (
-            _shingle_occurrences(eval_df, L, text_col, id_col)
-            .select("h")
-            .distinct()
-            .collect()
+        eval_broadcast = broadcast_eval_hashes(
+            stream.sparkSession, eval_df, L, text_col, id_col
         )
-        eval_broadcast = stream.sparkSession.sparkContext.broadcast(
-            frozenset(r["h"] for r in ev_rows)
+    elif eval_broadcast.value[0] != L:
+        raise ValueError(
+            f"contamination_gate_stream: eval_broadcast was built at "
+            f"L={eval_broadcast.value[0]} but the gate shingles at L={L} — "
+            f"membership probes would silently never hit"
         )
     contam_ppm = _gate_ppm_udf(eval_broadcast, L)
 
@@ -1393,11 +1395,13 @@ def broadcast_eval_hashes(spark, eval_df: DataFrame, L: int = 40, text_col: str 
     """Build the eval-set shingle-hash broadcast ONCE for reuse across
     gates — the caller owns it (``.unpersist()`` when the last gate built
     from it terminates).  Pass the result as ``eval_broadcast=`` to
-    :func:`contamination_gate_stream`."""
+    :func:`contamination_gate_stream`.  The broadcast value is
+    ``(L, frozenset)`` so a gate shingling at a DIFFERENT length fails
+    loudly instead of silently never matching."""
     rows = (
         _shingle_occurrences(eval_df, L, text_col, id_col)
         .select("h")
         .distinct()
         .collect()
     )
-    return spark.sparkContext.broadcast(frozenset(r["h"] for r in rows))
+    return spark.sparkContext.broadcast((L, frozenset(r["h"] for r in rows)))

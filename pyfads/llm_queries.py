@@ -607,27 +607,31 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_QUERIES = 8  # bounded query set for the brute-force baseline
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
     return " + ".join(
         f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE"
-        for i in range(1, DIM + 1)
+        for i in range(1, dim + 1)
     )
 
 
-def _norm_sql(a: str) -> str:
+def _norm_sql(a: str, dim: int = DIM) -> str:
     sq = " + ".join(
         f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE"
-        for i in range(1, DIM + 1)
+        for i in range(1, dim + 1)
     )
     return f"sqrt({sq})"
 
 
-_COSINE_SQL = f"""
-WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0')} > 0),
+def _cosine_body_sql(dim: int) -> str:
+    """Brute-force cosine top-10 body over the leading ``dim`` embedding
+    coordinates — dim=DIM is the full baseline, a smaller dim is the
+    Matryoshka prefix (embedding[1..dim] IS the slice)."""
+    return f"""
+WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0', dim)} > 0),
 q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
 pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-         ({_dot_sql('q', 'c')}) / ({_norm_sql('q')} * {_norm_sql('c')}) AS cosine
+         ({_dot_sql('q', 'c', dim)}) / ({_norm_sql('q', dim)} * {_norm_sql('c', dim)}) AS cosine
   FROM q JOIN e c ON q.vec_id <> c.vec_id
 )
 SELECT q_id, neighbor_id, cosine, rank
@@ -638,6 +642,9 @@ FROM (
 )
 WHERE rank <= 10
 """
+
+
+_COSINE_SQL = _cosine_body_sql(DIM)
 
 
 @query("ann_cosine_topk", oracle=_COSINE_SQL)
@@ -649,37 +656,7 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRL_DIM = 16
 
-
-def _mrl_sql(a: str, b: str, op: str) -> str:
-    if op == "dot":
-        return " + ".join(
-            f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE"
-            for i in range(1, _MRL_DIM + 1)
-        )
-    sq = " + ".join(
-        f"{a}.embedding[{i}]::DOUBLE * {a}.embedding[{i}]::DOUBLE"
-        for i in range(1, _MRL_DIM + 1)
-    )
-    return f"sqrt({sq})"
-
-
-_MATRYOSHKA_SQL = f"""
-WITH e AS (SELECT * FROM embeddings e0
-           WHERE {" + ".join(f"e0.embedding[{i}]::DOUBLE * e0.embedding[{i}]::DOUBLE" for i in range(1, _MRL_DIM + 1))} > 0),
-q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
-pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-         ({_mrl_sql('q', 'c', 'dot')}) / ({_mrl_sql('q', 'q', 'norm')} * {_mrl_sql('c', 'c', 'norm')}) AS cosine
-  FROM q JOIN e c ON q.vec_id <> c.vec_id
-)
-SELECT q_id, neighbor_id, cosine, rank
-FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-  FROM pairs
-)
-WHERE rank <= 10
-"""
+_MATRYOSHKA_SQL = _cosine_body_sql(_MRL_DIM)
 
 
 @query("ann_matryoshka_topk", oracle=_MATRYOSHKA_SQL)

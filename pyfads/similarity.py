@@ -597,17 +597,36 @@ def _train_fine_codebooks(
     coarse cell each fine centroid refines — the global cell id IS the
     fine index."""
     fine, fine_coarse = [], []
+    n_clamped = 0
     for c in range(len(coarse)):
         mem = members.get(c)
         if mem is None or len(mem) == 0:
             fine.append(coarse[c][None, :])
             fine_coarse.append(np.array([c]))
+            n_clamped += 1
             continue
         k = min(n_fine, len(mem))
+        n_clamped += k < n_fine
         fc = _kmeans_spherical(np.asarray(mem, dtype=np.float64), k, seed + 7919 * (c + 1))
         fine.append(fc)
         fine_coarse.append(np.full(len(fc), c))
-    return np.vstack(fine), np.concatenate(fine_coarse).astype(np.int64)
+    fine_all = np.vstack(fine)
+    if n_clamped:
+        # the same loud-clamp contract as train_ivf_centroids: a sparse
+        # coarse cell quietly shrinking its fine codebook is the silent
+        # min() the adaptive law exists to prevent
+        import warnings
+
+        warnings.warn(
+            f"_train_fine_codebooks: {n_clamped}/{len(coarse)} coarse cells "
+            f"sampled fewer than n_fine={n_fine} members — produced "
+            f"{len(fine_all)} fine cells of the requested "
+            f"{len(coarse) * n_fine}; widen fine_sample_per_cell or lower "
+            f"n_fine if the expected cell width matters",
+            UserWarning,
+            stacklevel=2,
+        )
+    return fine_all, np.concatenate(fine_coarse).astype(np.int64)
 
 
 def train_two_level_centroids(

@@ -602,6 +602,83 @@ def semantic_dedup_oracle(
 
 
 @functools.lru_cache(maxsize=None)
+def _semantic_components_cached(
+    sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
+    plant_n: int,
+) -> str:
+    """DuckDB twin of the semantic duplicate GRAPH view: within-cell
+    tau-edges (similarity.semantic_tau_pairs — same codebook, same fold
+    cosine) closed transitively by a recursive CTE into components labeled
+    with their min member id — the exact fixpoint
+    dedup.connected_components converges to (the lexical _cc_ctes
+    precedent)."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    src = "embeddings"
+    if plant_n > 0:
+        src = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id < {plant_n}
+)"""
+    vals = ",\n  ".join(f"({j}, {_dvec_lit(cents[j])})" for j in range(len(cents)))
+    norm0 = _chain_norm_sql("e0", dim)
+    assign_dot = _fold_dot("e.embedding", "c.cvec", dim)
+    pair_dot = _sem_fdot("ea.embedding", "eb.embedding", dim)
+    na, nb = (_sem_fnorm(f"{t}.embedding") for t in ("ea", "eb"))
+    return f"""
+WITH RECURSIVE cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding FROM {src} e0 WHERE {norm0} > 0),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({assign_dot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+    FROM celldot)
+  WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE
+),
+edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(src, node) AS (
+    SELECT vec_id, vec_id FROM e
+  UNION
+    SELECT r.src, ed.v FROM reach r JOIN edges ed ON ed.u = r.node
+)
+SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
+def semantic_components_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_centroids: "int | None" = None,
+    seed: int = 7,
+    plant_n: int = 0,
+) -> str:
+    from pyfads.similarity import adaptive_n_centroids
+
+    sf = oracle_sf_dir()
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(_embeddings_count(sf))
+    return _semantic_components_cached(
+        sf, dim, float(threshold), n_centroids, seed, plant_n
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _semantic_twolevel_cached(
     sf_dir: str, dim: int, threshold: float, n_coarse: int, n_fine: int,
     seed: int, plant_n: int,

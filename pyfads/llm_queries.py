@@ -914,6 +914,34 @@ def dedup_semantic_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_groups",
+    oracle=lambda: G.semantic_components_oracle(plant_n=32),
+)
+def dedup_semantic_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate GROUPS — the component view of SemDeDup's
+    duplicate graph (keep one per community instead of the pairwise
+    keeper rule): within-cell tau-edges (semantic_tau_pairs, same
+    codebook + fold cosine as dedup_semantic) closed into connected
+    components via distributed min-label pointer jumping; every nonzero
+    vector labeled with its component's min id, planted copies collapsing
+    onto their sources.  The twin closes the same edges with a recursive
+    CTE (the lexical dedup_groups precedent)."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    nc = S.adaptive_n_centroids(embs.count())
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
+    planted = embs.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    u = embs.unionByName(planted)
+    pairs = S.semantic_tau_pairs(u, DIM, threshold=0.9, centroids=cents)
+    nodes = S.drop_zero_norm(u, DIM).select("vec_id")
+    return D.connected_components(
+        pairs, nodes=nodes, id_col="vec_id", a_col="a_id", b_col="b_id"
+    )
+
+
+@query(
     "dedup_semantic_twolevel",
     oracle=lambda: G.semantic_dedup_twolevel_oracle(plant_n=32),
 )

@@ -1166,6 +1166,51 @@ def semantic_dedup(
     )
 
 
+def semantic_tau_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """The within-cell tau-edge list ``(a_id, b_id, cosine)`` with
+    ``a_id < b_id`` — the undirected duplicate graph that
+    :func:`semantic_dedup`'s keep-one view and the connected-components
+    view (:func:`pyfads.dedup.connected_components` over these edges)
+    both read from.  Same cells, same fold cosine as semantic_dedup; the
+    only wide exchange is the cell equi-join."""
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
+    )
+    assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__v").alias("a_vec"),
+        _norm_fold("__v").alias("a_n"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__v").alias("b_vec"),
+        _norm_fold("__v").alias("b_n"),
+        "cell",
+    )
+    cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

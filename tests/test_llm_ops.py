@@ -2528,3 +2528,34 @@ def test_matryoshka_recall_vs_full_dim(spark):
     # Gaussian floor: E[overlap] for random top-10 of ~500 is ~0.2/query;
     # the prefix shares 16/64 of the signal so it must beat random
     assert len(got & full) >= 8
+
+
+def test_semantic_tau_pairs_and_groups(spark):
+    """tau-edges carry exact cosines and the component view collapses
+    planted copies onto their source's min id."""
+    from pyfads.io import read_table
+
+    embs = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = S.train_ivf_centroids(S.drop_zero_norm(embs, 64), 64, 32, 7)
+    planted = embs.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    u = embs.unionByName(planted)
+    pairs = S.semantic_tau_pairs(u, 64, threshold=0.9, centroids=cents).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert {(i, i + 10_000_000) for i in range(8)} <= got
+    assert all(r["cosine"] >= 0.9 for r in pairs)
+
+    groups = {
+        r["vec_id"]: r["group_id"]
+        for r in D.connected_components(
+            S.semantic_tau_pairs(u, 64, threshold=0.9, centroids=cents),
+            nodes=S.drop_zero_norm(u, 64).select("vec_id"),
+            id_col="vec_id",
+            a_col="a_id",
+            b_col="b_id",
+        ).collect()
+    }
+    for i in range(8):
+        assert groups[i + 10_000_000] == groups[i] == i  # copy joins source

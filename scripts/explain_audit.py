@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession
 # streams; nothing here is an unbounded all-pairs product.
 EXPECTED_BNLJ = {
     "ann_cosine_topk",
+    "ann_matryoshka_topk",  # same operator on the 16-dim prefix: bounded-broadcast query side, theta join
     "knn_label_predict",  # composes ann_cosine_topk's audited bounded-broadcast theta join
     "hard_negatives",  # same class: bounded broadcast anchors, label-mismatch theta join
     "hard_negatives_dim1024",  # same, wide-vector fold path

@@ -1349,6 +1349,24 @@ def semantic_dedup_incremental_oracle(
     )
 
 
+def semantic_gate_stream_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_centroids: "int | None" = None,
+    seed: int = 7,
+    plant_dups: int = 32,
+    plant_new: int = 16,
+) -> str:
+    """The streaming semantic gate emits exactly the incremental gate's
+    is_new survivors (stream-static LEFT ANTI — stateless), so its oracle
+    is the incremental twin filtered to is_new: a streaming operator with
+    a FULL value oracle, not a rows-only check."""
+    inner = semantic_dedup_incremental_oracle(
+        dim, threshold, n_centroids, seed, plant_dups, plant_new
+    )
+    return f"SELECT vec_id, cell FROM (\n{inner}\n) WHERE is_new"
+
+
 def _py_fold_dot(a, b) -> float:
     """In-order IEEE double left fold 0.0 + a1*b1 + ... — bit-identical to
     similarity._dot_fold (Spark evaluates the lambda sequentially over the

@@ -890,6 +890,67 @@ def dedup_semantic_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMGATE_CHUNKS: dict[str, str] = {}
+_SEMGATE_SEQ = [0]
+
+
+@query(
+    "semantic_gate_streamed",
+    oracle=lambda: G.semantic_gate_stream_oracle(),
+)
+def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING semantic ingest gate, driven end-to-end through a
+    real Structured Streaming query (chunked-parquet source,
+    maxFilesPerTrigger=1 -> two micro-batches, memory sink): cell
+    assignment as a stateless projection + a stream-static LEFT ANTI join
+    against the persisted semantic store.  Because the gate is stateless
+    and emits exactly the incremental gate's is_new survivors, it gets a
+    FULL value oracle (the incremental twin filtered to is_new), not the
+    weaker rows-only streaming check."""
+    cents, corpus = _semstore(spark, sf_dir)
+    if sf_dir not in _SEMGATE_CHUNKS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="pyfads_semgate_")
+        embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+        dups = embs.filter(F.col("vec_id") < 32).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        )
+        new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+        )
+        batch = dups.unionByName(new)
+        batch.filter(F.col("vec_id") < 15_000_000).coalesce(1).write.parquet(
+            d + "/c0.parquet"
+        )
+        batch.filter(F.col("vec_id") >= 15_000_000).coalesce(1).write.parquet(
+            d + "/c1.parquet"
+        )
+        _SEMGATE_CHUNKS[sf_dir] = d
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(_SEMGATE_CHUNKS[sf_dir])
+    )
+    gated = S.semantic_gate_stream(src, cents, corpus, DIM, threshold=0.9)
+    _SEMGATE_SEQ[0] += 1
+    name = f"semantic_gate_streamed_{_SEMGATE_SEQ[0]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # stateless gate: terminates
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @query(
     "dedup_semantic_probe2",
     oracle=lambda: G.semantic_dedup_oracle(plant_n=32, n_assign=2),

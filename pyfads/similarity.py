@@ -723,6 +723,27 @@ def _two_level_assign_udf(coarse: np.ndarray, fine: np.ndarray, fine_coarse: np.
     return assign
 
 
+def adaptive_two_level(
+    n_rows: int, target_cell: int = 64, floor: int = 32, max_coarse: int = 4096
+) -> "tuple[int, int]":
+    """Size a two-level codebook from the same SemDeDup law as
+    :func:`adaptive_n_centroids`: total effective cells ~ n_rows /
+    target_cell, split as a balanced ``(n_coarse, n_fine)`` —
+    sqrt-balanced so both training stages stay far from their sample
+    caps, with each level clamped at ``max_coarse`` (the single-sample
+    trainability bound — the scheme tops out at max_coarse^2 ~ 16.7M
+    effective cells; past that, raise ``target_cell`` like SemDeDup
+    itself does at scale).  ``adaptive_two_level(440_000_000,
+    target_cell=9000)`` -> (221, 222): the ~50k-cluster LAION posture
+    falls out of the law."""
+    import math
+
+    n_cells = adaptive_n_centroids(n_rows, target_cell, floor)
+    n_coarse = min(max(floor, math.isqrt(n_cells)), max_coarse)
+    n_fine = min(max(1, -(-n_cells // n_coarse)), max_coarse)
+    return n_coarse, n_fine
+
+
 def adaptive_n_centroids(n_rows: int, target_cell: int = 64, floor: int = 32) -> int:
     """SemDeDup's scaling law as a default: size the codebook so the
     EXPECTED cell stays ~``target_cell`` rows (pair work per cell is then

@@ -2559,3 +2559,14 @@ def test_semantic_tau_pairs_and_groups(spark):
     }
     for i in range(8):
         assert groups[i + 10_000_000] == groups[i] == i  # copy joins source
+
+
+def test_adaptive_two_level_law():
+    """The two-level sizing follows the same expected-cell law, balanced
+    sqrt-wise and clamped at the per-level trainability bound."""
+    nc, nf = S.adaptive_two_level(440_000_000, target_cell=9000)
+    assert (nc, nf) == (221, 222)  # the ~50k-cluster LAION posture
+    nc, nf = S.adaptive_two_level(2048)
+    assert nc == 32 and nf >= 1  # floor at small scale
+    nc, nf = S.adaptive_two_level(10**12)
+    assert nc == 4096 and nf == 4096  # per-level cap

@@ -1379,12 +1379,21 @@ def contamination_gate_stream(
         eval_broadcast = broadcast_eval_hashes(
             stream.sparkSession, eval_df, L, text_col, id_col
         )
-    elif eval_broadcast.value[0] != L:
-        raise ValueError(
-            f"contamination_gate_stream: eval_broadcast was built at "
-            f"L={eval_broadcast.value[0]} but the gate shingles at L={L} — "
-            f"membership probes would silently never hit"
-        )
+    else:
+        val = eval_broadcast.value
+        if not (isinstance(val, tuple) and len(val) == 2 and isinstance(val[0], int)):
+            raise ValueError(
+                "contamination_gate_stream: eval_broadcast must wrap the "
+                "(L, frozenset) pair from broadcast_eval_hashes — a bare "
+                "hash set can't be validated against the gate's shingle "
+                "length"
+            )
+        if val[0] != L:
+            raise ValueError(
+                f"contamination_gate_stream: eval_broadcast was built at "
+                f"L={val[0]} but the gate shingles at L={L} — membership "
+                f"probes would silently never hit"
+            )
     contam_ppm = _gate_ppm_udf(eval_broadcast, L)
 
     out = stream.withColumn("contam_ppm", contam_ppm(F.col(text_col)))

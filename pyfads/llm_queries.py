@@ -736,6 +736,31 @@ def knn_label_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _plant_dups(embs: DataFrame, n: int = 32, scale: float = 1.5, offset: int = 10_000_000) -> DataFrame:
+    """Planted scaled copies of vec_id < n (cosine is scale-invariant, so
+    each copy is an exact semantic duplicate of its source at id+offset) —
+    the Gaussian fixtures hold no true near-dups, so every semantic-dedup
+    entry plants these.  The constants are a CONTRACT with the DuckDB
+    twins (golden._semantic_dedup_cached and friends hardcode the same
+    +10M / x1.5 geometry)."""
+    return embs.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(scale)).alias("embedding"),
+    )
+
+
+def _plant_gate_batch(embs: DataFrame) -> DataFrame:
+    """The incremental-gate batch shared by dedup_semantic_incremental /
+    _served / semantic_gate_streamed (and their one oracle): 32 scaled
+    copies (cosine 1 -> duplicates) + 16 negated copies (cosine -1 ->
+    genuinely new)."""
+    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+    )
+    return _plant_dups(embs).unionByName(new)
+
+
 def _near_dup_sql(threshold: float = 0.9) -> str:
     """Exact all-pairs twin (DuckDB can afford |N|^2 at oracle scale).
     Matches the Spark LSH result iff LSH recall is 1 on qualifying pairs —
@@ -771,10 +796,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recover precisely those pairs; recall on *perturbed* neighbours is
     tested in tests/test_llm_ops.py."""
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     return S.embedding_near_dup_pairs(embs.unionByName(planted), DIM, threshold=0.9)
 
 
@@ -807,10 +829,7 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
     nc = S.adaptive_n_centroids(embs.count())
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     return S.semantic_dedup(
         embs.unionByName(planted), DIM, threshold=0.9, centroids=cents
     )
@@ -830,16 +849,8 @@ def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
     nc = S.adaptive_n_centroids(embs.count())
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
-    dups = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
-    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
-        (F.col("vec_id") + 20_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
-    )
     return S.semantic_dedup_incremental(
-        dups.unionByName(new), embs, DIM, threshold=0.9, centroids=cents
+        _plant_gate_batch(embs), embs, DIM, threshold=0.9, centroids=cents
     )
 
 
@@ -877,21 +888,12 @@ def dedup_semantic_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (same oracle; store round trip is exact doubles)."""
     cents, corpus = _semstore(spark, sf_dir)
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    dups = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
-    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
-        (F.col("vec_id") + 20_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
-    )
     return S.semantic_dedup_incremental_served(
-        dups.unionByName(new), cents, corpus, DIM, threshold=0.9
+        _plant_gate_batch(embs), cents, corpus, DIM, threshold=0.9
     )
 
 
 _SEMGATE_CHUNKS: dict[str, str] = {}
-_SEMGATE_SEQ = [0]
 
 
 @query(
@@ -913,15 +915,7 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         d = tempfile.mkdtemp(prefix="pyfads_semgate_")
         embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-        dups = embs.filter(F.col("vec_id") < 32).select(
-            (F.col("vec_id") + 10_000_000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-        )
-        new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
-            (F.col("vec_id") + 20_000_000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
-        )
-        batch = dups.unionByName(new)
+        batch = _plant_gate_batch(embs)
         batch.filter(F.col("vec_id") < 15_000_000).coalesce(1).write.parquet(
             d + "/c0.parquet"
         )
@@ -936,8 +930,10 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_SEMGATE_CHUNKS[sf_dir])
     )
     gated = S.semantic_gate_stream(src, cents, corpus, DIM, threshold=0.9)
-    _SEMGATE_SEQ[0] += 1
-    name = f"semantic_gate_streamed_{_SEMGATE_SEQ[0]}"
+    # one fixed sink name: each run replaces the previous registration, so
+    # repeated bench reps hold ONE memory table, not one per rep (the
+    # prior query is always stopped before the next starts)
+    name = "semantic_gate_streamed_sink"
     q = (
         gated.writeStream.format("memory")
         .queryName(name)
@@ -965,10 +961,7 @@ def dedup_semantic_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
     nc = S.adaptive_n_centroids(embs.count())
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     return S.semantic_dedup(
         embs.unionByName(planted), DIM, threshold=0.9, centroids=cents, n_assign=2
     )
@@ -990,10 +983,7 @@ def dedup_semantic_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
     nc = S.adaptive_n_centroids(embs.count())
     cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     u = embs.unionByName(planted)
     pairs = S.semantic_tau_pairs(u, DIM, threshold=0.9, centroids=cents)
     nodes = S.drop_zero_norm(u, DIM).select("vec_id")
@@ -1020,10 +1010,7 @@ def dedup_semantic_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
     base = S.drop_zero_norm(embs, DIM)
     cb = S.train_two_level_centroids(base, DIM, n_coarse=8, n_fine=8, seed=7)
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     return S.semantic_dedup(
         embs.unionByName(planted), DIM, threshold=0.9, centroids=cb
     )
@@ -2472,10 +2459,7 @@ def embedding_near_dup_dim1024_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the LSH self-join + verify shape (same planted-copies contract as
     the dim-64 entry)."""
     embs = _wide_embs(spark, sf_dir)
-    planted = embs.filter(F.col("vec_id") < 32).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
+    planted = _plant_dups(embs)
     return S.embedding_near_dup_pairs(
         embs.unionByName(planted), _DIM_WIDE, threshold=0.9
     )

@@ -52,7 +52,17 @@ __all__ = [
     "train_pq_codebooks",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "semantic_dedup_incremental_served",
+    "semantic_gate_stream",
+    "semantic_tau_pairs",
+    "train_two_level_centroids",
+    "write_semantic_store",
+    "read_semantic_store",
     "adaptive_n_centroids",
+    "adaptive_two_level",
+    "default_codebook_sample",
+    "fold_dots",
+    "top_cells",
     "kcenter_select",
     "embedding_near_dup_pairs",
     "embedding_norms",
@@ -741,6 +751,21 @@ def adaptive_two_level(
     n_cells = adaptive_n_centroids(n_rows, target_cell, floor)
     n_coarse = min(max(floor, math.isqrt(n_cells)), max_coarse)
     n_fine = min(max(1, -(-n_cells // n_coarse)), max_coarse)
+    if n_coarse * n_fine < n_cells:
+        # the same loud-clamp contract as the trainers: silently handing
+        # back fewer cells than the law asks for re-opens the quadratic
+        # within-cell blowup this function exists to prevent
+        import warnings
+
+        warnings.warn(
+            f"adaptive_two_level: the law wants {n_cells} cells for "
+            f"{n_rows} rows but the per-level cap bounds this scheme at "
+            f"{n_coarse * n_fine} ({n_coarse}x{n_fine}) — expected cell "
+            f"width rises to ~{n_rows // (n_coarse * n_fine)} rows; raise "
+            f"target_cell (SemDeDup's own move at scale) or add a level",
+            UserWarning,
+            stacklevel=2,
+        )
     return n_coarse, n_fine
 
 

@@ -2031,7 +2031,7 @@ def test_gate_udf_closure_is_broadcast_not_set(spark):
     from pyfads.dedup import _gate_ppm_udf
 
     big = frozenset(range(100_000))
-    bc = spark.sparkContext.broadcast(big)
+    bc = spark.sparkContext.broadcast((40, big))  # the (L, set) gate contract
     try:
         udf = _gate_ppm_udf(bc, 40)
         closure_bytes = len(CloudPickleSerializer().dumps(udf.func))
@@ -2568,5 +2568,6 @@ def test_adaptive_two_level_law():
     assert (nc, nf) == (221, 222)  # the ~50k-cluster LAION posture
     nc, nf = S.adaptive_two_level(2048)
     assert nc == 32 and nf >= 1  # floor at small scale
-    nc, nf = S.adaptive_two_level(10**12)
-    assert nc == 4096 and nf == 4096  # per-level cap
+    with pytest.warns(UserWarning, match="per-level cap"):
+        nc, nf = S.adaptive_two_level(10**12)
+    assert nc == 4096 and nf == 4096  # per-level cap, loudly

@@ -927,10 +927,22 @@ def _semantic_gate(bt: DataFrame, cp: DataFrame, id_col: str, threshold: float) 
 
 
 def _assign_cells(
-    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+    df: DataFrame, cents: "np.ndarray | tuple", id_col: str, vec_col: str
 ) -> DataFrame:
-    """Hybrid single-cell assignment (in-plan fold argmax <= 64 cells,
-    bit-exact Arrow UDF above) — returns ``(id_col, __v, cell)``."""
+    """Single-cell assignment, any codebook shape — returns ``(id_col,
+    __v, cell)``.  Flat arrays take the hybrid path (in-plan fold argmax
+    <= 64 cells, bit-exact Arrow UDF above); a ``(coarse, fine,
+    fine_coarse)`` tuple takes the hierarchical two-stage UDF, so every
+    gate (incremental, served, streaming) accepts two-level codebooks."""
+    if isinstance(cents, tuple):
+        coarse, fine, fine_coarse = cents
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _two_level_assign_udf(coarse, fine, fine_coarse)(F.col(vec_col)).alias(
+                "cell"
+            ),
+        )
     if len(cents) <= INPLAN_MAX_CENTROIDS:
         return _assign_cells_inplan(df, cents, id_col, vec_col)
     return df.select(
@@ -940,10 +952,31 @@ def _assign_cells(
     )
 
 
+def _write_cent_table(spark, path: str, cents: np.ndarray) -> None:
+    crows = [
+        (int(c), int(j), float(v))
+        for c, row in enumerate(cents)
+        for j, v in enumerate(row)
+    ]
+    spark.createDataFrame(crows, "cell int, j int, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _read_cent_table(spark, path: str) -> np.ndarray:
+    c = spark.read.parquet(path).collect()
+    nc = max(r.cell for r in c) + 1
+    dim = max(r.j for r in c) + 1
+    cents = np.zeros((nc, dim))
+    for r in c:
+        cents[r.cell, r.j] = r.v
+    return cents
+
+
 def write_semantic_store(
     spark,
     path: str,
-    cents: np.ndarray,
+    cents: "np.ndarray | tuple",
     corpus: DataFrame,
     dim: int,
     id_col: str = "vec_id",
@@ -958,19 +991,25 @@ def write_semantic_store(
     BIT-FOR-BIT with the train-inline one (asserted in tests).
 
     Layout (all plain parquet, engine-portable):
-      ``{path}/centroids``  (cell int, j int, v double) — flat codebook
+      ``{path}/centroids``  (cell int, j int, v double) — the flat
+      codebook, or the FINE level of a two-level one (the global cell id
+      is the fine index either way)
+      ``{path}/centroids_coarse`` + ``{path}/fine_coarse`` — present only
+      for two-level codebooks: the coarse level and the fid->coarse map
       ``{path}/corpus``     (c_id, c_vec, c_n double, cell int) — written
       partitioned by nothing but sized by the upstream shuffle; at 100 TB
       partition this table by ``cell`` so a gate's stream-static join
       prunes to probed cells."""
-    crows = [
-        (int(c), int(j), float(v))
-        for c, row in enumerate(cents)
-        for j, v in enumerate(row)
-    ]
-    spark.createDataFrame(crows, "cell int, j int, v double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/centroids")
+    if isinstance(cents, tuple):
+        coarse, fine, fine_coarse = cents
+        _write_cent_table(spark, path + "/centroids", np.asarray(fine))
+        _write_cent_table(spark, path + "/centroids_coarse", np.asarray(coarse))
+        spark.createDataFrame(
+            [(int(j), int(fine_coarse[j])) for j in range(len(fine_coarse))],
+            "fid int, ccell int",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/fine_coarse")
+    else:
+        _write_cent_table(spark, path + "/centroids", cents)
     corpus = drop_zero_norm(corpus, dim, vec_col)
     cp = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("c_id"),
@@ -981,16 +1020,21 @@ def write_semantic_store(
     cp.write.mode("overwrite").parquet(path + "/corpus")
 
 
-def read_semantic_store(spark, path: str) -> "tuple[np.ndarray, DataFrame]":
-    """Load a :func:`write_semantic_store` artifact: the exact centroid
-    array (bounded collect) and the assigned-corpus DataFrame (stays
-    distributed — never collected)."""
-    c = spark.read.parquet(path + "/centroids").collect()
-    nc = max(r.cell for r in c) + 1
-    dim = max(r.j for r in c) + 1
-    cents = np.zeros((nc, dim))
-    for r in c:
-        cents[r.cell, r.j] = r.v
+def read_semantic_store(spark, path: str):
+    """Load a :func:`write_semantic_store` artifact: the exact codebook
+    (bounded collect — a flat array, or the ``(coarse, fine, fine_coarse)``
+    tuple if the store was written two-level) and the assigned-corpus
+    DataFrame (stays distributed — never collected)."""
+    import os
+
+    cents = _read_cent_table(spark, path + "/centroids")
+    if os.path.isdir(path + "/centroids_coarse"):
+        coarse = _read_cent_table(spark, path + "/centroids_coarse")
+        fc_rows = spark.read.parquet(path + "/fine_coarse").collect()
+        fine_coarse = np.zeros(len(fc_rows), dtype=np.int64)
+        for r in fc_rows:
+            fine_coarse[r.fid] = r.ccell
+        cents = (coarse, cents, fine_coarse)
     return cents, spark.read.parquet(path + "/corpus")
 
 

@@ -24,6 +24,10 @@ QUERIES = [
     "corpus_curation",
     "pricing_summary",  # DECIMAL(38) charge sum + exact avg divisions
     "value_zscore",  # integer population moments -> fixed double expression
+    # r9 families: min-struct keep-first keeper + ordered reassembly, and
+    # the hierarchical two-stage assignment + keeper self-join
+    "dedup_segments_scrub",
+    "dedup_semantic_twolevel",
 ]
 
 

@@ -2571,3 +2571,41 @@ def test_adaptive_two_level_law():
     with pytest.warns(UserWarning, match="per-level cap"):
         nc, nf = S.adaptive_two_level(10**12)
     assert nc == 4096 and nf == 4096  # per-level cap, loudly
+
+
+def test_two_level_store_roundtrip_and_gates(spark, tmp_path_factory):
+    """Every gate (incremental, served, streaming-static corpus side)
+    accepts a TWO-LEVEL codebook: the store round-trips the (coarse,
+    fine, fine_coarse) tuple exactly, and gate verdicts keep the planted
+    geometry (scaled copies duplicate, negated copies new)."""
+    import numpy as np
+
+    from pyfads.io import read_table
+
+    store = str(tmp_path_factory.mktemp("twolevel_store")) + "/s"
+    embs = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = S.drop_zero_norm(embs, 64)
+    cb = S.train_two_level_centroids(base, 64, n_coarse=4, n_fine=8, seed=7)
+    S.write_semantic_store(spark, store, cb, embs, 64)
+    cb2, corpus = S.read_semantic_store(spark, store)
+    assert isinstance(cb2, tuple)
+    assert np.array_equal(cb2[0], cb[0])
+    assert np.array_equal(cb2[1], cb[1])
+    assert np.array_equal(cb2[2], cb[2])
+
+    dups = embs.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    new = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-1.5)).alias("embedding"),
+    )
+    out = {
+        r["vec_id"]: r["is_new"]
+        for r in S.semantic_dedup_incremental_served(
+            dups.unionByName(new), cb2, corpus, 64, threshold=0.9
+        ).collect()
+    }
+    assert all(not out[i + 10_000_000] for i in range(8))
+    assert all(out[i + 20_000_000] for i in range(100, 108))

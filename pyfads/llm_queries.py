@@ -2764,6 +2764,37 @@ def dedup_segments_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.segment_dedup_scrub(_docs(spark, sf_dir), words_per_segment=_SEG_W)
 
 
+_SEG_FILTER_PPM = 500_000  # drop docs more than half duplicated
+
+
+_SEGMENT_FILTER_SQL = f"""
+WITH scrub AS ({_SEGMENT_SCRUB_SQL})
+SELECT doc_id, n_segments, n_dropped,
+       CAST(n_dropped * 1000000 // n_segments AS BIGINT) AS dup_ppm,
+       n_dropped * 1000000 // n_segments <= {_SEG_FILTER_PPM} AS is_kept
+FROM scrub
+"""
+
+
+@query("corpus_segment_filter", oracle=_SEGMENT_FILTER_SQL)
+def corpus_segment_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's doc-level verdict on top of segment dedup: a doc whose
+    duplicated-segment share exceeds the budget (here 50%) is dropped
+    whole — near-total duplicates die, docs with a stray boilerplate
+    segment survive scrubbed.  Integer ppm (floor) keeps the threshold
+    cross-engine exact."""
+    scrub = D.segment_dedup_scrub(_docs(spark, sf_dir), words_per_segment=_SEG_W)
+    # integer `div`, not double /+floor: bit-exact with DuckDB's // at any scale
+    ppm = F.expr("n_dropped * 1000000L div n_segments").cast("long")
+    return scrub.select(
+        "doc_id",
+        "n_segments",
+        "n_dropped",
+        ppm.alias("dup_ppm"),
+        (ppm <= F.lit(_SEG_FILTER_PPM)).alias("is_kept"),
+    )
+
+
 @query("dedup_exact_substring", oracle=_EXACT_SUBSTRING_SQL)
 def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-class substring dedup (Lee et al. 2022): per-doc merged

@@ -2609,3 +2609,31 @@ def test_two_level_store_roundtrip_and_gates(spark, tmp_path_factory):
     }
     assert all(not out[i + 10_000_000] for i in range(8))
     assert all(out[i + 20_000_000] for i in range(100, 108))
+
+
+def test_corpus_segment_filter_verdict(spark):
+    """Doc-level CCNet verdict: a near-total duplicate is dropped whole
+    (> 50% segments duplicated), a doc with one stray boilerplate segment
+    survives."""
+    boiler = "all rights reserved here"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " " + boiler),  # both segments lose to doc 1
+            (3, "epsilon zeta eta theta " + boiler),  # 1 of 2 -> kept
+        ],
+        "doc_id long, text string",
+    )
+    scrub = D.segment_dedup_scrub(df, words_per_segment=4)
+    out = {
+        r["doc_id"]: r
+        for r in scrub.select(
+            "doc_id",
+            "n_segments",
+            "n_dropped",
+            F.expr("n_dropped * 1000000L div n_segments").alias("dup_ppm"),
+        ).collect()
+    }
+    assert out[1]["dup_ppm"] == 0
+    assert out[2]["dup_ppm"] == 1_000_000  # dropped whole at any budget
+    assert out[3]["dup_ppm"] == 500_000  # exactly at the 50% budget -> kept

@@ -860,7 +860,7 @@ def semantic_dedup_incremental(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
+    centroids: "np.ndarray | tuple | None" = None,
 ) -> DataFrame:
     """Incremental-ingest semantic dedup: gate each BATCH vector against
     the standing CORPUS — the semantic twin of
@@ -1008,8 +1008,17 @@ def write_semantic_store(
             [(int(j), int(fine_coarse[j])) for j in range(len(fine_coarse))],
             "fid int, ccell int",
         ).coalesce(1).write.mode("overwrite").parquet(path + "/fine_coarse")
+        levels = 2
     else:
         _write_cent_table(spark, path + "/centroids", cents)
+        levels = 1
+    # the explicit marker is the source of truth for the reader: a local
+    # isdir() probe is false on hdfs/s3 paths (silently degrading a
+    # two-level store to flat), and overwriting a two-level store with a
+    # flat one must not leave the stale coarse tables believable
+    spark.createDataFrame([(levels,)], "levels int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
     corpus = drop_zero_norm(corpus, dim, vec_col)
     cp = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("c_id"),
@@ -1023,12 +1032,14 @@ def write_semantic_store(
 def read_semantic_store(spark, path: str):
     """Load a :func:`write_semantic_store` artifact: the exact codebook
     (bounded collect — a flat array, or the ``(coarse, fine, fine_coarse)``
-    tuple if the store was written two-level) and the assigned-corpus
-    DataFrame (stays distributed — never collected)."""
-    import os
-
+    tuple if the store's ``/meta`` marker says it was written two-level)
+    and the assigned-corpus DataFrame (stays distributed — never
+    collected).  The marker, not a filesystem probe, decides the shape —
+    portable to any Spark filesystem and immune to stale coarse tables
+    left by an overwrite."""
     cents = _read_cent_table(spark, path + "/centroids")
-    if os.path.isdir(path + "/centroids_coarse"):
+    levels = spark.read.parquet(path + "/meta").collect()[0].levels
+    if levels == 2:
         coarse = _read_cent_table(spark, path + "/centroids_coarse")
         fc_rows = spark.read.parquet(path + "/fine_coarse").collect()
         fine_coarse = np.zeros(len(fc_rows), dtype=np.int64)
@@ -1040,7 +1051,7 @@ def read_semantic_store(spark, path: str):
 
 def semantic_dedup_incremental_served(
     batch: DataFrame,
-    store_cents: np.ndarray,
+    store_cents: "np.ndarray | tuple",
     store_corpus: DataFrame,
     dim: int,
     threshold: float = 0.9,
@@ -1059,7 +1070,7 @@ def semantic_dedup_incremental_served(
 
 def semantic_gate_stream(
     stream: DataFrame,
-    store_cents: np.ndarray,
+    store_cents: "np.ndarray | tuple",
     store_corpus: DataFrame,
     dim: int,
     threshold: float = 0.9,
@@ -1157,14 +1168,14 @@ def semantic_dedup(
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
     hierarchical = isinstance(cents, tuple)
+    codebook = cents  # full shape (tuple or flat) for _assign_cells
     if hierarchical:
         if n_assign > 1:
             raise ValueError(
                 "multi-probe (n_assign > 1) is not supported with a "
                 "two-level codebook — probe the flat codebook instead"
             )
-        coarse, fine, fine_coarse = cents
-        cents = np.asarray(fine)  # cell id = fine index; priority vs fine
+        cents = np.asarray(cents[1])  # cell id = fine index; priority vs fine
     spark = embeddings.sparkSession
     cents_df = F.broadcast(
         spark.createDataFrame(
@@ -1172,16 +1183,7 @@ def semantic_dedup(
             "cell int, cvec array<double>",
         )
     )
-    if hierarchical:
-        assigned = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col).alias("__v"),
-            _two_level_assign_udf(coarse, fine, fine_coarse)(F.col(vec_col)).alias(
-                "cell"
-            ),
-        )
-    else:
-        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+    assigned = _assign_cells(embeddings, codebook, id_col, vec_col)
     # priority = cosine to the own-cell centroid; centroids are unit-norm
     # by construction, so cos = dot / |v|.  The row's norm is computed
     # ONCE here and carried through the pair join (the quadratic stage)
@@ -1264,7 +1266,7 @@ def semantic_tau_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
+    centroids: "np.ndarray | tuple | None" = None,
 ) -> DataFrame:
     """The within-cell tau-edge list ``(a_id, b_id, cosine)`` with
     ``a_id < b_id`` — the undirected duplicate graph that
@@ -1794,14 +1796,7 @@ def write_codebook_store(
     a store-loaded index scores BIT-IDENTICALLY to a freshly-trained one
     (asserted in tests/test_llm_ops.py).  The tables are engine-portable:
     anything that reads parquet can load the index."""
-    crows = [
-        (int(c), int(j), float(v))
-        for c, row in enumerate(centroids)
-        for j, v in enumerate(row)
-    ]
-    spark.createDataFrame(crows, "cell int, j int, v double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/centroids")
+    _write_cent_table(spark, path + "/centroids", centroids)
     brows = [
         (int(s), int(k), int(j), float(v))
         for s, book in enumerate(pq_codebooks)
@@ -1816,12 +1811,7 @@ def write_codebook_store(
 def read_codebook_store(spark, path: str) -> "tuple[np.ndarray, np.ndarray]":
     """Load a :func:`write_codebook_store` artifact back into the exact
     numpy arrays (shapes inferred; a few-KB bounded collect)."""
-    c = spark.read.parquet(path + "/centroids").collect()
-    nc = max(r.cell for r in c) + 1
-    dim = max(r.j for r in c) + 1
-    cents = np.zeros((nc, dim))
-    for r in c:
-        cents[r.cell, r.j] = r.v
+    cents = _read_cent_table(spark, path + "/centroids")
     b = spark.read.parquet(path + "/codebooks").collect()
     ms = max(r.sub for r in b) + 1
     ks = max(r.code for r in b) + 1

@@ -2610,6 +2610,28 @@ def test_two_level_store_roundtrip_and_gates(spark, tmp_path_factory):
     assert all(not out[i + 10_000_000] for i in range(8))
     assert all(out[i + 20_000_000] for i in range(100, 108))
 
+    # the STREAMING gate with the same two-level codebook (its stream-
+    # static anti-join plan wraps the hierarchical UDF differently from
+    # the batch plan, so exercise it end-to-end too)
+    chunks = str(tmp_path_factory.mktemp("twolevel_stream"))
+    dups.unionByName(new).coalesce(1).write.parquet(chunks + "/c0.parquet")
+    src = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).option("recursiveFileLookup", "true").parquet(chunks)
+    q = (
+        S.semantic_gate_stream(src, cb2, corpus, 64, threshold=0.9)
+        .writeStream.format("memory")
+        .queryName("twolevel_gate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r["vec_id"] for r in spark.table("twolevel_gate_out").collect()}
+    assert streamed == {i + 20_000_000 for i in range(100, 108)}
+
 
 def test_corpus_segment_filter_verdict(spark):
     """Doc-level CCNet verdict: a near-total duplicate is dropped whole
@@ -2637,3 +2659,12 @@ def test_corpus_segment_filter_verdict(spark):
     assert out[1]["dup_ppm"] == 0
     assert out[2]["dup_ppm"] == 1_000_000  # dropped whole at any budget
     assert out[3]["dup_ppm"] == 500_000  # exactly at the 50% budget -> kept
+
+    # the REGISTERED query's verdict column (the <= direction itself)
+    from pyfads.llm_queries import _SEG_FILTER_PPM, corpus_segment_filter_q
+
+    rows = corpus_segment_filter_q(spark, SF_DIR).collect()
+    assert rows and all(
+        r["is_kept"] == (r["dup_ppm"] <= _SEG_FILTER_PPM) for r in rows
+    )
+    assert any(r["dup_ppm"] == 0 and r["is_kept"] for r in rows)

@@ -658,6 +658,38 @@ _MRL_DIM = 16
 
 _MATRYOSHKA_SQL = _cosine_body_sql(_MRL_DIM)
 
+_MRL_SHORTLIST = 40  # 4x over-retrieval before the exact refine
+
+_MATRYOSHKA_REFINED_SQL = f"""
+WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0', _MRL_DIM)} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+ppairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ({_dot_sql('q', 'c', _MRL_DIM)}) / ({_norm_sql('q', _MRL_DIM)} * {_norm_sql('c', _MRL_DIM)}) AS pcos
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, neighbor_id) AS rn
+    FROM ppairs)
+  WHERE rn <= {_MRL_SHORTLIST}
+),
+re AS (
+  SELECT s.q_id, s.neighbor_id,
+         ({_dot_sql('a', 'b', DIM)}) / ({_norm_sql('a', DIM)} * {_norm_sql('b', DIM)}) AS cosine
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.q_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM re
+)
+WHERE rank <= 10
+"""
+
 
 @query("ann_matryoshka_topk", oracle=_MATRYOSHKA_SQL)
 def ann_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +706,42 @@ def ann_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.cosine_topk(
         embs, embs.filter(F.col("vec_id") < _N_QUERIES), _MRL_DIM, k=10
+    )
+
+
+@query("ann_matryoshka_refined", oracle=_MATRYOSHKA_REFINED_SQL)
+def ann_matryoshka_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard MRL two-stage retrieval: the cheap 16-dim prefix scan
+    over-retrieves a 4x shortlist, then the full 64-dim exact cosine
+    re-ranks only those 40 candidates per query — full-precision top-10
+    at a quarter of the quadratic-stage arithmetic (IVF-PQ's
+    refine-stage shape applied to Matryoshka truncation; at 100 TB the
+    full vectors are read for shortlist rows only).  Oracle replays the
+    prefix rank, the shortlist cut, and the full-dim re-rank."""
+    embs = _embs(spark, sf_dir)
+    pref = embs.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    short = S.cosine_topk(
+        pref, pref.filter(F.col("vec_id") < _N_QUERIES), _MRL_DIM, k=_MRL_SHORTLIST
+    ).select("q_id", "neighbor_id")
+    vq = F.broadcast(
+        embs.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .withColumn("q_norm", S.norm_expr("q_vec", DIM))
+    )
+    vc = embs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm_expr("embedding", DIM).alias("c_norm"),
+    )
+    cos = S.dot_expr("q_vec", "c_vec", DIM) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        short.join(vq, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "neighbor_id", "cosine", "rank")
     )
 
 _KNN_LABEL_SQL = f"""

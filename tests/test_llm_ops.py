@@ -2668,3 +2668,27 @@ def test_corpus_segment_filter_verdict(spark):
         r["is_kept"] == (r["dup_ppm"] <= _SEG_FILTER_PPM) for r in rows
     )
     assert any(r["dup_ppm"] == 0 and r["is_kept"] for r in rows)
+
+
+def test_matryoshka_refined_improves_on_prefix(spark):
+    """The exact-refine stage must (a) return full-precision cosines
+    (bit-equal to the brute-force baseline for overlapping pairs) and
+    (b) recall at least as much of the true top-10 as the prefix-only
+    ranking it refines."""
+    from pyfads.llm_queries import (
+        ann_cosine_topk_q,
+        ann_matryoshka_refined_q,
+        ann_matryoshka_topk_q,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    full = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in ann_cosine_topk_q(spark, sf).collect()}
+    prefix = {(r["q_id"], r["neighbor_id"]) for r in ann_matryoshka_topk_q(spark, sf).collect()}
+    refined = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in ann_matryoshka_refined_q(spark, sf).collect()}
+    assert len(refined) == len(full) == 80
+    hit_prefix = len(prefix & set(full))
+    hit_refined = len(set(refined) & set(full))
+    assert hit_refined >= hit_prefix  # refine never hurts recall
+    for k, v in refined.items():
+        if k in full:
+            assert v == full[k]  # exact full-dim cosine, bit-equal

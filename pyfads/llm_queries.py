@@ -723,25 +723,8 @@ def ann_matryoshka_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = S.cosine_topk(
         pref, pref.filter(F.col("vec_id") < _N_QUERIES), _MRL_DIM, k=_MRL_SHORTLIST
     ).select("q_id", "neighbor_id")
-    vq = F.broadcast(
-        embs.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-        .withColumn("q_norm", S.norm_expr("q_vec", DIM))
-    )
-    vc = embs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
-        S.norm_expr("embedding", DIM).alias("c_norm"),
-    )
-    cos = S.dot_expr("q_vec", "c_vec", DIM) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        short.join(vq, "q_id")
-        .join(vc, "neighbor_id")
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("q_id", "neighbor_id", "cosine", "rank")
+    return S.exact_refine(
+        short, embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10
     )
 
 _KNN_LABEL_SQL = f"""

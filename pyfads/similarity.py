@@ -63,6 +63,7 @@ __all__ = [
     "default_codebook_sample",
     "fold_dots",
     "top_cells",
+    "exact_refine",
     "kcenter_select",
     "embedding_near_dup_pairs",
     "embedding_norms",
@@ -1255,6 +1256,46 @@ def semantic_dedup(
         F.col("centroid_cos"),
         n.alias("n_better_neighbors"),
         (n == 0).alias("is_kept"),
+    )
+
+
+def exact_refine(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact full-dim cosine re-rank of a ``(q_id, neighbor_id)``
+    shortlist — the refine stage every two-stage retriever ends with
+    (IVF-PQ refine, MRL prefix+refine).  The candidate ids join to the
+    vector tables FIRST and the norms are computed on the joined
+    shortlist-sized frame, so the O(dim) arithmetic runs for shortlist
+    rows only (the 100 TB confinement); the bounded query side
+    broadcasts.  Returns ``(q_id, neighbor_id, cosine, rank)``,
+    ``rank <= k`` under the standard ``(cosine DESC, neighbor_id)``
+    total order."""
+    vq = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    j = (
+        cand.join(vq, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+        .withColumn("c_norm", norm_expr("c_vec", dim))
+    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -1090,6 +1090,30 @@ def semdedup_cell_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_twolevel_report_oracle() -> str:
+    return f"""
+WITH body AS ({G.semantic_dedup_twolevel_oracle(plant_n=32)})
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_better_neighbors) AS BIGINT) AS n_dup_edges
+FROM body GROUP BY cell
+"""
+
+
+@query("semdedup_twolevel_report", oracle=_semdedup_twolevel_report_oracle)
+def semdedup_twolevel_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FINE-cell width/dedup-rate diagnostic for the two-level
+    codebook — the report that verifies the coarse->fine split actually
+    bounded cell widths (the whole point of the scheme; the 200k-row test
+    asserts it at scale, this entry oracle-checks it at fixture scale)."""
+    out = dedup_semantic_twolevel_q(spark, sf_dir)
+    return out.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("n_better_neighbors").cast("long").alias("n_dup_edges"),
+    )
+
+
 @query("kcenter_select", oracle=lambda: G.kcenter_select_oracle(k=8))
 def kcenter_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
@@ -3288,6 +3312,28 @@ def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(
         spark, sf_dir, lambda e, q: S.ann_lsh_topk(e, q, DIM, k=10)
     )
+
+
+@query("ann_recall_matryoshka", oracle=lambda: _recall_sql(_MATRYOSHKA_REFINED_SQL))
+def ann_recall_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the MRL prefix+refine path vs exact brute force — the
+    metric that decides how small a prefix (and how much over-retrieval)
+    a deployment can afford; same shared composition as the LSH/IVF
+    recall entries."""
+
+    def cand(embs: DataFrame, q: DataFrame) -> DataFrame:
+        pref = embs.select(
+            "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+        )
+        short = S.cosine_topk(
+            pref,
+            pref.filter(F.col("vec_id") < _N_QUERIES),
+            _MRL_DIM,
+            k=_MRL_SHORTLIST,
+        ).select("q_id", "neighbor_id")
+        return S.exact_refine(short, embs, q, DIM, k=10)
+
+    return _recall_vs_exact(spark, sf_dir, cand)
 
 
 @query("ann_recall_ivf", oracle=lambda: _recall_sql(G.ann_ivf_topk_oracle()))

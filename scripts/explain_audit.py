@@ -32,6 +32,7 @@ EXPECTED_BNLJ = {
     "ann_cosine_topk",
     "ann_matryoshka_topk",  # same operator on the 16-dim prefix: bounded-broadcast query side, theta join
     "ann_matryoshka_refined",  # composes the prefix stage above; the refine join is an equi-join
+    "ann_recall_matryoshka",  # composes ann_matryoshka_refined + the audited brute-force ground truth
     "knn_label_predict",  # composes ann_cosine_topk's audited bounded-broadcast theta join
     "hard_negatives",  # same class: bounded broadcast anchors, label-mismatch theta join
     "hard_negatives_dim1024",  # same, wide-vector fold path

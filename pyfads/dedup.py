@@ -81,6 +81,12 @@ def segment_dedup_scrub(
     segment.  At 100 TB, key both on a 128-bit hash of the segment
     instead of the string to shrink shuffle bytes (the fixture keys on
     the string so the DuckDB twin is collision-free by construction)."""
+    # explicit null-text guard (ADVICE r9): without it the contract leans
+    # on size(null) = null — under spark.sql.legacy.sizeOfNull=true (the
+    # pre-4.0 default) size(null) = -1, sequence(0, -1) = [0, -1], and a
+    # null-text doc would emit two empty segments plus an output row,
+    # diverging from the DuckDB twin's WHERE text IS NOT NULL
+    df = df.filter(F.col(text_col).isNotNull())
     words = F.split(F.col(text_col), " ")
     w = words_per_segment
     nseg = F.ceil(F.size(words) / F.lit(w)).cast("int")
@@ -1330,7 +1336,7 @@ def _gate_ppm_udf(bc, L: int):
 
 def contamination_gate_stream(
     stream: DataFrame,
-    eval_df: DataFrame,
+    eval_df: "DataFrame | None" = None,
     L: int = 40,
     max_contam_ppm: int = 0,
     text_col: str = "text",
@@ -1375,6 +1381,19 @@ def contamination_gate_stream(
     :func:`broadcast_eval_hashes`, pass it as ``eval_broadcast=``, and
     ``.unpersist()`` it yourself when the last gate terminates.
     """
+    # exactly one of eval_df / eval_broadcast supplies the eval set: a
+    # broadcast built from a DIFFERENT eval set than a simultaneously
+    # passed eval_df is undetectable (only L is validated), so passing
+    # both is refused loudly instead of silently ignoring eval_df
+    # (ADVICE r9)
+    if (eval_df is None) == (eval_broadcast is None):
+        raise ValueError(
+            "contamination_gate_stream: pass exactly one of eval_df (the "
+            "gate builds and owns the broadcast) or eval_broadcast (from "
+            "broadcast_eval_hashes; the caller owns it) — "
+            f"got eval_df={'set' if eval_df is not None else 'None'}, "
+            f"eval_broadcast={'set' if eval_broadcast is not None else 'None'}"
+        )
     if eval_broadcast is None:
         eval_broadcast = broadcast_eval_hashes(
             stream.sparkSession, eval_df, L, text_col, id_col

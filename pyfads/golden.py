@@ -36,6 +36,8 @@ import os
 
 import numpy as np
 
+from pyfads.similarity import SEM_MAX_CELL
+
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden_cache")
 
 
@@ -405,11 +407,27 @@ def _sem_fnorm(a: str) -> str:
     )
 
 
-def _semantic_tail(dim: int, threshold: float, n_assign: int = 1) -> str:
+def _salt_key_sql(max_cell: int) -> str:
+    """The DuckDB replay of similarity._salt_cells' sub-cell key: the
+    id-ordered row_number split is deterministic, so both engines derive
+    the IDENTICAL string key (the minhash/image-neardup cap-replay
+    precedent — an unsalted oracle would diverge the moment a cell
+    exceeds the cap)."""
+    return (
+        "CAST(cell AS VARCHAR) || '#' ||\n"
+        "         CAST((row_number() OVER (PARTITION BY cell ORDER BY vec_id)"
+        f" - 1)\n              // {int(max_cell)} AS VARCHAR)"
+    )
+
+
+def _semantic_tail(
+    dim: int, threshold: float, n_assign: int = 1, max_cell: "int | None" = SEM_MAX_CELL
+) -> str:
     """The keeper/verify tail shared by every semantic-dedup twin: expects
     CTEs ``e`` (vec_id, embedding) and ``withp`` (vec_id, cell,
     centroid_cos) — plus ``celldot`` when ``n_assign > 1`` — and emits the
-    ``dropped`` CTE + final projection."""
+    ``dropped`` CTE + final projection.  ``max_cell`` replays
+    similarity._salt_cells' hot-cell cap on the pair join key."""
     pair_dot = _sem_fdot("ea.embedding", "eb.embedding", dim)
     na, nb = (_sem_fnorm(f"{t}.embedding") for t in ("ea", "eb"))
     verify = (
@@ -420,10 +438,19 @@ def _semantic_tail(dim: int, threshold: float, n_assign: int = 1) -> str:
         f"  WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE"
     )
     if n_assign <= 1:
-        dropped_sql = f"""dropped AS (
+        pair_src, pair_key, salt = "withp", "cell", ""
+        if max_cell is not None:
+            salt = f"""withs AS (
+  SELECT vec_id, cell, centroid_cos,
+         {_salt_key_sql(max_cell)} AS scell
+  FROM withp
+),
+"""
+            pair_src, pair_key = "withs", "scell"
+        dropped_sql = f"""{salt}dropped AS (
   SELECT pb.vec_id AS b_id, count(*) AS n
-  FROM withp pa
-  JOIN withp pb ON pa.cell = pb.cell
+  FROM {pair_src} pa
+  JOIN {pair_src} pb ON pa.{pair_key} = pb.{pair_key}
    AND {verify}
   GROUP BY pb.vec_id
 )"""
@@ -431,8 +458,29 @@ def _semantic_tail(dim: int, threshold: float, n_assign: int = 1) -> str:
         # multi-probe: candidates come from SHARED probe cells (rn <=
         # n_assign), deduped to distinct pairs BEFORE the verify so a pair
         # sharing two probe cells counts once; priority stays the PRIMARY
-        # cell's centroid_cos (withp)
-        dropped_sql = f"""probe AS (
+        # cell's centroid_cos (withp).  The salt cap applies per probe
+        # bucket, exactly as similarity.semantic_dedup salts its probe
+        # frame.
+        if max_cell is not None:
+            probe_sql = f"""probe0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+    FROM celldot)
+  WHERE rn <= {n_assign}
+),
+probe AS (
+  SELECT vec_id,
+         {_salt_key_sql(max_cell)} AS scell
+  FROM probe0
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM probe a JOIN probe b USING (scell)
+  WHERE a.vec_id <> b.vec_id
+)"""
+        else:
+            probe_sql = f"""probe AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
@@ -443,7 +491,8 @@ cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM probe a JOIN probe b USING (cell)
   WHERE a.vec_id <> b.vec_id
-),
+)"""
+        dropped_sql = f"""{probe_sql},
 dropped AS (
   SELECT c.b_id, count(*) AS n
   FROM cand c
@@ -467,7 +516,10 @@ def _dvec_lit(v) -> str:
     return "[" + ", ".join(f"'{_lit(x)}'::DOUBLE" for x in v) + "]"
 
 
-def _semantic_dedup_sql(cents, dim: int, threshold: float, src: str, n_assign: int = 1) -> str:
+def _semantic_dedup_sql(
+    cents, dim: int, threshold: float, src: str, n_assign: int = 1,
+    max_cell: "int | None" = SEM_MAX_CELL,
+) -> str:
     """Shared SQL body for the flat-codebook semantic-dedup twins:
     ``cents`` is the (n_centroids, dim) codebook embedded as
     '<repr>'::DOUBLE literals; ``src`` is the embedding source subquery
@@ -499,7 +551,7 @@ withp AS (
   SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
   FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
 ),
-{_semantic_tail(dim, threshold, n_assign)}"""
+{_semantic_tail(dim, threshold, n_assign, max_cell)}"""
 
 
 def _semantic_dedup_two_level_sql(
@@ -643,9 +695,14 @@ assigned AS (
     FROM celldot)
   WHERE rn = 1
 ),
+salted AS (
+  SELECT vec_id,
+         {_salt_key_sql(SEM_MAX_CELL)} AS scell
+  FROM assigned
+),
 p AS (
   SELECT a.vec_id AS u, b.vec_id AS v
-  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM salted a JOIN salted b ON a.scell = b.scell AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE ({pair_dot}) / (({na}) * ({nb})) >= '{threshold!r}'::DOUBLE
@@ -1347,6 +1404,55 @@ def semantic_dedup_incremental_oracle(
     return _semantic_incremental_cached(
         sf, dim, float(threshold), n_centroids, seed, plant_dups, plant_new
     )
+
+
+def semantic_refresh_store_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_centroids: "int | None" = None,
+    seed: int = 7,
+    plant_dups: int = 32,
+    plant_new: int = 16,
+) -> str:
+    """Post-refresh corpus membership ``(vec_id, cell)``: the standing
+    corpus (every nonzero embedding, fold-dot-argmax-assigned) plus the
+    incremental gate's is_new admissions — exactly what
+    similarity.semantic_refresh_store leaves in the store's corpus table
+    after one tick (the append carries cells computed with the same
+    codebook, and the store parquet round-trip is exact)."""
+    from pyfads.similarity import adaptive_n_centroids
+
+    sf = oracle_sf_dir()
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(_embeddings_count(sf))
+    inner = _semantic_incremental_cached(
+        sf, dim, float(threshold), n_centroids, seed, plant_dups, plant_new
+    )
+    cents = _ivf_centroids(sf, n_centroids, seed)
+    vals = ",\n  ".join(f"({j}, {_dvec_lit(cents[j])})" for j in range(len(cents)))
+    norm0 = _chain_norm_sql("e0", dim)
+    assign_dot = _fold_dot("e.embedding", "c.cvec", dim)
+    return f"""
+SELECT vec_id, cell FROM (
+  WITH cents(cell, cvec) AS (VALUES
+    {vals}
+  ),
+  e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm0} > 0),
+  celldot AS (
+    SELECT e.vec_id, c.cell, ({assign_dot}) AS dp
+    FROM e CROSS JOIN cents c
+  )
+  SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+    FROM celldot)
+  WHERE rn = 1
+)
+UNION ALL
+SELECT vec_id, cell FROM (
+{inner}
+) WHERE is_new
+"""
 
 
 def semantic_gate_stream_oracle(

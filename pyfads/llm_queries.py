@@ -31,6 +31,20 @@ from pyfads.queries import query
 DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Process-lifetime scratch dir for the serve-many store fixtures
+    (codebook / signature / semantic stores, streaming chunk sources):
+    mkdtemp plus an atexit rmtree, so repeated bench/test processes do
+    not leak one directory per sf_dir per process (ADVICE r9)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one small parquet file at test SFs — spread the CPU-heavy per-row
     # hashing across cores (no-op once the scan itself is wide)
@@ -915,9 +929,7 @@ _SEMSTORE_PATHS: dict[str, str] = {}
 
 def _semstore(spark: SparkSession, sf_dir: str):
     if sf_dir not in _SEMSTORE_PATHS:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="pyfads_semstore_")
+        path = _scratch_dir("pyfads_semstore_")
         embs = _embs(spark, sf_dir).select("vec_id", "embedding")
         nc = S.adaptive_n_centroids(embs.count())
         cents = S.train_ivf_centroids(S.drop_zero_norm(embs, DIM), DIM, nc, 7)
@@ -962,9 +974,7 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker rows-only streaming check."""
     cents, corpus = _semstore(spark, sf_dir)
     if sf_dir not in _SEMGATE_CHUNKS:
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="pyfads_semgate_")
+        d = _scratch_dir("pyfads_semgate_")
         embs = _embs(spark, sf_dir).select("vec_id", "embedding")
         batch = _plant_gate_batch(embs)
         batch.filter(F.col("vec_id") < 15_000_000).coalesce(1).write.parquet(
@@ -996,6 +1006,36 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_SEMREFRESH_PATHS: dict[str, str] = {}
+
+
+@query(
+    "semantic_refresh_store",
+    oracle=lambda: G.semantic_refresh_store_oracle(),
+)
+def semantic_refresh_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic store's REFRESH loop, one full tick (r9 verdict #2 —
+    the semantic twin of corpus_refresh_store): bootstrap the store from
+    the standing embeddings (reusing the serve-many codebook), gate the
+    planted batch through the store-served incremental gate, append the
+    admitted survivors back with cells/norms/continued c_sub packing, and
+    return the POST-REFRESH corpus membership (vec_id, cell).  The store
+    is REBUILT (overwrite) at the top of every call, so repeated runs are
+    deterministic despite the append.  Oracle: corpus assignment UNION
+    the incremental twin's is_new rows."""
+    if sf_dir not in _SEMREFRESH_PATHS:
+        _SEMREFRESH_PATHS[sf_dir] = _scratch_dir("pyfads_semrefresh_")
+    path = _SEMREFRESH_PATHS[sf_dir] + "/store"
+    cents, _ = _semstore(spark, sf_dir)  # codebook round-trip is exact
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    S.write_semantic_store(spark, path, cents, embs, DIM)
+    S.semantic_refresh_store(
+        spark, path, _plant_gate_batch(embs), DIM, threshold=0.9
+    )
+    _, corpus = S.read_semantic_store(spark, path)
+    return corpus.select(F.col("c_id").alias("vec_id"), "cell")
 
 
 @query(
@@ -1205,9 +1245,7 @@ _CBSTORE_PATHS: dict[str, str] = {}
 
 def _cbstore(spark: SparkSession, sf_dir: str):
     if sf_dir not in _CBSTORE_PATHS:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="pyfads_cbstore_")
+        path = _scratch_dir("pyfads_cbstore_")
         embs = S.drop_zero_norm(_embs(spark, sf_dir), DIM)
         cents = S.train_ivf_centroids(embs, DIM, 32, 7)
         books = S.train_pq_codebooks(embs, DIM)
@@ -2392,9 +2430,7 @@ _SIGSTORE_PATHS: dict[str, str] = {}
 
 def _sigstore(spark: SparkSession, sf_dir: str):
     if sf_dir not in _SIGSTORE_PATHS:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="pyfads_sigstore_")
+        path = _scratch_dir("pyfads_sigstore_")
         corpus = (
             read_table(spark, sf_dir, "documents")
             .filter(~F.expr(_INC_BATCH_PRED))

@@ -53,6 +53,7 @@ __all__ = [
     "semantic_dedup",
     "semantic_dedup_incremental",
     "semantic_dedup_incremental_served",
+    "semantic_refresh_store",
     "semantic_gate_stream",
     "semantic_tau_pairs",
     "train_two_level_centroids",
@@ -78,6 +79,13 @@ __all__ = [
 # embeddings (768/1024/1536-dim model outputs).  Both produce bit-identical
 # left-associated double sums (fold seed 0.0 + t1 == t1 in IEEE754).
 CHAIN_MAX_DIM = 128
+
+SEM_MAX_CELL = 256
+"""Default hot-cell cap for the semantic family's cell joins (r9 verdict
+#1).  Adaptive codebooks target ~64 rows/cell, but k-means cannot split a
+mass-duplicate pile — identical embeddings all land in ONE cell, making
+any within-cell join quadratic on a skewed key at 100 TB.  256 gives 4x
+headroom over the adaptive target, so healthy cells never hit the cap."""
 
 
 def _elem(col: str, i: int) -> "F.Column":
@@ -862,6 +870,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | tuple | None" = None,
+    max_cell: "int | None" = SEM_MAX_CELL,
 ) -> DataFrame:
     """Incremental-ingest semantic dedup: gate each BATCH vector against
     the standing CORPUS — the semantic twin of
@@ -896,16 +905,61 @@ def semantic_dedup_incremental(
         _norm_fold("__v").alias("c_n"),
         "cell",
     )
-    return _semantic_gate(bt, cp, id_col, threshold)
+    return _semantic_gate(bt, cp, id_col, threshold, max_cell)
 
 
-def _semantic_gate(bt: DataFrame, cp: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _salt_cells(
+    df: DataFrame, id_col, max_cell: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Split cells wider than ``max_cell`` into salted sub-cells — the
+    semantic twin of the MinHash banding's ``_salt_cap``
+    (:func:`pyfads.dedup.minhash_band_pairs`): a B-row cell contributes
+    B^2 join rows to a within-cell self-join, so one degenerate
+    mass-duplicate cell hot-spots a task at 100 TB.  The salted key
+    bounds every task at max_cell^2 pair work; recall loss is confined to
+    pathological cells (pairs spanning two sub-cells of one pile are
+    missed — the same bounded-loss contract the MinHash cap documents;
+    healthy cells sit far under the cap and are untouched).  The split is
+    id-ordered row_number arithmetic, fully deterministic, so the DuckDB
+    twins replay it bit-for-bit (the minhash/image-neardup oracle
+    precedent).  Adds a string ``__scell`` column."""
+    w = Window.partitionBy(cell_col).orderBy(id_col)
+    return df.withColumn(
+        "__scell",
+        F.concat_ws(
+            "#",
+            F.col(cell_col).cast("string"),
+            ((F.row_number().over(w) - 1) / F.lit(int(max_cell)))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+
+
+def _semantic_gate(
+    bt: DataFrame,
+    cp: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_cell: "int | None" = SEM_MAX_CELL,
+) -> DataFrame:
     """The incremental-gate join body, shared by the train-inline
     (:func:`semantic_dedup_incremental`) and the store-served
     (:func:`semantic_dedup_incremental_served`) paths: ``bt`` is the
     assigned batch ``(id_col, __v, cell)``, ``cp`` the assigned corpus
     ``(c_id, c_vec, c_n, cell)`` (norms precomputed — from the store on
-    the served path, bit-identical either way)."""
+    the served path, bit-identical either way).
+
+    Hot-cell handling here is EXACT, unlike the lossy salt cap in the
+    self-join family: a gate's ``n_corpus_dups`` drives admission, and a
+    missed corpus dup admits a duplicate into the corpus permanently — so
+    instead of confining pairs to sub-cells, the corpus side is split
+    into ``max_cell``-row sub-buckets (``c_sub``, precomputed by the
+    store when present) and each batch row is REPLICATED across its
+    cell's sub-buckets via a broadcast (cell, n_sub) dim.  Every
+    (batch, corpus) pair still meets exactly once — same counts, same
+    oracle — but a degenerate corpus cell spreads over ceil(B/max_cell)
+    tasks instead of one."""
     b = bt.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
@@ -913,8 +967,29 @@ def _semantic_gate(bt: DataFrame, cp: DataFrame, id_col: str, threshold: float) 
         "cell",
     )
     cos = _dot_fold("b_vec", "c_vec") / (F.col("b_n") * F.col("c_n"))
+    if max_cell is not None:
+        if "c_sub" not in cp.columns:
+            w = Window.partitionBy("cell").orderBy("c_id")
+            cp = cp.withColumn(
+                "c_sub",
+                ((F.row_number().over(w) - 1) / F.lit(int(max_cell))).cast("int"),
+            )
+        nsub = cp.groupBy("cell").agg((F.max("c_sub") + 1).alias("__nsub"))
+        b = (
+            b.join(F.broadcast(nsub), "cell", "left")
+            .withColumn(
+                "c_sub",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("__nsub"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("__nsub")
+        )
+        keys = ["cell", "c_sub"]
+    else:
+        keys = ["cell"]
     dups = (
-        b.join(cp, "cell")
+        b.join(cp, keys)
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= F.lit(float(threshold)))
         .groupBy("b_id")
@@ -982,6 +1057,7 @@ def write_semantic_store(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int = SEM_MAX_CELL,
 ) -> None:
     """Persist the semantic-dedup SERVE-MANY artifact (the
     write_codebook_store / write_signature_store precedent, r8 verdict
@@ -997,10 +1073,12 @@ def write_semantic_store(
       is the fine index either way)
       ``{path}/centroids_coarse`` + ``{path}/fine_coarse`` — present only
       for two-level codebooks: the coarse level and the fid->coarse map
-      ``{path}/corpus``     (c_id, c_vec, c_n double, cell int) — written
-      partitioned by nothing but sized by the upstream shuffle; at 100 TB
-      partition this table by ``cell`` so a gate's stream-static join
-      prunes to probed cells."""
+      ``{path}/corpus``     (c_id, c_vec, c_n double, c_sub int,
+      partitioned by ``cell``) — PARTITIONED BY THE CELL ID so a gate's
+      join (with ``prune_cells``) reads only the probed cells' files, and
+      carrying the precomputed ``c_sub`` sub-bucket index (id-ordered
+      row_number // ``max_cell``) so the gate's exact hot-cell
+      replication never re-windows the corpus at serve time."""
     if isinstance(cents, tuple):
         coarse, fine, fine_coarse = cents
         _write_cent_table(spark, path + "/centroids", np.asarray(fine))
@@ -1016,10 +1094,12 @@ def write_semantic_store(
     # the explicit marker is the source of truth for the reader: a local
     # isdir() probe is false on hdfs/s3 paths (silently degrading a
     # two-level store to flat), and overwriting a two-level store with a
-    # flat one must not leave the stale coarse tables believable
-    spark.createDataFrame([(levels,)], "levels int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/meta")
+    # flat one must not leave the stale coarse tables believable.  The
+    # sub-bucket cap is persisted too, so refresh ticks continue the same
+    # packing without the caller re-supplying it.
+    spark.createDataFrame(
+        [(levels, int(max_cell))], "levels int, max_cell int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     corpus = drop_zero_norm(corpus, dim, vec_col)
     cp = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("c_id"),
@@ -1027,7 +1107,11 @@ def write_semantic_store(
         _norm_fold("__v").alias("c_n"),
         "cell",
     )
-    cp.write.mode("overwrite").parquet(path + "/corpus")
+    w = Window.partitionBy("cell").orderBy("c_id")
+    cp = cp.withColumn(
+        "c_sub", ((F.row_number().over(w) - 1) / F.lit(int(max_cell))).cast("int")
+    )
+    cp.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
 
 
 def read_semantic_store(spark, path: str):
@@ -1050,6 +1134,71 @@ def read_semantic_store(spark, path: str):
     return cents, spark.read.parquet(path + "/corpus")
 
 
+def semantic_refresh_store(
+    spark,
+    path: str,
+    batch: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One maintenance tick of a STANDING semantic corpus (r9 verdict #2 —
+    the semantic twin of the lexical ``corpus_refresh_store`` loop): gate
+    ``batch`` against the persisted :func:`write_semantic_store` artifact
+    (:func:`semantic_dedup_incremental_served` — no retraining, no corpus
+    re-assignment, cell-pruned scan), then APPEND the admitted survivors
+    back into the store's corpus table pre-assigned to their cells with
+    fold norms and ``c_sub`` sub-bucket indices that CONTINUE each cell's
+    packing — so the next tick gates against corpus + admissions and the
+    exact hot-cell replication stays tight (buckets fill before new ones
+    open).  Returns the batch verdicts ``(id_col, cell, n_corpus_dups,
+    is_new)``, materialized BEFORE the append (localCheckpoint) so the
+    returned frame can never re-read the store it just grew.
+
+    Within-batch duplicates are not gated against each other (the corpus
+    is the authority — same contract as the lexical loop); run
+    :func:`semantic_dedup` over a batch first if intra-batch piles are
+    expected.  Scale shape per tick: one bounded meta/codebook read, the
+    pruned gate join, one broadcast per-cell count, one batch-sized
+    partitioned append — the corpus is never rewritten."""
+    cents, corpus = read_semantic_store(spark, path)
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    cap = int(meta["max_cell"]) if "max_cell" in meta.__fields__ else SEM_MAX_CELL
+    verd = semantic_dedup_incremental_served(
+        batch, cents, corpus, dim, threshold, id_col, vec_col, max_cell=cap
+    ).localCheckpoint()
+    admitted = drop_zero_norm(
+        batch.join(verd.filter("is_new").select(id_col), id_col, "left_semi"),
+        dim,
+        vec_col,
+    )
+    ad = _assign_cells(admitted, cents, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("__v").alias("c_vec"),
+        _norm_fold("__v").alias("c_n"),
+        "cell",
+    )
+    base = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("__base"))
+    w = Window.partitionBy("cell").orderBy("c_id")
+    ad = (
+        ad.join(F.broadcast(base), "cell", "left")
+        .withColumn(
+            "c_sub",
+            (
+                (F.coalesce(F.col("__base"), F.lit(0)) + F.row_number().over(w) - 1)
+                / F.lit(cap)
+            )
+            .cast("long")
+            .cast("int"),
+        )
+        .select("c_id", "c_vec", "c_n", "c_sub", "cell")
+        .localCheckpoint()  # freeze before the self-referential append
+    )
+    ad.write.mode("append").partitionBy("cell").parquet(path + "/corpus")
+    return verd
+
+
 def semantic_dedup_incremental_served(
     batch: DataFrame,
     store_cents: "np.ndarray | tuple",
@@ -1058,15 +1207,31 @@ def semantic_dedup_incremental_served(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: "int | None" = SEM_MAX_CELL,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """:func:`semantic_dedup_incremental` served from a persisted
     :func:`write_semantic_store` artifact: no training and no corpus
     re-assignment in the query path — the plan is batch-assign (map-only)
     + one equi-join on the cell id against the store table.  Output is
-    bit-identical to the train-inline gate (same oracle)."""
+    bit-identical to the train-inline gate (same oracle).
+
+    ``prune_cells`` (default on) collects the batch's DISTINCT cell ids
+    (bounded — at most the codebook size, the same bounded-collect class
+    as the codebook itself) and pushes ``cell IN (...)`` into the store
+    scan: with the store's ``partitionBy("cell")`` layout the gate join
+    then reads ONLY the probed cells' files — partition pruning an ingest
+    tick needs at 100 TB, where a small batch touches a handful of cells.
+    Exact (corpus rows in unprobed cells cannot contribute dups).
+    ``max_cell`` handles a degenerate corpus cell exactly via sub-bucket
+    replication (see :func:`_semantic_gate`); the store's precomputed
+    ``c_sub`` granularity wins when present."""
     batch = drop_zero_norm(batch, dim, vec_col)
     bt = _assign_cells(batch, store_cents, id_col, vec_col)
-    return _semantic_gate(bt, store_corpus, id_col, threshold)
+    if prune_cells:
+        cells = [int(r["cell"]) for r in bt.select("cell").distinct().collect()]
+        store_corpus = store_corpus.filter(F.col("cell").isin(cells))
+    return _semantic_gate(bt, store_corpus, id_col, threshold, max_cell)
 
 
 def semantic_gate_stream(
@@ -1115,6 +1280,7 @@ def semantic_dedup(
     n_assign: int = 1,
     two_level: bool = False,
     n_fine: int = 8,
+    max_cell: "int | None" = SEM_MAX_CELL,
 ) -> DataFrame:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with spherical k-means,
@@ -1197,18 +1363,28 @@ def semantic_dedup(
         _norm_fold("__v").alias("__n"),
         (_dot_fold("__v", "cvec") / _norm_fold("__v")).alias("centroid_cos"),
     )
+    # hot-cell salt cap (r9 verdict #1): the keeper self-join below is the
+    # quadratic stage, and k-means cannot split a mass-duplicate pile —
+    # salt the join key so a degenerate cell costs O(B * max_cell) instead
+    # of O(B^2).  Lossy exactly like the MinHash cap: a pile's sub-cells
+    # each keep one survivor instead of one overall (the twins replay the
+    # identical id-ordered split, so the oracle still matches bit-for-bit).
+    key = "cell"
+    if max_cell is not None:
+        withp = _salt_cells(withp, id_col, max_cell)
+        key = "__scell"
     a = withp.select(
         F.col(id_col).alias("a_id"),
         F.col("__v").alias("a_vec"),
         F.col("__n").alias("a_n"),
-        F.col("cell"),
+        F.col(key),
         F.col("centroid_cos").alias("a_cc"),
     )
     b = withp.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
         F.col("__n").alias("b_n"),
-        F.col("cell"),
+        F.col(key),
         F.col("centroid_cos").alias("b_cc"),
     )
     better = (F.col("a_cc") < F.col("b_cc")) | (
@@ -1216,7 +1392,7 @@ def semantic_dedup(
     )
     cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
     if n_assign <= 1:
-        cand = a.join(b, "cell")
+        cand = a.join(b, key)
     else:
         # multi-probe: tau-pairs whose members straddle a cell BOUNDARY —
         # SemDeDup's known recall gap — are candidates whenever ANY of
@@ -1232,14 +1408,21 @@ def semantic_dedup(
                     _cell_assign_udf(cents, n_assign)(F.col(vec_col))
                 ).alias("cell"),
             )
+        pkey = "cell"
+        if max_cell is not None:
+            # same cap on the probe buckets: each (row, probed-cell) entry
+            # salts by id order within the cell, bounding the candidate
+            # self-join per sub-bucket (twin replays the split per probe)
+            probe = _salt_cells(probe, id_col, max_cell)
+            pkey = "__scell"
         pc = (
-            probe.select(F.col(id_col).alias("a_id"), "cell")
-            .join(probe.select(F.col(id_col).alias("b_id"), "cell"), "cell")
+            probe.select(F.col(id_col).alias("a_id"), pkey)
+            .join(probe.select(F.col(id_col).alias("b_id"), pkey), pkey)
             .filter(F.col("a_id") != F.col("b_id"))
             .select("a_id", "b_id")
             .distinct()
         )
-        cand = pc.join(a.drop("cell"), "a_id").join(b.drop("cell"), "b_id")
+        cand = pc.join(a.drop(key), "a_id").join(b.drop(key), "b_id")
     dropped = (
         cand
         .filter(better)
@@ -1308,13 +1491,18 @@ def semantic_tau_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | tuple | None" = None,
+    max_cell: "int | None" = SEM_MAX_CELL,
 ) -> DataFrame:
     """The within-cell tau-edge list ``(a_id, b_id, cosine)`` with
     ``a_id < b_id`` — the undirected duplicate graph that
     :func:`semantic_dedup`'s keep-one view and the connected-components
     view (:func:`pyfads.dedup.connected_components` over these edges)
     both read from.  Same cells, same fold cosine as semantic_dedup; the
-    only wide exchange is the cell equi-join."""
+    only wide exchange is the cell equi-join — bounded per task by the
+    ``max_cell`` salt cap (:func:`_salt_cells`, replayed by the DuckDB
+    twin): the edge list of a B-row degenerate cell is itself O(B^2), so
+    a lossy id-ordered split is the only scale-safe contract (``None``
+    uncaps on trusted corpora)."""
     embeddings = drop_zero_norm(embeddings, dim, vec_col)
     cents = (
         centroids
@@ -1322,21 +1510,25 @@ def semantic_tau_pairs(
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
     assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+    key = "cell"
+    if max_cell is not None:
+        assigned = _salt_cells(assigned, id_col, max_cell)
+        key = "__scell"
     a = assigned.select(
         F.col(id_col).alias("a_id"),
         F.col("__v").alias("a_vec"),
         _norm_fold("__v").alias("a_n"),
-        "cell",
+        key,
     )
     b = assigned.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
         _norm_fold("__v").alias("b_n"),
-        "cell",
+        key,
     )
     cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
     return (
-        a.join(b, "cell")
+        a.join(b, key)
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(float(threshold)))
@@ -1890,19 +2082,23 @@ def kcenter_select(
     the selection bit-for-bit with a plain in-order Python loop.
     """
     embeddings = drop_zero_norm(embeddings, dim, vec_col)
-    n_avail = embeddings.count()
-    if n_avail < k:
-        raise ValueError(
-            f"kcenter_select: k={k} exceeds the {n_avail} nonzero-norm "
-            f"candidate rows (zero-norm vectors are dropped — cosine "
-            f"distance is undefined for them)"
-        )
-    seed_row = (
+    # k is validated LAZILY — each greedy round already runs a bounded
+    # TakeOrdered job, so running out of candidates surfaces there; an
+    # up-front count() would add a full extra corpus scan per call just
+    # to pre-validate (ADVICE r9)
+    seed_rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            f"kcenter_select: k={k} exceeds the 0 nonzero-norm candidate "
+            f"rows (zero-norm vectors are dropped — cosine distance is "
+            f"undefined for them)"
+        )
+    seed_row = seed_rows[0]
     selected: "list[tuple[int, int, float | None]]" = [
         (0, int(seed_row[id_col]), None)
     ]
@@ -1926,12 +2122,19 @@ def kcenter_select(
             "__v",
             F.least(*dists).alias("__d") if len(dists) > 1 else dists[0].alias("__d"),
         )
-        top = (
+        top_rows = (
             cand.filter(~F.col(id_col).isin([s[1] for s in selected]))
             .orderBy(F.desc("__d"), F.col(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:
+            raise ValueError(
+                f"kcenter_select: k={k} exceeds the {r} nonzero-norm "
+                f"candidate rows (zero-norm vectors are dropped — cosine "
+                f"distance is undefined for them)"
+            )
+        top = top_rows[0]
         selected.append((r, int(top[id_col]), float(top["__d"])))
         sel_vecs.append([float(x) for x in top["__v"]])
     return selected

@@ -2488,6 +2488,32 @@ def test_segment_dedup_scrub_semantics(spark):
     assert all(r["n_segments"] == 2 for r in out.values())
 
 
+def test_segment_dedup_scrub_null_text_excluded(spark):
+    """ADVICE r9: a null-text doc contributes NO output row regardless of
+    session config (the explicit isNotNull guard, not size(null)=null)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    out = D.segment_dedup_scrub(df, words_per_segment=4).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_contamination_gate_stream_requires_one_eval_source(spark):
+    """ADVICE r9: passing BOTH eval_df and eval_broadcast (or neither) is
+    refused loudly — a broadcast built from a different eval set than the
+    simultaneously-passed frame was previously undetectable."""
+    ev = spark.createDataFrame([(1, "x " * 50)], "doc_id long, text string")
+    stream = spark.readStream.format("rate").load()
+    bc = D.broadcast_eval_hashes(spark, ev, L=40)
+    try:
+        with pytest.raises(ValueError, match="exactly one"):
+            D.contamination_gate_stream(stream, ev, L=40, eval_broadcast=bc)
+        with pytest.raises(ValueError, match="exactly one"):
+            D.contamination_gate_stream(stream, L=40)
+    finally:
+        bc.unpersist()
+
+
 def test_segment_dedup_partial_tail_segment(spark):
     """A trailing segment shorter than the width is its own unit — docs
     tile into ceil(n_words / W) segments."""
@@ -2692,3 +2718,137 @@ def test_matryoshka_refined_improves_on_prefix(spark):
     for k, v in refined.items():
         if k in full:
             assert v == full[k]  # exact full-dim cosine, bit-equal
+
+
+def test_semantic_hot_cell_salt_cap(spark):
+    """r9 verdict #1: a degenerate mass-duplicate cell (k-means cannot
+    split identical embeddings) must not make the within-cell self-joins
+    quadratic.  200 identical vectors with max_cell=50 split into 4
+    id-ordered sub-cells: tau-edges confine to sub-cells (4 * C(50,2) vs
+    C(200,2) uncapped) and semantic_dedup keeps one survivor PER SUB-CELL
+    — the bounded, deterministic recall-loss contract the MinHash cap
+    established."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [(i, [1.0, 0.0]) for i in range(200)] + [(1000, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.semantic_tau_pairs(df, 2, threshold=0.9, centroids=cents, max_cell=50)
+    assert capped.count() == 4 * (50 * 49) // 2
+    uncapped = S.semantic_tau_pairs(df, 2, threshold=0.9, centroids=cents, max_cell=None)
+    assert uncapped.count() == (200 * 199) // 2
+
+    kept = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(df, 2, threshold=0.9, centroids=cents, max_cell=50)
+        .filter("is_kept")
+        .collect()
+    )
+    assert kept == [0, 50, 100, 150, 1000]  # lowest id of each sub-cell
+    un_kept = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(df, 2, threshold=0.9, centroids=cents, max_cell=None)
+        .filter("is_kept")
+        .collect()
+    )
+    assert un_kept == [0, 1000]
+
+
+def test_semantic_gate_hot_cell_replication_exact(spark):
+    """Unlike the lossy self-join cap, the incremental gate's hot-cell
+    handling is EXACT (corpus sub-bucket replication): verdicts and dup
+    counts with a tiny max_cell equal the uncapped gate bit-for-bit,
+    including batch rows whose cell has no corpus members."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(100, [2.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(mc):
+        return {
+            r["vec_id"]: (r["n_corpus_dups"], r["is_new"])
+            for r in S.semantic_dedup_incremental(
+                batch, corpus, 2, threshold=0.9, centroids=cents, max_cell=mc
+            ).collect()
+        }
+
+    capped, uncapped = run(3), run(None)
+    assert capped == uncapped
+    assert capped[100] == (10, False)  # every corpus copy counted once
+    assert capped[101] == (0, True)  # corpus-empty cell still gated
+
+
+def test_semantic_salt_cap_oracle_replay(spark):
+    """The DuckDB twin replays the id-ordered sub-cell split bit-for-bit
+    on a pile that TRIGGERS the cap — driver-green does not depend on
+    fixture cells staying under it (the minhash cap-replay precedent)."""
+    import duckdb
+    import numpy as np
+
+    from pyfads import golden as G
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [(i, [1.0, 0.0]) for i in range(20)] + [
+        (100, [0.0, 1.0]),
+        (101, [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["vec_id"], r["cell"], r["n_better_neighbors"], r["is_kept"])
+        for r in S.semantic_dedup(
+            df, 2, threshold=0.9, centroids=cents, max_cell=6
+        ).collect()
+    )
+    vals = ", ".join(f"({i}, {[float(x) for x in v]})" for i, v in rows)
+    src = f"(SELECT * FROM (VALUES {vals}) t(vec_id, embedding))"
+    sql = G._semantic_dedup_sql(cents, 2, 0.9, src, max_cell=6)
+    want = sorted(
+        (int(r[0]), int(r[1]), int(r[3]), bool(r[4]))
+        for r in duckdb.sql(sql).fetchall()
+    )
+    assert got == want
+    # cap triggered in the pile cell: 4 sub-cells -> 4 survivors there
+    assert sum(1 for v in got if v[3] and v[1] == 0) == 4
+
+
+def test_semantic_store_partition_prune(spark, tmp_path_factory):
+    """r9 verdict #6: the store's corpus is written partitionBy("cell"),
+    and the served gate (prune_cells) pushes the batch's probed cells
+    into the scan as PartitionFilters — an ingest tick reads ONLY its
+    cells' files.  Asserted from the executed plan's FileScan line (the
+    test_pushdown precedent) plus verdict correctness."""
+    import numpy as np
+
+    store = str(tmp_path_factory.mktemp("prune_store")) + "/s"
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)] + [(10 + i, [0.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    S.write_semantic_store(spark, store, cents, corpus, 2)
+    cb, cp = S.read_semantic_store(spark, store)
+    # batch hits cell 0 only
+    batch = spark.createDataFrame([(100, [3.0, 0.0])], "vec_id long, embedding array<double>")
+    out = S.semantic_dedup_incremental_served(batch, cb, cp, 2, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "/corpus" in ln
+    ]
+    assert scans, plan
+    pf = scans[0].split("PartitionFilters")[1]
+    assert "cell" in pf and "0" in pf, scans[0]
+    [r] = out.collect()
+    assert r["n_corpus_dups"] == 6 and r["is_new"] is False
+    # and the store layout really is hive-partitioned by cell
+    import os
+
+    assert os.path.isdir(store + "/corpus/cell=0")
+    assert os.path.isdir(store + "/corpus/cell=1")

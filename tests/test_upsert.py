@@ -344,3 +344,79 @@ def test_streaming_corpus_refresh_matches_sequential(spark, tmp_path):
     # corpus twin (11) entered via the PREVIOUS batch's store append
     assert {10, 13, 20, 22}.isdisjoint(got)
     assert {11, 12, 21} <= set(got)
+
+
+def test_streaming_semantic_refresh_matches_sequential(spark, tmp_path):
+    """The semantic serve-many store's refresh loop (VERDICT r9 item 2 —
+    the semantic twin of the lexical streaming refresh above): micro-
+    batches flow through foreachBatch -> semantic_refresh_store (gate
+    against the persisted store, append admitted survivors with cells /
+    fold norms / continued c_sub packing).  A vector admitted in batch 0
+    must gate batch 1 (only the store append makes it visible), and the
+    final corpus membership equals the sequential train-inline gate that
+    re-reads the accumulated corpus every round."""
+    import pandas as pd
+    import numpy as np
+
+    from pyfads import similarity as S
+
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    seed_rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    chunks = [
+        # 10: scaled copy of 0 -> dup; 11 fresh; 12 near-copy of 11's cell
+        # but orthogonal to everything standing -> admitted
+        [(10, [2.0, 0.0, 0.0]), (11, [0.0, 0.0, 1.0])],
+        # 20: scaled copy of 11 (admitted LAST batch -> only the store
+        # append makes it visible); 21 fresh-ish diagonal (cos < 0.9 to
+        # every axis vector) -> admitted
+        [(20, [0.0, 0.0, 3.0]), (21, [1.0, 1.0, 1.0])],
+    ]
+    src = tmp_path / "semref_src"
+    src.mkdir()
+    t0 = time.time() - 500
+    for n, rows in enumerate(chunks):
+        p = str(src / f"chunk_{n}.parquet")
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(p)
+        os.utime(p, (t0 + n, t0 + n))
+
+    schema = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "semref_store")
+    seed_df = spark.createDataFrame(seed_rows, schema)
+    S.write_semantic_store(spark, store, cents, seed_df, 3, max_cell=2)
+
+    def ingest(bdf, bid):
+        S.semantic_refresh_store(bdf.sparkSession, store, bdf, 3, threshold=0.9)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "semref_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _, corpus = S.read_semantic_store(spark, store)
+    got = {r["c_id"] for r in corpus.collect()}
+
+    # sequential reference: train-inline gate against the accumulated
+    # corpus, rebuilt from scratch each round
+    acc = seed_df
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        verd = S.semantic_dedup_incremental(
+            bdf, acc, 3, threshold=0.9, centroids=cents
+        )
+        admitted = bdf.join(
+            verd.filter("is_new").select("vec_id"), "vec_id", "left_semi"
+        )
+        acc = acc.unionByName(admitted)
+    want = {r["vec_id"] for r in acc.collect()}
+    assert got == want
+    assert got == {0, 1, 11, 21}  # 10 and 20 gated out
+    # c_sub packing continued per cell: cap=2, cell 2 holds 11 then 21?
+    subs = {
+        (r["cell"], r["c_id"]): r["c_sub"] for r in corpus.collect()
+    }
+    assert all(v in (0, 1) for v in subs.values())

@@ -421,13 +421,19 @@ def _salt_key_sql(max_cell: int) -> str:
 
 
 def _semantic_tail(
-    dim: int, threshold: float, n_assign: int = 1, max_cell: "int | None" = SEM_MAX_CELL
+    dim: int,
+    threshold: float,
+    n_assign: int = 1,
+    max_cell: "int | None" = SEM_MAX_CELL,
+    probe_margin: "float | None" = None,
 ) -> str:
     """The keeper/verify tail shared by every semantic-dedup twin: expects
     CTEs ``e`` (vec_id, embedding) and ``withp`` (vec_id, cell,
     centroid_cos) — plus ``celldot`` when ``n_assign > 1`` — and emits the
     ``dropped`` CTE + final projection.  ``max_cell`` replays
-    similarity._salt_cells' hot-cell cap on the pair join key."""
+    similarity._salt_cells' hot-cell cap on the pair join key;
+    ``probe_margin`` replays the adaptive-probe boundary test
+    (rank >= 2 probes kept only when dp1 - dp_r < margin * |v|)."""
     pair_dot = _sem_fdot("ea.embedding", "eb.embedding", dim)
     na, nb = (_sem_fnorm(f"{t}.embedding") for t in ("ea", "eb"))
     verify = (
@@ -460,15 +466,34 @@ def _semantic_tail(
         # sharing two probe cells counts once; priority stays the PRIMARY
         # cell's centroid_cos (withp).  The salt cap applies per probe
         # bucket, exactly as similarity.semantic_dedup salts its probe
-        # frame.
-        if max_cell is not None:
-            probe_sql = f"""probe0 AS (
+        # frame; the adaptive margin replays the dp1 - dp_r < margin * |v|
+        # boundary test before any rank >= 2 probe is emitted.
+        if probe_margin is None:
+            probe0_sql = f"""probe0 AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
     FROM celldot)
   WHERE rn <= {n_assign}
+)"""
+        else:
+            probe0_sql = f"""ranked AS (
+  SELECT vec_id, cell, dp,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+  FROM celldot
 ),
+probe0 AS (
+  SELECT vec_id, cell FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.vec_id, r.cell
+  FROM ranked r
+  JOIN ranked r1 ON r1.vec_id = r.vec_id AND r1.rn = 1
+  JOIN e ON e.vec_id = r.vec_id
+  WHERE r.rn >= 2 AND r.rn <= {n_assign}
+    AND (r1.dp - r.dp) < '{probe_margin!r}'::DOUBLE * ({_sem_fnorm("e.embedding")})
+)"""
+        if max_cell is not None:
+            probe_sql = f"""{probe0_sql},
 probe AS (
   SELECT vec_id,
          {_salt_key_sql(max_cell)} AS scell
@@ -480,16 +505,10 @@ cand AS (
   WHERE a.vec_id <> b.vec_id
 )"""
         else:
-            probe_sql = f"""probe AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
-    FROM celldot)
-  WHERE rn <= {n_assign}
-),
+            probe_sql = f"""{probe0_sql},
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM probe a JOIN probe b USING (cell)
+  FROM probe0 a JOIN probe0 b USING (cell)
   WHERE a.vec_id <> b.vec_id
 )"""
         dropped_sql = f"""{probe_sql},
@@ -519,6 +538,7 @@ def _dvec_lit(v) -> str:
 def _semantic_dedup_sql(
     cents, dim: int, threshold: float, src: str, n_assign: int = 1,
     max_cell: "int | None" = SEM_MAX_CELL,
+    probe_margin: "float | None" = None,
 ) -> str:
     """Shared SQL body for the flat-codebook semantic-dedup twins:
     ``cents`` is the (n_centroids, dim) codebook embedded as
@@ -551,7 +571,7 @@ withp AS (
   SELECT a.vec_id, a.cell, ({pchain}) / ({ne}) AS centroid_cos
   FROM assigned a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
 ),
-{_semantic_tail(dim, threshold, n_assign, max_cell)}"""
+{_semantic_tail(dim, threshold, n_assign, max_cell, probe_margin)}"""
 
 
 def _semantic_dedup_two_level_sql(
@@ -613,7 +633,7 @@ withp AS (
 @functools.lru_cache(maxsize=None)
 def _semantic_dedup_cached(
     sf_dir: str, dim: int, threshold: float, n_centroids: int, seed: int,
-    plant_n: int = 0, n_assign: int = 1,
+    plant_n: int = 0, n_assign: int = 1, probe_margin: "float | None" = None,
 ) -> str:
     """DuckDB twin of similarity.semantic_dedup over the embeddings table:
     the SAME k-means codebook (bitwise, via _ivf_centroids — trained on
@@ -631,7 +651,9 @@ def _semantic_dedup_cached(
          list_transform(embedding, x -> x::DOUBLE * CAST(1.5 AS DOUBLE)) AS embedding
   FROM embeddings WHERE vec_id < {plant_n}
 )"""
-    return _semantic_dedup_sql(cents, dim, threshold, src, n_assign)
+    return _semantic_dedup_sql(
+        cents, dim, threshold, src, n_assign, probe_margin=probe_margin
+    )
 
 
 def semantic_dedup_oracle(
@@ -641,6 +663,7 @@ def semantic_dedup_oracle(
     seed: int = 7,
     plant_n: int = 0,
     n_assign: int = 1,
+    probe_margin: "float | None" = None,
 ) -> str:
     from pyfads.similarity import adaptive_n_centroids
 
@@ -649,7 +672,8 @@ def semantic_dedup_oracle(
         # same rule the registered query applies to its UNPLANTED base
         n_centroids = adaptive_n_centroids(_embeddings_count(sf))
     return _semantic_dedup_cached(
-        sf, dim, float(threshold), n_centroids, seed, plant_n, n_assign
+        sf, dim, float(threshold), n_centroids, seed, plant_n, n_assign,
+        None if probe_margin is None else float(probe_margin),
     )
 
 

@@ -551,6 +551,17 @@ def fold_dots(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return sims
 
 
+def fold_norms(m: np.ndarray) -> np.ndarray:
+    """Row L2 norms via the per-dim left fold — bit-identical to Spark's
+    ``_norm_fold`` / the oracle's fold-norm SQL for the same reason
+    :func:`fold_dots` is: forced accumulation order, elementwise IEEE
+    ops, exact float32->float64 widening."""
+    acc = np.zeros(len(m), dtype=np.float64)
+    for i in range(m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    return np.sqrt(acc)
+
+
 def top_cells(sims: np.ndarray, n_top: int) -> np.ndarray:
     """Indices of the ``n_top`` best cells per row, ties -> LOWEST cell —
     the oracle's ``ORDER BY dp DESC, cell`` exactly (np.argmax takes the
@@ -560,16 +571,23 @@ def top_cells(sims: np.ndarray, n_top: int) -> np.ndarray:
     return np.argsort(-sims, axis=1, kind="stable")[:, :n_top].astype(np.int32)
 
 
-def _cell_assign_udf(cents: np.ndarray, n_top: int):
+def _cell_assign_udf(cents: np.ndarray, n_top: int, margin: "float | None" = None):
     """Arrow-batched coarse quantizer: per vector, the indices of its
     ``n_top`` nearest (max-dot) centroids.  The (tiny) codebook rides in
     the UDF closure — the FAISS quantizer-broadcast shape.  Shared by
     :func:`ann_ivf_topk`, :func:`ann_ivfpq_topk` probing and
     :func:`semantic_dedup`.
 
+    ``margin`` makes the probe ADAPTIVE (r9 verdict #5): ranks >= 2 are
+    emitted only when the vector actually sits near a cell boundary —
+    ``dp1 - dp_r < margin * |v|`` (a cosine-units margin, scale-free) —
+    so clear-interior vectors stop fanning candidate pairs into their
+    second cell.
+
     Bit-exact with the in-plan fold path (:func:`_assign_cells_inplan`)
-    and the DuckDB oracles: :func:`fold_dots` replays the fold arithmetic
-    and :func:`top_cells` the ``dp DESC, cell`` tiebreak, so the
+    and the DuckDB oracles: :func:`fold_dots` replays the fold arithmetic,
+    :func:`top_cells` the ``dp DESC, cell`` tiebreak, and
+    :func:`fold_norms` the margin test's norm, so the
     INPLAN_MAX_CENTROIDS switch at 65 cells changes the physical plan
     only, never a verdict."""
     C = np.ascontiguousarray(cents, dtype=np.float64)
@@ -577,8 +595,20 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy())  # (n, dim), float32 widens exactly
-        top = top_cells(fold_dots(m, C), n_top)
-        return pd.Series(list(top))
+        sims = fold_dots(m, C)
+        top = top_cells(sims, n_top)
+        if margin is None:
+            return pd.Series(list(top))
+        budget = np.float64(margin) * fold_norms(m)
+        dp1 = sims[np.arange(len(m)), top[:, 0]]
+        out = []
+        for i in range(len(m)):
+            cells = [top[i, 0]]
+            for j in range(1, top.shape[1]):
+                if dp1[i] - sims[i, top[i, j]] < budget[i]:
+                    cells.append(top[i, j])
+            out.append(np.asarray(cells, dtype=np.int32))
+        return pd.Series(out)
 
     return assign
 
@@ -789,13 +819,21 @@ def adaptive_n_centroids(n_rows: int, target_cell: int = 64, floor: int = 32) ->
 
 
 def _probe_cells_inplan(
-    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str, n: int
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    margin: "float | None" = None,
 ) -> DataFrame:
     """Top-``n`` probe cells per vector, in-plan like
     :func:`_assign_cells_inplan`: ascending array_sort of the (dp, -cell)
     structs puts the best (highest dp, then lowest cell) LAST, so the last
     ``n`` elements are exactly the oracle's ``rn <= n`` rows.  Returns
-    ``(id_col, cell)`` exploded — n rows per vector."""
+    ``(id_col, cell)`` exploded — n rows per vector, or fewer with an
+    adaptive ``margin`` (ranks >= 2 kept only when
+    ``dp1 - dp_r < margin * |v|`` — the boundary test the oracle
+    replays; clear-interior vectors probe one cell)."""
     arr = F.array_sort(
         F.array(
             *[
@@ -815,13 +853,26 @@ def _probe_cells_inplan(
             for j in range(len(cents))
         ],
     )
+    if margin is None:
+        cells = F.transform(
+            F.slice(arr, -n, n), lambda t: (-t["negcell"]).cast("int")
+        )
+    else:
+        best = F.element_at(arr, -1)
+        budget = F.lit(float(margin)) * _norm_fold("__v")
+        cells = F.concat(
+            F.array((-best["negcell"]).cast("int")),
+            F.transform(
+                F.filter(
+                    F.slice(arr, -n, n - 1),  # ranks n..2, best excluded
+                    lambda t: (best["dp"] - t["dp"]) < budget,
+                ),
+                lambda t: (-t["negcell"]).cast("int"),
+            ),
+        )
     return with_cents.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.slice(arr, -n, n), lambda t: (-t["negcell"]).cast("int")
-            )
-        ).alias("cell"),
+        F.explode(cells).alias("cell"),
     )
 
 
@@ -1281,6 +1332,7 @@ def semantic_dedup(
     two_level: bool = False,
     n_fine: int = 8,
     max_cell: "int | None" = SEM_MAX_CELL,
+    probe_margin: "float | None" = None,
 ) -> DataFrame:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with spherical k-means,
@@ -1334,6 +1386,11 @@ def semantic_dedup(
         if centroids is not None
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
+    if probe_margin is not None and n_assign <= 1:
+        raise ValueError(
+            "semantic_dedup: probe_margin gates the rank >= 2 probes — "
+            "it requires n_assign >= 2"
+        )
     hierarchical = isinstance(cents, tuple)
     codebook = cents  # full shape (tuple or flat) for _assign_cells
     if hierarchical:
@@ -1398,14 +1455,21 @@ def semantic_dedup(
         # SemDeDup's known recall gap — are candidates whenever ANY of
         # their top-n_assign cells coincide; dedup to distinct pairs
         # BEFORE the verify so a pair sharing two probe cells counts once.
-        # Priority stays the PRIMARY cell's centroid_cos.
+        # Priority stays the PRIMARY cell's centroid_cos.  probe_margin
+        # makes the probe ADAPTIVE (r9 verdict #5): a vector probes its
+        # rank-r cell (r >= 2) only when dp1 - dp_r < margin * |v| — near
+        # an actual boundary — cutting candidate volume for the bulk of
+        # clear-interior vectors while keeping the boundary-pair recall
+        # the margin was sized for (oracle replays the same test).
         if len(cents) <= INPLAN_MAX_CENTROIDS:
-            probe = _probe_cells_inplan(embeddings, cents, id_col, vec_col, n_assign)
+            probe = _probe_cells_inplan(
+                embeddings, cents, id_col, vec_col, n_assign, probe_margin
+            )
         else:
             probe = embeddings.select(
                 F.col(id_col),
                 F.explode(
-                    _cell_assign_udf(cents, n_assign)(F.col(vec_col))
+                    _cell_assign_udf(cents, n_assign, probe_margin)(F.col(vec_col))
                 ).alias("cell"),
             )
         pkey = "cell"

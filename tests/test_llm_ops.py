@@ -377,6 +377,29 @@ def test_semantic_dedup_multiprobe_catches_boundary_pairs(spark):
     }
     assert sorted(probe2.values()) == [False, True]  # exactly one survives
 
+    # ADAPTIVE probe (r9 verdict #5): the margin test dp1 - dp2 <
+    # 0.05 * |v| keeps this boundary pair (each member's second-cell dp
+    # deficit is cos19 - cos21 ~ 0.012) -> identical verdicts to the
+    # unconditional 2-probe; a clear-interior vector probes ONE cell.
+    adaptive = {
+        r["vec_id"]: r["is_kept"]
+        for r in S.semantic_dedup(
+            df, 4, threshold=0.9, centroids=cents, n_assign=2, probe_margin=0.05
+        ).collect()
+    }
+    assert adaptive == probe2
+    interior = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    one = S._probe_cells_inplan(interior, cents, "vec_id", "embedding", 2, 0.05)
+    assert one.count() == 1  # second probe suppressed away from boundaries
+    both = S._probe_cells_inplan(df, cents, "vec_id", "embedding", 2, 0.05)
+    assert both.count() == 4  # boundary pair still probes two cells each
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_assign"):
+        S.semantic_dedup(df, 4, centroids=cents, probe_margin=0.05)
+
 
 def test_semantic_dedup_incremental_gate(spark):
     """Incremental semantic gate semantics: exact corpus copies drop
@@ -2852,3 +2875,86 @@ def test_semantic_store_partition_prune(spark, tmp_path_factory):
 
     assert os.path.isdir(store + "/corpus/cell=0")
     assert os.path.isdir(store + "/corpus/cell=1")
+
+
+def test_adaptive_probe_udf_matches_inplan(spark):
+    """The adaptive-probe margin test (dp1 - dp2 < margin * |v|) agrees
+    probe-for-probe between the in-plan path (<= 64 cells) and the
+    Arrow-UDF path (the real-scale one) — same fold dots, same fold
+    norms, same tiebreak."""
+    embs = _synth_embs(spark, 400, dim=8)
+    cents = S.train_ivf_centroids(embs, dim=8, n_centroids=16, iters=5)
+    for margin in (0.02, 0.1):
+        inplan = {
+            (r["vec_id"], r["cell"])
+            for r in S._probe_cells_inplan(
+                embs, cents, "vec_id", "embedding", 2, margin
+            ).collect()
+        }
+        udf = {
+            (r["vec_id"], r["cell"])
+            for r in embs.select(
+                "vec_id",
+                F.explode(
+                    S._cell_assign_udf(cents, 2, margin)(F.col("embedding"))
+                ).alias("cell"),
+            ).collect()
+        }
+        assert udf == inplan
+        # the margin actually bites: strictly between n and 2n probes
+        assert 400 < len(inplan) < 800
+
+
+def test_url_canonicalize_collapses_surface_forms(spark):
+    """The five synthesized surface forms canonicalize as designed:
+    mixed-case host + :443 + trailing slash (case 1) collapses onto the
+    www-prefixed plain form (case 0); tracking params strip so case 4
+    collapses onto case 2's ?id= form; the http case keeps its scheme.
+    Domains lose www. and ports."""
+    from pyfads import web as W
+
+    docs = spark.createDataFrame(
+        [(i, "srcX") for i in range(5)], "doc_id long, source string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in W.url_canonicalize(W.with_synth_urls(docs)).collect()
+    }
+    # doc_ids 0..4 all have article id 0 (0 div 5 == 0)
+    assert rows[0]["canonical_url"] == "https://srcx.example.com/articles/0"
+    assert rows[1]["canonical_url"] == rows[0]["canonical_url"]
+    assert rows[2]["canonical_url"] == "https://srcx.example.com/articles/0?id=0"
+    assert rows[4]["canonical_url"] == rows[2]["canonical_url"]
+    assert rows[3]["canonical_url"] == "http://srcx.example.com/articles/0"
+    assert all(r["domain"] == "srcx.example.com" for r in rows.values())
+    assert "#" not in rows[3]["canonical_url"]
+    assert "fbclid" not in rows[4]["canonical_url"]
+
+
+def test_url_dedup_and_domain_policy(spark):
+    """Keeper is the min doc_id per canonical group; blocklisted domains
+    vanish; the per-domain cap keeps exactly the first `cap` ids."""
+    from pyfads import web as W
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(40)], "doc_id long, source string"
+    )
+    c = W.url_canonicalize(W.with_synth_urls(docs))
+    dd = {r["doc_id"]: r for r in W.url_dedup(c).collect()}
+    # docs 0 (case 0) and 1 (case 1) share source only when i%2 matches —
+    # ids 0 and 1 differ in source, so find a real group instead: ids 0
+    # and 10 are both case 0, source s0, article ids 0 and 2 -> distinct.
+    # Use the canonical grouping directly:
+    groups = {}
+    for r in W.url_dedup(c).collect():
+        groups.setdefault(r["canonical_url"], []).append(r)
+    for g in groups.values():
+        keep = [r["doc_id"] for r in g if r["is_keeper"]]
+        assert keep == [min(r["doc_id"] for r in g)]
+        assert all(r["n_copies"] == len(g) for r in g)
+
+    kept = W.domain_policy_filter(c, blocklist=["s1.example.com"], cap=5)
+    rows = kept.collect()
+    assert {r["domain"] for r in rows} == {"s0.example.com"}
+    assert sorted(r["doc_id"] for r in rows) == [0, 2, 4, 6, 8]
+    assert sorted(r["domain_rank"] for r in rows) == [1, 2, 3, 4, 5]

@@ -555,7 +555,11 @@ def fold_norms(m: np.ndarray) -> np.ndarray:
     """Row L2 norms via the per-dim left fold — bit-identical to Spark's
     ``_norm_fold`` / the oracle's fold-norm SQL for the same reason
     :func:`fold_dots` is: forced accumulation order, elementwise IEEE
-    ops, exact float32->float64 widening."""
+    ops, exact float32->float64 widening.  The widening must happen
+    BEFORE the square (code-review r10): a float32 input squared in
+    float32 rounds before the add, unlike ``x.cast('double') *
+    x.cast('double')``."""
+    m = np.ascontiguousarray(m, dtype=np.float64)
     acc = np.zeros(len(m), dtype=np.float64)
     for i in range(m.shape[1]):
         acc = acc + m[:, i] * m[:, i]
@@ -601,14 +605,16 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int, margin: "float | None" = Non
             return pd.Series(list(top))
         budget = np.float64(margin) * fold_norms(m)
         dp1 = sims[np.arange(len(m)), top[:, 0]]
-        out = []
-        for i in range(len(m)):
-            cells = [top[i, 0]]
-            for j in range(1, top.shape[1]):
-                if dp1[i] - sims[i, top[i, j]] < budget[i]:
-                    cells.append(top[i, j])
-            out.append(np.asarray(cells, dtype=np.int32))
-        return pd.Series(out)
+        # vectorized boundary mask (code-review r10): the comparison math
+        # runs in numpy; only the ragged output assembly is per-row
+        deficits = dp1[:, None] - np.take_along_axis(sims, top[:, 1:], axis=1)
+        keep = deficits < budget[:, None]
+        return pd.Series(
+            [
+                np.concatenate(([top[i, 0]], top[i, 1:][keep[i]])).astype(np.int32)
+                for i in range(len(m))
+            ]
+        )
 
     return assign
 
@@ -1215,19 +1221,29 @@ def semantic_refresh_store(
     partitioned append — the corpus is never rewritten."""
     cents, corpus = read_semantic_store(spark, path)
     meta = spark.read.parquet(path + "/meta").collect()[0]
-    cap = int(meta["max_cell"]) if "max_cell" in meta.__fields__ else SEM_MAX_CELL
+    if "max_cell" not in meta.__fields__ or "c_sub" not in corpus.columns:
+        # a pre-r10 store has an unpartitioned corpus without c_sub — a
+        # partitionBy("cell") append into it would leave conflicting
+        # directory structures (code-review r10); refuse loudly instead
+        # of corrupting the layout
+        raise ValueError(
+            "semantic_refresh_store: the store at "
+            f"{path!r} predates the cell-partitioned layout (no max_cell "
+            "meta / c_sub column) — rewrite it with write_semantic_store "
+            "before refreshing"
+        )
+    cap = int(meta["max_cell"])
     verd = semantic_dedup_incremental_served(
         batch, cents, corpus, dim, threshold, id_col, vec_col, max_cell=cap
     ).localCheckpoint()
-    admitted = drop_zero_norm(
-        batch.join(verd.filter("is_new").select(id_col), id_col, "left_semi"),
-        dim,
-        vec_col,
-    )
-    ad = _assign_cells(admitted, cents, id_col, vec_col).select(
+    # the checkpointed verdicts already hold every batch row's cell — join
+    # them back instead of re-running the assignment pass (code-review r10)
+    ad = drop_zero_norm(batch, dim, vec_col).join(
+        verd.filter("is_new").select(id_col, "cell"), id_col
+    ).select(
         F.col(id_col).alias("c_id"),
-        F.col("__v").alias("c_vec"),
-        _norm_fold("__v").alias("c_n"),
+        F.col(vec_col).alias("c_vec"),
+        _norm_fold(vec_col).alias("c_n"),
         "cell",
     )
     base = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("__base"))
@@ -1280,6 +1296,10 @@ def semantic_dedup_incremental_served(
     batch = drop_zero_norm(batch, dim, vec_col)
     bt = _assign_cells(batch, store_cents, id_col, vec_col)
     if prune_cells:
+        # pin the assigned batch first: the distinct-cells collect and the
+        # gate plan would otherwise each run the (Arrow-UDF at scale)
+        # assignment pass over the whole batch (code-review r10)
+        bt = bt.localCheckpoint()
         cells = [int(r["cell"]) for r in bt.select("cell").distinct().collect()]
         store_corpus = store_corpus.filter(F.col("cell").isin(cells))
     return _semantic_gate(bt, store_corpus, id_col, threshold, max_cell)
@@ -1426,8 +1446,11 @@ def semantic_dedup(
     # of O(B^2).  Lossy exactly like the MinHash cap: a pile's sub-cells
     # each keep one survivor instead of one overall (the twins replay the
     # identical id-ordered split, so the oracle still matches bit-for-bit).
+    # Only the single-assignment path joins on withp's key — the
+    # multi-probe path salts its probe frame instead, so salting withp
+    # there would add a full-corpus window shuffle for an unread column.
     key = "cell"
-    if max_cell is not None:
+    if max_cell is not None and n_assign <= 1:
         withp = _salt_cells(withp, id_col, max_cell)
         key = "__scell"
     a = withp.select(

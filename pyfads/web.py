@@ -25,7 +25,9 @@ Scale notes: everything keys on the canonical-URL/domain string; at
 segment-dedup precedent) and the domain window stays safe because the
 cap truncates inside each partition after one sort.  Registered-domain
 (eTLD+1) extraction needs a public-suffix list — out of scope; the
-domain here is the full www-stripped host.
+domain here is the full www-stripped, PORT-FREE host (bad.com:8443 hits
+the same blocklist entry and quota bucket as bad.com; the canonical URL
+keeps a non-default port, since that names a different resource).
 """
 
 from __future__ import annotations
@@ -102,16 +104,17 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     scheme = F.lower(F.split_part(u1, F.lit("://"), F.lit(1)))
     hostpath = F.split_part(u1, F.lit("://"), F.lit(2))
     hostport = F.split_part(hostpath, F.lit("/"), F.lit(1))
-    pathq = F.expr(
-        f"substring(split_part(split_part({url_col}, '#', 1), '://', 2),"
-        f" length(split_part(split_part(split_part({url_col}, '#', 1),"
-        f" '://', 2), '/', 1)) + 1)"
-    )
+    pathq = F.substr(hostpath, F.length(hostport) + F.lit(1))
     host = F.lower(hostport)
+    # strip only the SCHEME-DEFAULT port from the canonical host (an
+    # explicit non-default port names a different resource and stays)
     host = F.when(
         scheme == "https", F.regexp_replace(host, ":443$", "")
     ).otherwise(F.regexp_replace(host, ":80$", ""))
-    domain = F.regexp_replace(host, r"^www\.", "")
+    chost = F.regexp_replace(host, r"^www\.", "")
+    # the DOMAIN (policy key) is port-free: bad.com:8443 must hit the
+    # same blocklist entry and quota bucket as bad.com (code-review r10)
+    domain = F.regexp_replace(chost, ":[0-9]+$", "")
     path = F.regexp_replace(F.split_part(pathq, F.lit("?"), F.lit(1)), "/+$", "")
     q = F.when(
         pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))
@@ -123,7 +126,7 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     canonical = F.concat(
         scheme,
         F.lit("://"),
-        domain,
+        chost,
         path,
         F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
     )
@@ -202,7 +205,8 @@ def url_canonical_sql(url_expr: str = "url") -> "tuple[str, str]":
         f" THEN regexp_replace(lower({hostport}), ':443$', '')"
         f" ELSE regexp_replace(lower({hostport}), ':80$', '') END"
     )
-    domain = f"regexp_replace({host}, '^www\\.', '')"
+    chost = f"regexp_replace({host}, '^www\\.', '')"
+    domain = f"regexp_replace({chost}, ':[0-9]+$', '')"
     path = f"regexp_replace(split_part({pathq}, '?', 1), '/+$', '')"
     q = (
         f"CASE WHEN {pathq} LIKE '%?%'"
@@ -213,7 +217,7 @@ def url_canonical_sql(url_expr: str = "url") -> "tuple[str, str]":
         f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')), '&')"
     )
     canonical = (
-        f"{scheme} || '://' || {domain} || {path} ||"
+        f"{scheme} || '://' || {chost} || {path} ||"
         f" (CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END)"
     )
     return domain, canonical

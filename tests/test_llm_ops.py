@@ -2958,3 +2958,66 @@ def test_url_dedup_and_domain_policy(spark):
     assert {r["domain"] for r in rows} == {"s0.example.com"}
     assert sorted(r["doc_id"] for r in rows) == [0, 2, 4, 6, 8]
     assert sorted(r["domain_rank"] for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_url_domain_strips_nondefault_port(spark):
+    """code-review r10: the policy DOMAIN is port-free (bad.com:8443 hits
+    the same blocklist/quota bucket as bad.com) while the canonical URL
+    keeps a non-default port (it names a different resource)."""
+    from pyfads import web as W
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Bad.com:8443/x/"),
+            (2, "https://bad.com/x"),
+            (3, "http://www.ok.org:80/y?utm_source=a"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in W.url_canonicalize(df).collect()}
+    assert rows[1]["domain"] == "bad.com" == rows[2]["domain"]
+    assert rows[1]["canonical_url"] == "https://bad.com:8443/x"
+    assert rows[2]["canonical_url"] == "https://bad.com/x"
+    assert rows[3]["domain"] == "ok.org"
+    assert rows[3]["canonical_url"] == "http://ok.org/y"
+    kept = W.domain_policy_filter(
+        W.url_canonicalize(df), blocklist=["bad.com"], cap=10
+    ).collect()
+    assert {r["doc_id"] for r in kept} == {3}
+
+
+def test_fold_norms_widens_float32_before_square(spark):
+    """code-review r10: fold_norms must widen float32 input to float64
+    BEFORE squaring — squaring in float32 rounds before the add and
+    breaks margin-test parity with _norm_fold / the SQL twin."""
+    import numpy as np
+
+    v32 = np.array([[0.1, 0.2, 0.30000001]], dtype=np.float32)
+    got = S.fold_norms(v32)[0]
+    acc = 0.0
+    for x in v32[0]:
+        acc = acc + float(x) * float(x)  # python floats ARE float64
+    assert got == np.sqrt(acc)
+
+
+def test_semantic_refresh_refuses_legacy_store(spark, tmp_path):
+    """code-review r10: a pre-r10 store (meta without max_cell) must be
+    refused loudly — a partitionBy append into an unpartitioned corpus
+    corrupts the directory layout."""
+    import numpy as np
+
+    store = str(tmp_path / "legacy_store")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    S.write_semantic_store(spark, store, cents, corpus, 2)
+    # simulate the legacy meta (levels only, no max_cell)
+    spark.createDataFrame([(1,)], "levels int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store + "/meta")
+    batch = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="cell-partitioned layout"):
+        S.semantic_refresh_store(spark, store, batch, 2)

@@ -361,7 +361,14 @@ def test_streaming_semantic_refresh_matches_sequential(spark, tmp_path):
     from pyfads import similarity as S
 
     cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
-    seed_rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    # third cell-0 seed so the append's c_sub CONTINUATION is observable:
+    # cell 0 holds 2 seed rows (cap=2 -> sub 0 full), and the batch-1
+    # admission lands at position 3 -> sub 1 iff packing continued
+    seed_rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+    ]
     chunks = [
         # 10: scaled copy of 0 -> dup; 11 fresh; 12 near-copy of 11's cell
         # but orthogonal to everything standing -> admitted
@@ -414,9 +421,15 @@ def test_streaming_semantic_refresh_matches_sequential(spark, tmp_path):
         acc = acc.unionByName(admitted)
     want = {r["vec_id"] for r in acc.collect()}
     assert got == want
-    assert got == {0, 1, 11, 21}  # 10 and 20 gated out
-    # c_sub packing continued per cell: cap=2, cell 2 holds 11 then 21?
-    subs = {
-        (r["cell"], r["c_id"]): r["c_sub"] for r in corpus.collect()
+    assert got == {0, 1, 2, 11, 21}  # 10 and 20 gated out
+    # c_sub packing CONTINUES each cell's sequence across appends: 21
+    # ([1,1,1], dp ties -> lowest cell 0) is cell 0's THIRD row, so with
+    # cap=2 it opens sub 1; a reset-per-append bug would give it sub 0
+    subs = {(r["cell"], r["c_id"]): r["c_sub"] for r in corpus.collect()}
+    assert subs == {
+        (0, 0): 0,
+        (0, 2): 0,
+        (0, 21): 1,
+        (1, 1): 0,
+        (2, 11): 0,
     }
-    assert all(v in (0, 1) for v in subs.values())

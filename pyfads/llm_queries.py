@@ -3771,3 +3771,62 @@ def domain_policy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist=_URL_BLOCKLIST,
         cap=_URL_DOMAIN_CAP,
     )
+
+
+_URL_GATE_PRED = "doc_id % 10 = 7"
+_URLGATE_CHUNKS: dict[str, str] = {}
+
+_URL_GATE_SQL = f"""
+WITH {_URL_BASE_CTE},
+c AS (SELECT doc_id, {_W_CANON} AS canonical_url FROM u)
+SELECT doc_id, canonical_url FROM c
+WHERE {_URL_GATE_PRED}
+  AND canonical_url NOT IN
+      (SELECT canonical_url FROM c WHERE NOT ({_URL_GATE_PRED}))
+"""
+
+
+@query("url_gate_streamed", oracle=_URL_GATE_SQL)
+def url_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING URL ingest gate, driven end-to-end through a real
+    Structured Streaming query (chunked-parquet source,
+    maxFilesPerTrigger=1 -> two micro-batches, memory sink): synth-url +
+    canonicalization are stateless projections on the stream, then a
+    stream-static LEFT ANTI join drops every incoming doc whose canonical
+    url the standing corpus already has — the URL twin of
+    semantic_gate_streamed, with the same FULL value oracle (the batch
+    anti-join is stateless, so streamed survivors equal it exactly)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = W.url_canonicalize(W.with_synth_urls(docs))
+    pred = F.expr(_URL_GATE_PRED)
+    corpus = c.filter(~pred).select("canonical_url")
+    if sf_dir not in _URLGATE_CHUNKS:
+        d = _scratch_dir("pyfads_urlgate_")
+        batch = docs.filter(pred)
+        mid = batch.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        batch.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+            d + "/c0.parquet"
+        )
+        batch.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+            d + "/c1.parquet"
+        )
+        _URLGATE_CHUNKS[sf_dir] = d
+    src = (
+        spark.readStream.schema("doc_id bigint, source string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(_URLGATE_CHUNKS[sf_dir])
+    )
+    gated = W.url_gate_stream(W.url_canonicalize(W.with_synth_urls(src)), corpus)
+    name = "url_gate_streamed_sink"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # stateless gate: terminates
+    finally:
+        q.stop()
+    return spark.table(name)

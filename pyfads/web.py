@@ -175,6 +175,29 @@ def domain_policy_filter(
     )
 
 
+def url_gate_stream(
+    stream: DataFrame,
+    corpus_canonicals: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming URL ingest gate: drop every incoming doc whose CANONICAL
+    url already exists in the standing corpus — the URL-level twin of the
+    lexical/semantic ingest gates (stream-static LEFT ANTI join, stateless,
+    no watermark; Spark re-plans the static side per micro-batch).
+    ``stream`` must already carry ``canonical_url``
+    (:func:`url_canonicalize` is stateless, so apply it to the streaming
+    frame directly); ``corpus_canonicals`` is a static ``(canonical_url)``
+    frame — at scale, a parquet table maintained by appending admitted
+    survivors' canonicals per tick, exactly the refresh-store posture.
+    Survivors keep ``(id_col, canonical_url)``.  Within-batch canonical
+    duplicates are not gated against each other (the corpus is the
+    authority — run :func:`url_dedup` over survivors for that)."""
+    cp = corpus_canonicals.select("canonical_url").distinct()
+    return stream.select(id_col, "canonical_url").join(
+        cp, "canonical_url", "left_anti"
+    ).select(id_col, "canonical_url")
+
+
 def synth_url_sql(id_expr: str = "doc_id") -> str:
     """DuckDB twin of :func:`with_synth_urls` — emits the ``url`` select
     expression over (doc_id, source)."""

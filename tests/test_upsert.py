@@ -433,3 +433,34 @@ def test_streaming_semantic_refresh_matches_sequential(spark, tmp_path):
         (1, 1): 0,
         (2, 11): 0,
     }
+
+
+def test_semantic_refresh_two_level_store(spark, tmp_path):
+    """The refresh loop also serves TWO-LEVEL stores: the tuple codebook
+    round-trips, the gate assigns hierarchically, and admissions append
+    with their fine-cell ids."""
+    import numpy as np
+
+    from pyfads import similarity as S
+
+    store = str(tmp_path / "tl_refresh_store")
+    seed = spark.createDataFrame(
+        [(i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2), float(i % 4 == 3)]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = S.train_two_level_centroids(seed, 4, n_coarse=2, n_fine=2, seed=7)
+    S.write_semantic_store(spark, store, cb, seed, 4, max_cell=3)
+    batch = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]), (101, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    verd = {
+        r["vec_id"]: r["is_new"]
+        for r in S.semantic_refresh_store(spark, store, batch, 4, threshold=0.9).collect()
+    }
+    assert verd[100] is False  # scaled copy of an axis vector -> gated
+    assert verd[101] is True  # diagonal, cos 0.5 to axes -> admitted
+    cb2, corpus = S.read_semantic_store(spark, store)
+    assert isinstance(cb2, tuple)
+    ids = {r["c_id"] for r in corpus.collect()}
+    assert 101 in ids and 100 not in ids and len(ids) == 17

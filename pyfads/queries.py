@@ -156,12 +156,17 @@ def _register_tpch() -> None:
     from pyfads import tpch_queries  # noqa: F401
 
 
+def _register_packing() -> None:
+    from pyfads import packing_queries  # noqa: F401
+
+
 for _reg in (
     _register_primitives,
     _register_llm_ops,
     _register_windows,
     _register_analytics,
     _register_tpch,
+    _register_packing,
 ):
     try:
         _reg()

@@ -1,0 +1,107 @@
+"""Semantics tests for the training-batch construction family
+(pyfads.packing) — planted edge cases the fixture corpus cannot
+guarantee: oversize docs, exact-fit boundaries, shuffle reproducibility,
+split leakage.  Oracle parity at sf0.001 is covered by
+tests/test_queries_vs_duckdb.py like every other entry."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyfads import packing as P
+
+
+def _docs(spark, lens, ids=None):
+    ids = ids or [i * 8 for i in range(len(lens))]  # one shard (shard 0 of 8)
+    rows = [(i, " ".join(["w"] * n)) for i, n in zip(ids, lens)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_nextfit_greedy_recurrence(spark):
+    # 200 | 100+56 | 300 (oversize, own bin) | 1
+    df = _docs(spark, [200, 100, 56, 300, 1])
+    out = (
+        P.pack_nextfit(df, capacity=256, n_shards=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.bin_id, r.fill_after) for r in out] == [
+        (0, 200),
+        (1, 100),
+        (1, 156),
+        (2, 300),
+        (3, 1),
+    ]
+
+
+def test_nextfit_exact_fit_stays_open(spark):
+    # fill + n == capacity must NOT close the bin
+    df = _docs(spark, [128, 128, 1])
+    out = P.pack_nextfit(df, 256, 8).orderBy("doc_id").collect()
+    assert [(r.bin_id, r.fill_after) for r in out] == [(0, 128), (0, 256), (1, 1)]
+
+
+def test_nextfit_oversize_first_row(spark):
+    # an oversize FIRST doc occupies bin 0 alone
+    df = _docs(spark, [500, 10])
+    out = P.pack_nextfit(df, 256, 8).orderBy("doc_id").collect()
+    assert [(r.bin_id, r.fill_after) for r in out] == [(0, 500), (1, 10)]
+
+
+def test_concat_chunks_boundary_spans(spark):
+    df = _docs(spark, [200, 100, 56])
+    out = P.pack_concat_chunks(df, 256, 8).orderBy("doc_id").collect()
+    # stream: [0,200) [200,300) [300,356) with cuts at 256
+    assert [(r.first_chunk, r.last_chunk, r.n_chunks) for r in out] == [
+        (0, 0, 1),
+        (0, 1, 2),  # straddles the 256 cut
+        (1, 1, 1),
+    ]
+
+
+def test_bin_stats_consistency(spark):
+    df = _docs(spark, [200, 100, 56, 300, 1])
+    packed = P.pack_nextfit(df, 256, 8)
+    stats = P.pack_bin_stats(packed, 256).collect()
+    assert sum(r.fill_tokens for r in stats) == 657
+    for r in stats:
+        assert r.util_bp == r.fill_tokens * 10000 // 256
+
+
+def test_null_text_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (8, None)], "doc_id bigint, text string"
+    )
+    assert P.token_shards(df, 8).count() == 1
+
+
+def test_global_shuffle_is_permutation_and_reproducible(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = P.global_shuffle(df, "seedA", 4).toPandas().sort_values("doc_id")
+    b = P.global_shuffle(df, "seedA", 4).toPandas().sort_values("doc_id")
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+    # within each shard, positions are exactly 1..n
+    for _, g in a.groupby("shuffle_shard"):
+        assert sorted(g["shuffle_pos"]) == list(range(1, len(g) + 1))
+    # a different seed is a different permutation
+    c = P.global_shuffle(df, "seedB", 4).toPandas().sort_values("doc_id")
+    assert not (
+        a["shuffle_shard"].to_numpy() == c["shuffle_shard"].to_numpy()
+    ).all() or not (a["shuffle_pos"].to_numpy() == c["shuffle_pos"].to_numpy()).all()
+
+
+def test_split_by_group_is_group_disjoint(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(100)], "doc_id bigint, grp string"
+    )
+    out = P.split_by_group(df, "grp")
+    leaky = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaky == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}

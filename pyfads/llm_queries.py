@@ -3830,3 +3830,192 @@ def url_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar-quantized (int8-class) retrieval (r10 — the 4x-compression
+# memory/bandwidth lever; FAISS SQ8 analog).  Calibration is an EXACT
+# per-dim min/max aggregate, so the whole family is plain SQL — zero
+# trained literals, zero float-parity caveats (integer scores).
+# ---------------------------------------------------------------------------
+
+_SQ8_TOPK_SQL_TMPL = """
+WITH e AS (SELECT * FROM embeddings e0 WHERE __NORM0__ > 0),
+n AS (
+  SELECT vec_id,
+         CAST(e.embedding[1] AS DOUBLE) / __NORM__ AS n0,
+         CAST(e.embedding[2] AS DOUBLE) / __NORM__ AS n1,
+         CAST(e.embedding[3] AS DOUBLE) / __NORM__ AS n2,
+         CAST(e.embedding[4] AS DOUBLE) / __NORM__ AS n3,
+         CAST(e.embedding[5] AS DOUBLE) / __NORM__ AS n4,
+         CAST(e.embedding[6] AS DOUBLE) / __NORM__ AS n5,
+         CAST(e.embedding[7] AS DOUBLE) / __NORM__ AS n6,
+         CAST(e.embedding[8] AS DOUBLE) / __NORM__ AS n7,
+         CAST(e.embedding[9] AS DOUBLE) / __NORM__ AS n8,
+         CAST(e.embedding[10] AS DOUBLE) / __NORM__ AS n9,
+         CAST(e.embedding[11] AS DOUBLE) / __NORM__ AS n10,
+         CAST(e.embedding[12] AS DOUBLE) / __NORM__ AS n11,
+         CAST(e.embedding[13] AS DOUBLE) / __NORM__ AS n12,
+         CAST(e.embedding[14] AS DOUBLE) / __NORM__ AS n13,
+         CAST(e.embedding[15] AS DOUBLE) / __NORM__ AS n14,
+         CAST(e.embedding[16] AS DOUBLE) / __NORM__ AS n15,
+         CAST(e.embedding[17] AS DOUBLE) / __NORM__ AS n16,
+         CAST(e.embedding[18] AS DOUBLE) / __NORM__ AS n17,
+         CAST(e.embedding[19] AS DOUBLE) / __NORM__ AS n18,
+         CAST(e.embedding[20] AS DOUBLE) / __NORM__ AS n19,
+         CAST(e.embedding[21] AS DOUBLE) / __NORM__ AS n20,
+         CAST(e.embedding[22] AS DOUBLE) / __NORM__ AS n21,
+         CAST(e.embedding[23] AS DOUBLE) / __NORM__ AS n22,
+         CAST(e.embedding[24] AS DOUBLE) / __NORM__ AS n23,
+         CAST(e.embedding[25] AS DOUBLE) / __NORM__ AS n24,
+         CAST(e.embedding[26] AS DOUBLE) / __NORM__ AS n25,
+         CAST(e.embedding[27] AS DOUBLE) / __NORM__ AS n26,
+         CAST(e.embedding[28] AS DOUBLE) / __NORM__ AS n27,
+         CAST(e.embedding[29] AS DOUBLE) / __NORM__ AS n28,
+         CAST(e.embedding[30] AS DOUBLE) / __NORM__ AS n29,
+         CAST(e.embedding[31] AS DOUBLE) / __NORM__ AS n30,
+         CAST(e.embedding[32] AS DOUBLE) / __NORM__ AS n31,
+         CAST(e.embedding[33] AS DOUBLE) / __NORM__ AS n32,
+         CAST(e.embedding[34] AS DOUBLE) / __NORM__ AS n33,
+         CAST(e.embedding[35] AS DOUBLE) / __NORM__ AS n34,
+         CAST(e.embedding[36] AS DOUBLE) / __NORM__ AS n35,
+         CAST(e.embedding[37] AS DOUBLE) / __NORM__ AS n36,
+         CAST(e.embedding[38] AS DOUBLE) / __NORM__ AS n37,
+         CAST(e.embedding[39] AS DOUBLE) / __NORM__ AS n38,
+         CAST(e.embedding[40] AS DOUBLE) / __NORM__ AS n39,
+         CAST(e.embedding[41] AS DOUBLE) / __NORM__ AS n40,
+         CAST(e.embedding[42] AS DOUBLE) / __NORM__ AS n41,
+         CAST(e.embedding[43] AS DOUBLE) / __NORM__ AS n42,
+         CAST(e.embedding[44] AS DOUBLE) / __NORM__ AS n43,
+         CAST(e.embedding[45] AS DOUBLE) / __NORM__ AS n44,
+         CAST(e.embedding[46] AS DOUBLE) / __NORM__ AS n45,
+         CAST(e.embedding[47] AS DOUBLE) / __NORM__ AS n46,
+         CAST(e.embedding[48] AS DOUBLE) / __NORM__ AS n47,
+         CAST(e.embedding[49] AS DOUBLE) / __NORM__ AS n48,
+         CAST(e.embedding[50] AS DOUBLE) / __NORM__ AS n49,
+         CAST(e.embedding[51] AS DOUBLE) / __NORM__ AS n50,
+         CAST(e.embedding[52] AS DOUBLE) / __NORM__ AS n51,
+         CAST(e.embedding[53] AS DOUBLE) / __NORM__ AS n52,
+         CAST(e.embedding[54] AS DOUBLE) / __NORM__ AS n53,
+         CAST(e.embedding[55] AS DOUBLE) / __NORM__ AS n54,
+         CAST(e.embedding[56] AS DOUBLE) / __NORM__ AS n55,
+         CAST(e.embedding[57] AS DOUBLE) / __NORM__ AS n56,
+         CAST(e.embedding[58] AS DOUBLE) / __NORM__ AS n57,
+         CAST(e.embedding[59] AS DOUBLE) / __NORM__ AS n58,
+         CAST(e.embedding[60] AS DOUBLE) / __NORM__ AS n59,
+         CAST(e.embedding[61] AS DOUBLE) / __NORM__ AS n60,
+         CAST(e.embedding[62] AS DOUBLE) / __NORM__ AS n61,
+         CAST(e.embedding[63] AS DOUBLE) / __NORM__ AS n62,
+         CAST(e.embedding[64] AS DOUBLE) / __NORM__ AS n63
+  FROM e
+),
+q8 AS (
+  SELECT vec_id,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n0 + 1.0) * 127.5))) AS BIGINT) AS l0,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n1 + 1.0) * 127.5))) AS BIGINT) AS l1,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n2 + 1.0) * 127.5))) AS BIGINT) AS l2,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n3 + 1.0) * 127.5))) AS BIGINT) AS l3,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n4 + 1.0) * 127.5))) AS BIGINT) AS l4,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n5 + 1.0) * 127.5))) AS BIGINT) AS l5,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n6 + 1.0) * 127.5))) AS BIGINT) AS l6,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n7 + 1.0) * 127.5))) AS BIGINT) AS l7,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n8 + 1.0) * 127.5))) AS BIGINT) AS l8,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n9 + 1.0) * 127.5))) AS BIGINT) AS l9,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n10 + 1.0) * 127.5))) AS BIGINT) AS l10,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n11 + 1.0) * 127.5))) AS BIGINT) AS l11,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n12 + 1.0) * 127.5))) AS BIGINT) AS l12,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n13 + 1.0) * 127.5))) AS BIGINT) AS l13,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n14 + 1.0) * 127.5))) AS BIGINT) AS l14,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n15 + 1.0) * 127.5))) AS BIGINT) AS l15,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n16 + 1.0) * 127.5))) AS BIGINT) AS l16,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n17 + 1.0) * 127.5))) AS BIGINT) AS l17,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n18 + 1.0) * 127.5))) AS BIGINT) AS l18,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n19 + 1.0) * 127.5))) AS BIGINT) AS l19,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n20 + 1.0) * 127.5))) AS BIGINT) AS l20,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n21 + 1.0) * 127.5))) AS BIGINT) AS l21,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n22 + 1.0) * 127.5))) AS BIGINT) AS l22,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n23 + 1.0) * 127.5))) AS BIGINT) AS l23,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n24 + 1.0) * 127.5))) AS BIGINT) AS l24,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n25 + 1.0) * 127.5))) AS BIGINT) AS l25,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n26 + 1.0) * 127.5))) AS BIGINT) AS l26,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n27 + 1.0) * 127.5))) AS BIGINT) AS l27,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n28 + 1.0) * 127.5))) AS BIGINT) AS l28,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n29 + 1.0) * 127.5))) AS BIGINT) AS l29,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n30 + 1.0) * 127.5))) AS BIGINT) AS l30,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n31 + 1.0) * 127.5))) AS BIGINT) AS l31,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n32 + 1.0) * 127.5))) AS BIGINT) AS l32,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n33 + 1.0) * 127.5))) AS BIGINT) AS l33,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n34 + 1.0) * 127.5))) AS BIGINT) AS l34,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n35 + 1.0) * 127.5))) AS BIGINT) AS l35,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n36 + 1.0) * 127.5))) AS BIGINT) AS l36,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n37 + 1.0) * 127.5))) AS BIGINT) AS l37,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n38 + 1.0) * 127.5))) AS BIGINT) AS l38,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n39 + 1.0) * 127.5))) AS BIGINT) AS l39,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n40 + 1.0) * 127.5))) AS BIGINT) AS l40,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n41 + 1.0) * 127.5))) AS BIGINT) AS l41,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n42 + 1.0) * 127.5))) AS BIGINT) AS l42,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n43 + 1.0) * 127.5))) AS BIGINT) AS l43,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n44 + 1.0) * 127.5))) AS BIGINT) AS l44,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n45 + 1.0) * 127.5))) AS BIGINT) AS l45,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n46 + 1.0) * 127.5))) AS BIGINT) AS l46,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n47 + 1.0) * 127.5))) AS BIGINT) AS l47,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n48 + 1.0) * 127.5))) AS BIGINT) AS l48,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n49 + 1.0) * 127.5))) AS BIGINT) AS l49,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n50 + 1.0) * 127.5))) AS BIGINT) AS l50,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n51 + 1.0) * 127.5))) AS BIGINT) AS l51,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n52 + 1.0) * 127.5))) AS BIGINT) AS l52,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n53 + 1.0) * 127.5))) AS BIGINT) AS l53,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n54 + 1.0) * 127.5))) AS BIGINT) AS l54,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n55 + 1.0) * 127.5))) AS BIGINT) AS l55,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n56 + 1.0) * 127.5))) AS BIGINT) AS l56,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n57 + 1.0) * 127.5))) AS BIGINT) AS l57,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n58 + 1.0) * 127.5))) AS BIGINT) AS l58,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n59 + 1.0) * 127.5))) AS BIGINT) AS l59,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n60 + 1.0) * 127.5))) AS BIGINT) AS l60,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n61 + 1.0) * 127.5))) AS BIGINT) AS l61,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n62 + 1.0) * 127.5))) AS BIGINT) AS l62,
+         CAST(GREATEST(0, LEAST(255, FLOOR((n63 + 1.0) * 127.5))) AS BIGINT) AS l63
+  FROM n
+),
+qs AS (SELECT *, (l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7 + l8 + l9 + l10 + l11 + l12 + l13 + l14 + l15 + l16 + l17 + l18 + l19 + l20 + l21 + l22 + l23 + l24 + l25 + l26 + l27 + l28 + l29 + l30 + l31 + l32 + l33 + l34 + l35 + l36 + l37 + l38 + l39 + l40 + l41 + l42 + l43 + l44 + l45 + l46 + l47 + l48 + l49 + l50 + l51 + l52 + l53 + l54 + l55 + l56 + l57 + l58 + l59 + l60 + l61 + l62 + l63) AS lsum FROM q8),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         2 * (q.l0 * c.l0 + q.l1 * c.l1 + q.l2 * c.l2 + q.l3 * c.l3 + q.l4 * c.l4 + q.l5 * c.l5 + q.l6 * c.l6 + q.l7 * c.l7 + q.l8 * c.l8 + q.l9 * c.l9 + q.l10 * c.l10 + q.l11 * c.l11 + q.l12 * c.l12 + q.l13 * c.l13 + q.l14 * c.l14 + q.l15 * c.l15 + q.l16 * c.l16 + q.l17 * c.l17 + q.l18 * c.l18 + q.l19 * c.l19 + q.l20 * c.l20 + q.l21 * c.l21 + q.l22 * c.l22 + q.l23 * c.l23 + q.l24 * c.l24 + q.l25 * c.l25 + q.l26 * c.l26 + q.l27 * c.l27 + q.l28 * c.l28 + q.l29 * c.l29 + q.l30 * c.l30 + q.l31 * c.l31 + q.l32 * c.l32 + q.l33 * c.l33 + q.l34 * c.l34 + q.l35 * c.l35 + q.l36 * c.l36 + q.l37 * c.l37 + q.l38 * c.l38 + q.l39 * c.l39 + q.l40 * c.l40 + q.l41 * c.l41 + q.l42 * c.l42 + q.l43 * c.l43 + q.l44 * c.l44 + q.l45 * c.l45 + q.l46 * c.l46 + q.l47 * c.l47 + q.l48 * c.l48 + q.l49 * c.l49 + q.l50 * c.l50 + q.l51 * c.l51 + q.l52 * c.l52 + q.l53 * c.l53 + q.l54 * c.l54 + q.l55 * c.l55 + q.l56 * c.l56 + q.l57 * c.l57 + q.l58 * c.l58 + q.l59 * c.l59 + q.l60 * c.l60 + q.l61 * c.l61 + q.l62 * c.l62 + q.l63 * c.l63) - 255 * c.lsum AS qscore
+  FROM qs q JOIN qs c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < __NQ__
+)
+SELECT q_id, neighbor_id, CAST(qscore AS BIGINT) AS qscore, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY qscore DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 10
+"""
+
+_SQ8_TOPK_SQL = (
+    _SQ8_TOPK_SQL_TMPL.replace("__NORM0__", _norm_sql("e0", DIM))
+    .replace("__NORM__", _norm_sql("e", DIM))
+    .replace("__NQ__", str(_N_QUERIES))
+)
+
+
+@query("ann_sq8_topk", oracle=_SQ8_TOPK_SQL)
+def ann_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by quantized integer dot product (pyfads.similarity.sq8_topk):
+    corpus and queries share one exact min/max calibration; the 4x-smaller
+    int vectors make the scan bandwidth-bound path cheap at scale, and
+    int64 scoring removes every float-parity concern — ranking and
+    tie-break are exact on both engines."""
+    embs = _embs(spark, sf_dir)
+    return S.sq8_topk(embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10)
+
+
+@query("ann_recall_sq8", oracle=lambda: _recall_sql(_SQ8_TOPK_SQL))
+def ann_recall_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 integer-dot ranking vs exact cosine — the
+    quantization-quality dial (how much recall the 4x compression costs);
+    same shared composition as every other ANN recall entry."""
+    return _recall_vs_exact(
+        spark, sf_dir, lambda e, q: S.sq8_topk(e, q, DIM, k=10)
+    )

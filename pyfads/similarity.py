@@ -68,6 +68,9 @@ __all__ = [
     "kcenter_select",
     "embedding_near_dup_pairs",
     "embedding_norms",
+    "sq8_normalize",
+    "sq8_quantize",
+    "sq8_topk",
 ]
 
 # Above this dimension the explicit term chain stops being the right plan:
@@ -2236,3 +2239,110 @@ def _py_fold_norm(v: "list[float]") -> float:
     for x in v:
         acc = acc + float(x) * float(x)
     return math.sqrt(acc)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): int8-class compression for embedding columns
+# ---------------------------------------------------------------------------
+
+
+def sq8_normalize(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize vectors into ``nvec`` (``array<double>``), dropping
+    zero norms.  SQ8 for the COSINE metric quantizes the normalized
+    vector (the FAISS convention) — quantizing raw coordinates ranks by
+    unnormalized dot product, a poor cosine surrogate when row norms
+    vary (measured recall@10 of 0-20% on the fixtures vs 90-100%
+    normalized).  Division happens in double with the same associativity
+    as the SQL twin, so the normalized coordinates and every downstream
+    level are bit-identical cross-engine.  One ``transform`` expression,
+    not per-element chains (see :func:`sq8_quantize` on why)."""
+    nrm = norm_expr(vec_col, dim)
+    return drop_zero_norm(embeddings, dim, vec_col).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("nvec"),
+    )
+
+
+def sq8_quantize(
+    normalized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """Quantize unit vectors to 8-bit levels with the SYMMETRIC [-1, 1]
+    calibration: ``q = clamp(floor((x + 1) * 127.5), 0, 255)``.  Unit
+    vectors guarantee every coordinate lies in [-1, 1], so the codebook
+    is data-INDEPENDENT — no calibration aggregate, no trained state to
+    version or serve; quantization is a pure map (the cheapest possible
+    100 TB shape), and 4x smaller vectors cut the scan bandwidth.
+
+    Emits ``qvec`` (levels) and ``qsum`` (level sum — the per-row term
+    the integer ranking score needs, see :func:`sq8_topk`).  The level
+    map is ONE indexed ``transform`` — a single higher-order expression,
+    not ``dim`` per-element chains (the chain form re-substitutes the
+    full normalization tree into each element after Catalyst project
+    collapse: an O(dim^2)-node plan that OOM'd codegen at 64 dims)."""
+    level = lambda x: F.greatest(  # noqa: E731
+        F.lit(0).cast("long"),
+        F.least(F.lit(255).cast("long"), F.floor((x + F.lit(1.0)) * F.lit(127.5))),
+    )
+    qvec = F.transform(F.col(vec_col), level)
+    return normalized.select(F.col(id_col), qvec.alias("qvec")).withColumn(
+        "qsum",
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k on the scalar-quantized cosine: normalize, then
+    symmetric-SQ8 quantize (:func:`sq8_quantize`), then rank by the
+    integer score ``qscore = 2 * sum(qx_i * qy_i) - 255 * sum(qy_i)``.
+
+    Why that score: with dequantization x_hat = -1 + qx * (2/255), the
+    reconstructed dot is ``dim - s*(sum qx + sum qy) + s^2 * QQ``
+    (s = 2/255); for a FIXED query the ranking-relevant part is
+    ``s^2*QQ - s*sum(qy)``, and multiplying by 255/s gives the all-int64
+    ``2*QQ - 255*sum(qy)`` — the exact dequantized-dot order with zero
+    float arithmetic in scoring, so ranking and tie-break (neighbor id)
+    are bit-exact cross-engine by construction.  Measured recall@10 vs
+    exact cosine: 90-100% on the fixtures (the ``ann_recall_sq8`` entry
+    tracks it).
+
+    Same plan shape as :func:`cosine_topk`: bounded query side
+    broadcast, one candidate scan, WindowGroupLimit top-k."""
+    cq = sq8_quantize(sq8_normalize(embeddings, dim, id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("qsum").alias("c_sum"),
+    )
+    qq = F.broadcast(
+        sq8_quantize(sq8_normalize(queries, dim, id_col, vec_col)).select(
+            F.col(id_col).alias("q_id"), F.col("qvec").alias("q_q")
+        )
+    )
+    pairs = qq.join(cq, F.col("q_id") != F.col("neighbor_id"))
+    # integer sums — associativity-free, so the fold (one higher-order
+    # expression) equals the SQL twin's explicit 64-term chain exactly
+    qq_dot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qscore"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("qscore", (F.lit(2) * qq_dot - F.lit(255) * F.col("c_sum")).cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "qscore", "rank")
+    )

@@ -26,6 +26,8 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_stream",
     "segment_dedup_scrub",
+    "domain_boilerplate_scrub",
+    "intradoc_segment_dedup",
     "shingles",
     "shingle_sets",
     "minhash_signature",
@@ -1433,3 +1435,125 @@ def broadcast_eval_hashes(spark, eval_df: DataFrame, L: int = 40, text_col: str 
         .collect()
     )
     return spark.sparkContext.broadcast((L, frozenset(r["h"] for r in rows)))
+
+
+def _word_segments(
+    df: DataFrame,
+    words_per_segment: int,
+    text_col: str,
+    id_col: str,
+    extra_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Shared fixed-width word segmentation (the segment_dedup_scrub
+    contract): ``(id, *extra, blk, seg)`` with the null-text guard."""
+    d = df.filter(F.col(text_col).isNotNull())
+    words = F.split(F.col(text_col), " ")
+    w = words_per_segment
+    nseg = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda b: F.concat_ws(" ", F.slice(words, b * w + 1, w)),
+    )
+    return d.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.posexplode(segs).alias("blk", "seg"),
+    )
+
+
+def _reassemble(marked: DataFrame, id_col: str, keep: "F.Column",
+                drop_alias: str, group_extra: "tuple[str, ...]" = ()) -> DataFrame:
+    """Shared ordered reassembly: keep segments where ``keep`` holds,
+    count drops, rebuild the doc in block order (the segment_dedup_scrub
+    collect_list/array_sort shape — no per-doc window)."""
+    return marked.groupBy(id_col, *group_extra).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(drop_alias),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("blk", "seg")))
+                ),
+                lambda t: t["seg"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+
+
+def domain_boilerplate_scrub(
+    df: DataFrame,
+    words_per_segment: int = 8,
+    min_docs: int = 2,
+    frac_ppm: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-DOMAIN boilerplate removal (the RefinedWeb/trafilatura cleanup
+    the global keep-first dedup is not): a segment that recurs across at
+    least ``min_docs`` distinct documents of one domain AND at least
+    ``frac_ppm`` ppm of that domain's documents is that domain's template
+    chrome (nav bars, footers, cookie banners) — it is scrubbed from
+    EVERY document of the domain, first occurrence included (keep-first
+    would enshrine one copy of the banner as content).
+
+    Differs from :func:`segment_dedup_scrub` on both axes: the frequency
+    key is (domain, segment) not (segment), and the verdict deletes all
+    occurrences instead of keeping one.  Output: ``(doc_id, domain,
+    n_segments, n_boiler_dropped, scrubbed_text)``.
+
+    Scale shape: segment frequencies are a map-side-combinable
+    ``groupBy(domain, segment)``; the per-domain doc counts are a tiny
+    dimension; the boilerplate list (only segments clearing the
+    threshold) is small by construction, so the mark-join back onto the
+    segment stream broadcasts.  At 100 TB key segments by a 128-bit hash
+    (the segment_dedup_scrub note) and the shuffle carries hashes only."""
+    d = df.filter(F.col(text_col).isNotNull())
+    seg = _word_segments(d, words_per_segment, text_col, id_col, (domain_col,))
+    domain_docs = d.groupBy(domain_col).agg(
+        F.countDistinct(id_col).alias("__n_domain_docs")
+    )
+    seg_docs = seg.groupBy(domain_col, "seg").agg(
+        F.countDistinct(id_col).alias("__n_seg_docs")
+    )
+    boiler = (
+        seg_docs.join(domain_docs, domain_col)
+        .filter(
+            (F.col("__n_seg_docs") >= min_docs)
+            & (F.col("__n_seg_docs") * 1_000_000 >= F.lit(frac_ppm) * F.col("__n_domain_docs"))
+        )
+        .select(domain_col, "seg", F.lit(True).alias("__is_boiler"))
+    )
+    marked = seg.join(F.broadcast(boiler), [domain_col, "seg"], "left")
+    return _reassemble(
+        marked,
+        id_col,
+        F.col("__is_boiler").isNull(),
+        "n_boiler_dropped",
+        (domain_col,),
+    )
+
+
+def intradoc_segment_dedup(
+    df: DataFrame,
+    words_per_segment: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: the first occurrence of
+    each distinct segment inside a doc survives, later repeats are
+    dropped — the scrub companion to the Gopher repetition FLAGS (which
+    only score; this rewrites).  Complements :func:`segment_dedup_scrub`
+    (cross-corpus) at the finest granularity: a doc that loops its own
+    paragraph is cleaned even when no other doc shares it.
+
+    Entirely doc-local: one map-side-combinable ``groupBy(doc, segment)
+    .agg(min(blk))`` and a doc-bounded re-join — no corpus-wide key ever
+    shuffles, so skew is impossible by construction.  Output: ``(doc_id,
+    n_segments, n_repeats_dropped, scrubbed_text)``."""
+    seg = _word_segments(df, words_per_segment, text_col, id_col)
+    first = seg.groupBy(id_col, "seg").agg(F.min("blk").alias("__first_blk"))
+    marked = seg.join(first, [id_col, "seg"]).withColumn(
+        "__keep", F.col("blk") == F.col("__first_blk")
+    )
+    return _reassemble(marked, id_col, F.col("__keep"), "n_repeats_dropped")

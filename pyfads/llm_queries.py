@@ -4019,3 +4019,97 @@ def ann_recall_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(
         spark, sf_dir, lambda e, q: S.sq8_topk(e, q, DIM, k=10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fine-grained cleaning (r10): per-DOMAIN boilerplate scrub + WITHIN-doc
+# repeated-segment dedup — the two granularities the global keep-first
+# segment dedup does not cover (domain template chrome should lose ALL
+# copies; a doc that loops its own paragraph has no cross-doc twin).
+# ---------------------------------------------------------------------------
+
+_BOILER_W = 8  # shorter segments than the global scrub: chrome is short
+_BOILER_MIN_DOCS = 2
+_BOILER_PPM = 60_000  # >= 6% of the domain's docs (fires at fixture density)
+
+
+def _seg_cte(w: int, cols: str = "doc_id") -> str:
+    return f"""
+segs AS (
+  SELECT {cols}, CAST(u.blk AS INT) AS blk,
+         array_to_string(ws[u.blk * {w} + 1 : u.blk * {w} + {w}], ' ') AS seg
+  FROM words,
+       unnest(generate_series(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT) - 1)) AS u(blk)
+)"""
+
+
+_DOMAIN_BOILER_SQL = f"""
+WITH d AS (SELECT doc_id, source || '.example.com' AS domain, text
+           FROM documents WHERE text IS NOT NULL),
+words AS (SELECT doc_id, domain, string_split(text, ' ') AS ws FROM d),
+{_seg_cte(_BOILER_W, "doc_id, domain")},
+dd AS (SELECT domain, count(DISTINCT doc_id) AS nd FROM d GROUP BY domain),
+sd AS (SELECT domain, seg, count(DISTINCT doc_id) AS ns FROM segs GROUP BY domain, seg),
+boiler AS (
+  SELECT sd.domain, sd.seg FROM sd JOIN dd USING (domain)
+  WHERE ns >= {_BOILER_MIN_DOCS} AND ns * 1000000 >= {_BOILER_PPM} * nd
+),
+marked AS (
+  SELECT s.doc_id, s.domain, s.blk, s.seg, (b.seg IS NOT NULL) AS isb
+  FROM segs s LEFT JOIN boiler b ON s.domain = b.domain AND s.seg = b.seg
+)
+SELECT doc_id, domain,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_dropped,
+       COALESCE(string_agg(CASE WHEN NOT isb THEN seg END, ' ' ORDER BY blk), '')
+           AS scrubbed_text
+FROM marked GROUP BY doc_id, domain
+"""
+
+
+@query("boilerplate_scrub_domain", oracle=_DOMAIN_BOILER_SQL)
+def boilerplate_scrub_domain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate scrub (pyfads.dedup.domain_boilerplate_scrub):
+    segments recurring in >= 2 docs AND >= 6% of one domain's docs are
+    that domain's template chrome and are removed from EVERY doc (unlike
+    keep-first dedup).  The domain is the synth-URL contract's host
+    (source maps 1:1 to src{i}.example.com)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain", F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    return D.domain_boilerplate_scrub(
+        docs,
+        words_per_segment=_BOILER_W,
+        min_docs=_BOILER_MIN_DOCS,
+        frac_ppm=_BOILER_PPM,
+    )
+
+
+_INTRA_W = 2
+
+_INTRADOC_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL),
+{_seg_cte(_INTRA_W)},
+first AS (SELECT doc_id, seg, min(blk) AS fb FROM segs GROUP BY doc_id, seg),
+marked AS (
+  SELECT s.doc_id, s.blk, s.seg, s.blk = f.fb AS keep
+  FROM segs s JOIN first f ON s.doc_id = f.doc_id AND s.seg = f.seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_repeats_dropped,
+       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY blk), '')
+           AS scrubbed_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("dedup_intradoc", oracle=_INTRADOC_SQL)
+def dedup_intradoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment dedup
+    (pyfads.dedup.intradoc_segment_dedup): first occurrence of each
+    distinct segment inside a doc survives; doc-local keys only, so the
+    shuffle cannot skew.  The scrub companion to the Gopher repetition
+    flags."""
+    return D.intradoc_segment_dedup(_docs(spark, sf_dir), words_per_segment=_INTRA_W)

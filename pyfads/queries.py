@@ -136,6 +136,34 @@ def fads_hotkey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kanon_audit_sql() -> str:
+    rel = _golden.fads_generalize_events_oracle()
+    return f"""
+WITH rel AS ({rel})
+SELECT user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_pids,
+       count(DISTINCT event_id) < 10 AS violates_k
+FROM rel
+GROUP BY user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi
+"""
+
+
+@query("kanon_audit_events", oracle=_kanon_audit_sql)
+def kanon_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent k-anonymity audit of the flagship's published table
+    (pyfads.primitives.kanon_audit): per generalized box, row count,
+    distinct-PID count, and a violates-k verdict — the check a privacy
+    team runs over the RELEASED data, composed directly on the
+    fads_generalize_events output and oracled against the same golden."""
+    from pyfads.primitives import kanon_audit
+
+    released = QUERIES["fads_generalize_events"](spark, sf_dir)
+    return kanon_audit(
+        released, ["user_id", "value", "ts_millis"], "event_id", k=10
+    )
+
+
 def _register_primitives() -> None:
     from pyfads import primitives_queries  # noqa: F401  (registers on import)
 

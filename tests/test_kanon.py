@@ -1,0 +1,36 @@
+"""k-anonymity audit (pyfads.primitives.kanon_audit): planted-violation
+detection plus the real property — the flagship FADS release has zero
+violating boxes at fixture scale."""
+
+from __future__ import annotations
+
+from pyfads.primitives import kanon_audit
+
+from tests.conftest import SF_DIR
+
+
+def test_planted_violation_is_flagged(spark):
+    rows = [
+        # box A: 3 distinct pids -> violates k=5
+        (1, 0, 10, 0.0, 1.0), (2, 0, 10, 0.0, 1.0), (3, 0, 10, 0.0, 1.0),
+        # box B: 5 distinct pids -> ok (one pid duplicated: n_rows 6, n_pids 5)
+        (4, 20, 30, 2.0, 3.0), (5, 20, 30, 2.0, 3.0), (6, 20, 30, 2.0, 3.0),
+        (7, 20, 30, 2.0, 3.0), (8, 20, 30, 2.0, 3.0), (8, 20, 30, 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid bigint, q_lo bigint, q_hi bigint, v_lo double, v_hi double"
+    )
+    out = {
+        (r.q_lo, r.q_hi): r
+        for r in kanon_audit(df, ["q", "v"], "pid", k=5).collect()
+    }
+    assert out[(0, 10)].violates_k and out[(0, 10)].n_pids == 3
+    assert not out[(20, 30)].violates_k
+    assert (out[(20, 30)].n_rows, out[(20, 30)].n_pids) == (6, 5)
+
+
+def test_flagship_release_has_no_violations(spark):
+    import __spark_entry__ as entry
+
+    audit = entry.queries()["kanon_audit_events"](spark, SF_DIR)
+    assert audit.filter("violates_k").count() == 0

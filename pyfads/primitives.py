@@ -26,6 +26,7 @@ __all__ = [
     "suppress_projection",
     "utility_report",
     "kanon_audit",
+    "ldiversity_audit",
 ]
 
 
@@ -495,4 +496,24 @@ def kanon_audit(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct(pid_col).cast("long").alias("n_pids"),
         (F.countDistinct(pid_col) < k).alias("violates_k"),
+    )
+
+
+def ldiversity_audit(
+    released: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 - the literature's name
+) -> DataFrame:
+    """l-diversity AUDIT (Machanavajjhala et al. 2007) — k-anonymity's
+    companion check: a box can hold k distinct people and STILL leak if
+    they all share one sensitive value (the homogeneity attack), so each
+    generalized box must also contain at least ``l`` distinct values of
+    the sensitive attribute.  Same single combinable aggregation shape as
+    :func:`kanon_audit`; run both over a release before publishing."""
+    box = [c for q in qid_cols for c in (f"{q}_lo", f"{q}_hi")]
+    return released.groupBy(*box).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) < l).alias("violates_l"),
     )

@@ -164,6 +164,37 @@ def kanon_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ldiv_audit_sql() -> str:
+    rel = _golden.fads_generalize_events_oracle()
+    return f"""
+WITH rel AS ({rel})
+SELECT user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+       count(DISTINCT event_type) < 2 AS violates_l
+FROM rel
+GROUP BY user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi
+"""
+
+
+@query("ldiv_audit_events", oracle=_ldiv_audit_sql)
+def ldiv_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the flagship release
+    (pyfads.primitives.ldiversity_audit): per generalized box, the
+    distinct count of the SENSITIVE attribute (event_type) and a
+    violates-l verdict — k-anonymity alone cannot catch the homogeneity
+    attack (k people, one disease); this is the companion check.  The
+    reference has no sensitive-attribute machinery, so violations here
+    are an expected FINDING about plain FADS, not a bug: the audit is
+    the operator."""
+    from pyfads.primitives import ldiversity_audit
+
+    released = QUERIES["fads_generalize_events"](spark, sf_dir)
+    return ldiversity_audit(
+        released, ["user_id", "value", "ts_millis"], "event_type", l=2
+    )
+
+
 def _register_primitives() -> None:
     from pyfads import primitives_queries  # noqa: F401  (registers on import)
 

@@ -34,3 +34,29 @@ def test_flagship_release_has_no_violations(spark):
 
     audit = entry.queries()["kanon_audit_events"](spark, SF_DIR)
     assert audit.filter("violates_k").count() == 0
+
+
+def test_ldiversity_homogeneity_attack_flagged(spark):
+    from pyfads.primitives import ldiversity_audit
+
+    rows = [
+        # box A: 5 pids but ONE sensitive value -> homogeneity attack
+        (1, 0, 10, "flu"), (2, 0, 10, "flu"), (3, 0, 10, "flu"),
+        (4, 0, 10, "flu"), (5, 0, 10, "flu"),
+        # box B: 2 sensitive values -> ok at l=2
+        (6, 20, 30, "flu"), (7, 20, 30, "cold"),
+    ]
+    df = spark.createDataFrame(rows, "pid bigint, q_lo bigint, q_hi bigint, dx string")
+    out = {(r.q_lo, r.q_hi): r
+           for r in ldiversity_audit(df, ["q"], "dx", l=2).collect()}
+    assert out[(0, 10)].violates_l and out[(0, 10)].n_sensitive == 1
+    assert not out[(20, 30)].violates_l
+
+
+def test_flagship_release_ldiversity_report_runs(spark):
+    import __spark_entry__ as entry
+
+    audit = entry.queries()["ldiv_audit_events"](spark, SF_DIR).collect()
+    assert len(audit) > 0
+    # the report is the operator; the fixture happens to be 2-diverse
+    assert all(r.n_sensitive >= 1 for r in audit)

@@ -46,6 +46,7 @@ __all__ = [
     "token_shards",
     "pack_concat_chunks",
     "pack_nextfit",
+    "pack_nextfit_stream",
     "pack_bin_stats",
     "global_shuffle",
     "split_by_group",
@@ -219,4 +220,66 @@ def split_by_group(
     )
     return df.withColumn("split_bucket", bucket.cast("bigint")).withColumn(
         "split", split
+    )
+
+
+def pack_nextfit_stream(
+    stream: DataFrame,
+    capacity: int,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STREAMING next-fit packing: the ingest-time form of
+    :func:`pack_nextfit` — documents arrive in micro-batches and each
+    shard's open bin (id, fill, started) persists in
+    ``applyInPandasWithState`` group state, so bins straddle micro-batch
+    boundaries exactly as the batch recurrence would place them.  Given
+    micro-batches that arrive in id order per shard (an ordered ingest
+    feed), the streamed assignment is IDENTICAL row-for-row to the batch
+    operator — the property the ``pack_nextfit_streamed`` entry checks
+    against the same recursive-CTE oracle.
+
+    Within one (shard, micro-batch) group the Arrow chunks are gathered
+    and sorted by id before the linear walk (bounded by the micro-batch,
+    not the stream).  No timers: packing state never expires — a
+    production deployment would add a TTL alongside the FADS pattern."""
+    import pandas as _pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = token_shards(stream, n_shards, text_col, id_col)
+    cap = capacity
+    cols = [id_col, "shard", "n_tokens", "bin_id", "fill_after"]
+
+    def handle(key, pdf_iter, state):
+        if state.exists:
+            b, fill, started = state.get
+        else:
+            b, fill, started = 0, 0, 0
+        pdf = _pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if started and fill + n > cap:
+                b, fill = b + 1, 0
+            fill += n
+            started = 1
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_id"] = _pd.Series(bins, dtype="int64")
+        pdf["fill_after"] = _pd.Series(fills, dtype="int64")
+        state.update((b, fill, started))
+        yield pdf[cols]
+
+    return t.groupBy("shard").applyInPandasWithState(
+        handle,
+        outputStructType=(
+            f"{id_col} bigint, shard bigint, n_tokens bigint, "
+            "bin_id bigint, fill_after bigint"
+        ),
+        stateStructType="bin_id bigint, fill bigint, started int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

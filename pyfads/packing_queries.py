@@ -212,3 +212,46 @@ def split_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+_PACKSTREAM_CHUNKS: dict[str, str] = {}
+
+
+@query("pack_nextfit_streamed", oracle=_PACK_NEXTFIT_SQL)
+def pack_nextfit_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING next-fit packing (pyfads.packing.pack_nextfit_stream),
+    driven through a real Structured Streaming query: the corpus arrives
+    as two id-ordered parquet chunks (maxFilesPerTrigger=1 -> two
+    micro-batches) and each shard's open bin persists in
+    applyInPandasWithState state across the batch boundary — the streamed
+    assignment is checked against the SAME recursive-CTE oracle as the
+    batch operator, so state carry-over is value-verified, not just
+    smoke-tested."""
+    from pyfads.llm_queries import _scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sf_dir not in _PACKSTREAM_CHUNKS:
+        d = _scratch_dir("pyfads_packstream_")
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(d + "/c0.parquet")
+        docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(d + "/c1.parquet")
+        _PACKSTREAM_CHUNKS[sf_dir] = d
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(_PACKSTREAM_CHUNKS[sf_dir])
+    )
+    packed = P.pack_nextfit_stream(src, _CAP, _SHARDS)
+    name = "pack_nextfit_streamed_sink"
+    q = (
+        packed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # NoTimeout state: terminates
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -105,3 +105,42 @@ def test_split_by_group_is_group_disjoint(spark):
     assert leaky == 0
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_nextfit_stream_state_carries_across_batches(spark, tmp_path):
+    """A bin left open by micro-batch 0 must keep filling in micro-batch 1
+    — the streamed assignment equals the batch recurrence exactly."""
+    # one shard; lens 100, 100 | 50, 200: doc 16 (50) must land in the
+    # bin opened by batch 0 (fill 200 -> 250), doc 24 opens bin 1
+    rows0 = [(0, " ".join(["w"] * 100)), (8, " ".join(["w"] * 100))]
+    rows1 = [(16, " ".join(["w"] * 50)), (24, " ".join(["w"] * 200))]
+    d = str(tmp_path / "chunks")
+    spark.createDataFrame(rows0, "doc_id bigint, text string").coalesce(1).write.parquet(d + "/c0.parquet")
+    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(1).write.parquet(d + "/c1.parquet")
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        P.pack_nextfit_stream(src, capacity=256, n_shards=8)
+        .writeStream.format("memory")
+        .queryName("packstream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.bin_id, r.fill_after)
+        for r in spark.table("packstream_test").collect()
+    }
+    assert got == {0: (0, 100), 8: (0, 200), 16: (0, 250), 24: (1, 200)}
+    # and it equals the batch operator on the union
+    batch = P.pack_nextfit(
+        spark.createDataFrame(rows0 + rows1, "doc_id bigint, text string"), 256, 8
+    )
+    assert {r.doc_id: (r.bin_id, r.fill_after) for r in batch.collect()} == got

@@ -90,7 +90,13 @@ def pack_concat_chunks(
     One cumulative-sum window per shard is the entire plan — no UDF, no
     join; at 100 TB each shard's running sum is an independent sorted
     partition.  Integer arithmetic end to end (``div``), so the DuckDB
-    twin is bit-exact."""
+    twin is bit-exact.
+
+    Sibling: :func:`pyfads.pipeline.pack_greedy` plans the same
+    concat-writer with hash shards and reports only the STARTING bin;
+    this form uses id-ordered shards and reports the full chunk SPAN —
+    the boundary-crossing diagnostic (how many docs straddle a context
+    cut) that a packing quality report needs."""
     t = token_shards(df, n_shards, text_col, id_col)
     w = (
         Window.partitionBy("shard")
@@ -182,7 +188,12 @@ def global_shuffle(
     Scale shape: shard assignment is a hash partition; the within-shard
     ``row_number`` is one sort per shard — there is never a global
     total-order sort.  Both hashes are :func:`pyfads.text.md5_hash60`
-    (cross-engine md5), so the DuckDB twin is exact."""
+    (cross-engine md5), so the DuckDB twin is exact.
+
+    Sibling: :func:`pyfads.pipeline.global_shuffle_index` produces the
+    single GLOBAL rank via the two-phase bucket-offset trick; this form
+    produces the (shard, position) pair a multi-file shard writer
+    consumes directly — no offset pass at all."""
     sid = F.col(id_col).cast("string")
     shard = (md5_hash60(sid, f"{seed}:shard") % n_shards).cast("bigint")
     key = md5_hash60(sid, f"{seed}:order")
@@ -211,7 +222,12 @@ def split_by_group(
 
     Pure per-row column expressions — zero shuffle; the only cost is the
     md5.  ``train_pct``/``val_pct`` are integer percents of 100 hash
-    buckets."""
+    buckets.
+
+    Sibling: :func:`pyfads.pipeline.split_assign` buckets on the ROW id
+    (correct when rows are independent); this form buckets on the GROUP
+    key, which is the required discipline once a dedup pass has found
+    near-duplicate families."""
     bucket = md5_hash60(F.col(group_col), seed) % 100
     split = (
         F.when(bucket < train_pct, F.lit("train"))

@@ -27,6 +27,7 @@ __all__ = [
     "utility_report",
     "kanon_audit",
     "ldiversity_audit",
+    "tcloseness_audit",
 ]
 
 
@@ -516,4 +517,61 @@ def ldiversity_audit(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
         (F.countDistinct(sensitive_col) < l).alias("violates_l"),
+    )
+
+
+def tcloseness_audit(
+    released: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness AUDIT (Li et al. 2007) — the third check of the privacy
+    trio: a box can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION differs sharply from the table's (skew
+    attack: 2 diverse values, but 95% one disease in the box vs 5%
+    globally).  For a categorical sensitive attribute the distance is
+    total variation: ``TVD = sum_v |c_v/n - N_v/N| / 2 <= t``.
+
+    Everything is INTEGER cross-multiplied so the verdict is exact on
+    both engines: ``tv_scaled = sum_v |c_v*N - N_v*n|`` (absent
+    categories contribute ``N_v*n``), and ``violates_t`` is
+    ``t_den * tv_scaled > 2 * t_num * n * N`` for the rational threshold
+    ``t = t_num/t_den`` — no float division anywhere.
+
+    Shape: per-(box, value) counts are one combinable agg; the global
+    category distribution is a bounded dimension (categories, not rows)
+    broadcast against the distinct boxes, so absent combos materialize
+    without scanning twice."""
+    box = [c for q in qid_cols for c in (f"{q}_lo", f"{q}_hi")]
+    n_total = released.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    glob = released.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__Nv")
+    )
+    box_n = released.groupBy(*box).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    box_v = released.groupBy(*box, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__cv")
+    )
+    grid = (
+        box_n.crossJoin(F.broadcast(glob))
+        .join(box_v, [*box, sensitive_col], "left")
+        .withColumn("__cv", F.coalesce(F.col("__cv"), F.lit(0)))
+        .crossJoin(F.broadcast(n_total))
+    )
+    per_box = grid.groupBy(*box).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("__N").alias("__N"),
+        F.sum(
+            F.abs(F.col("__cv") * F.col("__N") - F.col("__Nv") * F.col("n_rows"))
+        ).cast("long").alias("tv_scaled"),
+    )
+    return per_box.select(
+        *box,
+        "n_rows",
+        "tv_scaled",
+        (
+            F.lit(t_den) * F.col("tv_scaled")
+            > F.lit(2 * t_num) * F.col("n_rows") * F.col("__N")
+        ).alias("violates_t"),
     )

@@ -195,6 +195,54 @@ def ldiv_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tclose_audit_sql() -> str:
+    rel = _golden.fads_generalize_events_oracle()
+    return f"""
+WITH rel AS ({rel}),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM rel),
+gdist AS (SELECT event_type, CAST(count(*) AS BIGINT) AS Nv FROM rel GROUP BY event_type),
+bn AS (
+  SELECT user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM rel GROUP BY 1, 2, 3, 4, 5, 6
+),
+bv AS (
+  SELECT user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi,
+         event_type, CAST(count(*) AS BIGINT) AS cv
+  FROM rel GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+grid AS (
+  SELECT bn.*, g.event_type, g.Nv, COALESCE(bv.cv, 0) AS cv, nt.N
+  FROM bn CROSS JOIN gdist g CROSS JOIN nt
+  LEFT JOIN bv USING (user_id_lo, user_id_hi, value_lo, value_hi,
+                      ts_millis_lo, ts_millis_hi, event_type)
+)
+SELECT user_id_lo, user_id_hi, value_lo, value_hi, ts_millis_lo, ts_millis_hi,
+       first(n_rows) AS n_rows,
+       CAST(sum(abs(cv * N - Nv * n_rows)) AS BIGINT) AS tv_scaled,
+       8 * CAST(sum(abs(cv * N - Nv * n_rows)) AS BIGINT)
+           > 2 * 3 * first(n_rows) * first(N) AS violates_t
+FROM grid GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@query("tclose_audit_events", oracle=_tclose_audit_sql)
+def tclose_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the flagship release
+    (pyfads.primitives.tcloseness_audit, t = 3/8): per generalized box,
+    the integer-scaled total-variation distance between the box's
+    event_type distribution and the table's — the skew-attack check the
+    k/l audits cannot see.  Completes the privacy-audit trio; boxes past
+    the threshold are findings to triage, not necessarily bugs (plain
+    FADS optimizes info-loss, not distribution closeness)."""
+    from pyfads.primitives import tcloseness_audit
+
+    released = QUERIES["fads_generalize_events"](spark, sf_dir)
+    return tcloseness_audit(
+        released, ["user_id", "value", "ts_millis"], "event_type", t_num=3, t_den=8
+    )
+
+
 def _register_primitives() -> None:
     from pyfads import primitives_queries  # noqa: F401  (registers on import)
 

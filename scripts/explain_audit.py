@@ -41,6 +41,7 @@ EXPECTED_BNLJ = {
     "ann_sq8_topk",  # same class: bounded-broadcast quantized query side, q_id <> neighbor_id theta join
     "ann_recall_sq8",  # composes ann_sq8_topk + the audited brute-force ground truth
     "split_summary",  # 1-row leakage-count frame crossJoined back (skew_report class)
+    "tclose_audit_events",  # bounded dims crossJoined: category distribution (|event_type| rows) + 1-row total — never row-scale
     "corpus_manifest",  # 1-row summary frames crossJoined (theta-setops class)
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
@@ -98,6 +99,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "dsir_sample",
     "session_outliers",  # keyless med/MAD percentile aggs, <= 1 partial row per task
     "split_summary",  # 1-row leaky-group count re-agg, <= 1 partial row per task
+    "tclose_audit_events",  # 1-row total-count partial-agg feed, <= 1 row per task
     "important_part_values",  # Q11: 1-row total-cents re-agg, <= 1 partial row/task
     "top_supplier_revenue",  # Q15: 1-row max re-agg, <= 1 partial row/task
     "g3_cluster_ttl",

@@ -60,3 +60,33 @@ def test_flagship_release_ldiversity_report_runs(spark):
     assert len(audit) > 0
     # the report is the operator; the fixture happens to be 2-diverse
     assert all(r.n_sensitive >= 1 for r in audit)
+
+
+def test_tcloseness_skew_attack_flagged(spark):
+    from pyfads.primitives import tcloseness_audit
+
+    rows = (
+        # box A: 10 rows, 9 "flu" 1 "cold" vs global 50/50 -> TVD = 0.4
+        [(i, 0, 10, "flu") for i in range(9)] + [(9, 0, 10, "cold")]
+        # box B: 10 rows, 1 "flu" 9 "cold" (keeps global balanced)
+        + [(10 + i, 20, 30, "cold") for i in range(9)] + [(19, 20, 30, "flu")]
+    )
+    df = spark.createDataFrame(rows, "pid bigint, q_lo bigint, q_hi bigint, dx string")
+    # t = 3/8 = 0.375 < 0.4: both skewed boxes violate
+    out = tcloseness_audit(df, ["q"], "dx", t_num=3, t_den=8).collect()
+    assert all(r.violates_t for r in out)
+    # t = 1/2 = 0.5 > 0.4: neither does
+    out2 = tcloseness_audit(df, ["q"], "dx", t_num=1, t_den=2).collect()
+    assert not any(r.violates_t for r in out2)
+    # exact integer distance: sum_v |c_v*N - N_v*n| = |9*20-10*10| + |1*20-10*10| = 160
+    assert all(r.tv_scaled == 160 for r in out)
+
+
+def test_tcloseness_uniform_box_passes(spark):
+    from pyfads.primitives import tcloseness_audit
+
+    rows = [(i, 0, 10, "flu" if i % 2 else "cold") for i in range(10)]
+    rows += [(10 + i, 20, 30, "flu" if i % 2 else "cold") for i in range(10)]
+    df = spark.createDataFrame(rows, "pid bigint, q_lo bigint, q_hi bigint, dx string")
+    out = tcloseness_audit(df, ["q"], "dx", t_num=1, t_den=100).collect()
+    assert all(r.tv_scaled == 0 and not r.violates_t for r in out)

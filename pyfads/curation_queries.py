@@ -1,0 +1,223 @@
+"""Registered entries for the round-10 curation additions: fuzzy record
+linkage / entity resolution (:mod:`pyfads.linkage`), CCNet perplexity
+bucketing (:func:`pyfads.text.rarity_buckets`), and asymmetric shingle
+containment dedup (:func:`pyfads.dedup.containment_pairs`).
+
+Every oracle is exact: integer arithmetic only (ppm cross-multiplication,
+integer tertiles), Levenshtein is identical character-level DP in both
+engines, and the blocking/salt steps are replayed bit-for-bit (the
+MinHash `_salt_cap` oracle precedent in pyfads.llm_queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyfads import dedup as D
+from pyfads import linkage as L
+from pyfads import text as X
+from pyfads.io import read_table
+from pyfads.queries import query
+
+_N_WORDS = 6
+_MAX_DIST = 2
+_MAX_BLOCK = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy record linkage: pseudo-title keys, boundary-token blocking with the
+# salt cap replayed, exact Levenshtein verify.  CTE chain ends in
+# vp(a_id, b_id, edit_dist) — shared by the pairs and the entity oracles.
+# --------------------------------------------------------------------------
+_FUZZY_CTES = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+k AS (
+  SELECT doc_id,
+         array_to_string(toks[1:{_N_WORDS}], ' ') AS rkey,
+         toks[1] AS tok_first,
+         toks[least(len(toks), {_N_WORDS})] AS tok_last
+  FROM t
+),
+b0 AS (
+  SELECT doc_id, unnest([0, 1]) AS block_idx,
+         unnest([tok_first, tok_last]) AS block_key
+  FROM k
+),
+b1 AS (
+  SELECT doc_id, block_idx,
+         concat_ws('#', block_key,
+                   CAST((row_number() OVER (PARTITION BY block_idx, block_key
+                                            ORDER BY doc_id) - 1)
+                        // {_MAX_BLOCK} AS VARCHAR)) AS block_key
+  FROM b0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM b1 a JOIN b1 b USING (block_idx, block_key)
+  WHERE a.doc_id < b.doc_id
+),
+vp AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(ka.rkey, kb.rkey) AS BIGINT) AS edit_dist
+  FROM cand c
+  JOIN k ka ON ka.doc_id = c.a_id
+  JOIN k kb ON kb.doc_id = c.b_id
+  WHERE levenshtein(ka.rkey, kb.rkey) <= {_MAX_DIST}
+)"""
+
+_FUZZY_SQL = f"WITH {_FUZZY_CTES}\nSELECT a_id, b_id, edit_dist FROM vp"
+
+_ENTITY_SQL = f"""
+WITH RECURSIVE {_FUZZY_CTES},
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM vp
+  UNION
+  SELECT b_id, a_id FROM vp
+),
+reach(src, node) AS (
+    SELECT doc_id, doc_id FROM documents WHERE text IS NOT NULL
+  UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS entity_id
+FROM reach GROUP BY src
+"""
+
+
+@query("fuzzy_pairs", oracle=_FUZZY_SQL)
+def fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record-linkage pairs: pseudo-title keys (leading 6 words),
+    first/last-token blocking (salt-capped), exact Levenshtein <= 2
+    verify — the metadata-dedup complement of content near-dup.  See
+    :func:`pyfads.linkage.fuzzy_pairs`."""
+    return L.fuzzy_pairs(
+        _docs(spark, sf_dir),
+        max_dist=_MAX_DIST,
+        n_words=_N_WORDS,
+        max_block=_MAX_BLOCK,
+    )
+
+
+@query("entity_resolution", oracle=_ENTITY_SQL)
+def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy pairs -> distributed connected components
+    -> canonical min-id entity label per record (singletons label
+    themselves).  The twin closes the same verified edges with a
+    recursive CTE.  See :func:`pyfads.linkage.resolve_entities`."""
+    return L.resolve_entities(
+        _docs(spark, sf_dir),
+        max_dist=_MAX_DIST,
+        n_words=_N_WORDS,
+        max_block=_MAX_BLOCK,
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing over the bigram-rarity proxy.
+# The rarity CTEs mirror pyfads.llm_queries._LM_RARITY_SQL (same contract);
+# the tertile is integer arithmetic — no percent_rank floats.
+# --------------------------------------------------------------------------
+_PPL_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> concat_ws(' ', toks[i], toks[i + 1]))
+                ELSE [] END) AS g
+  FROM t
+),
+per_doc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY doc_id, g),
+corpus AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS cc FROM per_doc GROUP BY g),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c.cc <= 2 THEN p.cnt ELSE 0 END) AS BIGINT) AS n_rare
+  FROM per_doc p JOIN corpus c USING (g) GROUP BY p.doc_id
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+         CAST(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                   THEN a.n_rare * 1000000 // a.n_bigrams ELSE 0 END AS BIGINT)
+           AS rare_ppm
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, rare_ppm,
+         row_number() OVER (PARTITION BY lang ORDER BY rare_ppm, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM r
+)
+SELECT doc_id, lang, rare_ppm,
+       CASE least(((rn - 1) * 3) // n, 2)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ranked
+"""
+
+
+@query("ppl_buckets", oracle=_PPL_SQL)
+def ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail fluency tertiles over the
+    transcendental-free bigram-rarity proxy — integer-exact rank
+    arithmetic, deterministic id tiebreak.  See
+    :func:`pyfads.text.rarity_buckets`."""
+    return X.rarity_buckets(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Asymmetric shingle containment (subset-duplication detector).
+# --------------------------------------------------------------------------
+_CONT_THR_PPM = 800_000
+_CONT_MAX_DF = 16
+
+_CONT_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS sh
+  FROM t
+),
+occ AS (SELECT doc_id, unnest(sh) AS s2 FROM s),
+freq AS (SELECT s2, CAST(count(*) AS BIGINT) AS dfc FROM occ GROUP BY s2),
+rare AS (SELECT o.doc_id, o.s2 FROM occ o JOIN freq USING (s2)
+         WHERE dfc <= {_CONT_MAX_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b USING (s2)
+  WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+         CAST(len(sa.sh) AS BIGINT) AS n_a,
+         CAST(len(sb.sh) AS BIGINT) AS n_b
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.a_id
+  JOIN s sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, n_shared, n_a, n_b,
+       n_shared * 1000000 // n_a AS cont_a_ppm,
+       n_shared * 1000000 // n_b AS cont_b_ppm
+FROM v
+WHERE n_shared * 1000000 >= {_CONT_THR_PPM} * least(n_a, n_b)
+"""
+
+
+@query("dedup_containment", oracle=_CONT_SQL)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (|A∩B|/|A| — the subset/
+    excerpt duplication Jaccard misses), rare-shingle candidate blocking
+    with the skew bound built in (df <= max_df), integer ppm verify.  See
+    :func:`pyfads.dedup.containment_pairs`."""
+    return D.containment_pairs(
+        _docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM, max_df=_CONT_MAX_DF
+    )

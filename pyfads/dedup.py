@@ -1557,3 +1557,77 @@ def intradoc_segment_dedup(
         "__keep", F.col("blk") == F.col("__first_blk")
     )
     return _reassemble(marked, id_col, F.col("__keep"), "n_repeats_dropped")
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold_ppm: int = 800_000,
+    max_df: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC shingle-containment near-dup pairs: containment of A in
+    B is ``|sh(A) ∩ sh(B)| / |sh(A)|`` over DISTINCT word-k-gram shingle
+    sets.  Jaccard misses subset duplication when sizes differ (a tweet
+    quoted inside a long article scores near-zero Jaccard but containment
+    1.0 from the tweet's side) — containment is the standard
+    aggregator/quote/excerpt detector (Broder 1997 defines both; CDC/
+    ExactSubstr cover verbatim spans, this covers shingle-bag subsets).
+
+    Candidate generation: docs sharing at least one RARE shingle (global
+    doc-frequency <= ``max_df``).  A contained doc shares ALL its
+    shingles with its container, so any of its rare shingles produces the
+    candidate; dropping frequent shingles removes exactly the
+    boilerplate keys that would hot-spot (each surviving shingle fans out
+    <= max_df^2 pairs — the skew bound is built into the blocking itself,
+    no salt needed).  Documented loss: a pair whose shared shingles are
+    ALL corpus-frequent is missed (such overlap is boilerplate, not
+    duplication).
+
+    Verify is exact on every candidate: set intersection of the two
+    full shingle arrays, integer ppm arithmetic (``1e6 * shared div
+    |A|``), cross-multiplied threshold — zero floats, bit-identical in
+    any engine.  Returns ``(a_id, b_id, n_shared, n_a, n_b, cont_a_ppm,
+    cont_b_ppm)`` for unordered pairs (a_id < b_id) where the MAX of the
+    two directional containments clears ``threshold_ppm``."""
+    base = df.filter(F.col(text_col).isNotNull())
+    sets = base.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
+    )
+    occ = sets.select(F.col(id_col), F.explode("sh").alias("s2"))
+    freq = occ.groupBy("s2").agg(F.count(F.lit(1)).alias("dfc"))
+    rare = occ.join(freq.filter(F.col("dfc") <= int(max_df)), "s2")
+    a = rare.select(F.col(id_col).alias("a_id"), "s2")
+    b = rare.select(F.col(id_col).alias("b_id"), "s2")
+    cand = (
+        a.join(b, "s2")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("a_id"), F.col("sh").alias("__sha"))
+    sb = sets.select(F.col(id_col).alias("b_id"), F.col("sh").alias("__shb"))
+    v = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("__sha", "__shb")).cast("long").alias("n_shared"),
+            F.size("__sha").cast("long").alias("n_a"),
+            F.size("__shb").cast("long").alias("n_b"),
+        )
+    )
+    return v.filter(
+        F.col("n_shared") * F.lit(1_000_000)
+        >= F.lit(int(threshold_ppm)) * F.least("n_a", "n_b")
+    ).select(
+        "a_id",
+        "b_id",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.expr("n_shared * 1000000 div n_a").cast("long").alias("cont_a_ppm"),
+        F.expr("n_shared * 1000000 div n_b").cast("long").alias("cont_b_ppm"),
+    )

@@ -267,6 +267,10 @@ def _register_packing() -> None:
     from pyfads import packing_queries  # noqa: F401
 
 
+def _register_curation() -> None:
+    from pyfads import curation_queries  # noqa: F401
+
+
 for _reg in (
     _register_primitives,
     _register_llm_ops,
@@ -274,6 +278,7 @@ for _reg in (
     _register_analytics,
     _register_tpch,
     _register_packing,
+    _register_curation,
 ):
     try:
         _reg()

@@ -1179,3 +1179,51 @@ def lm_bigram_rarity(
         .cast("long")
         .alias("rare_ppm"),
     )
+
+
+def rarity_buckets(
+    df: DataFrame,
+    rare_max_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    splits each language's crawl into fluency tertiles by LM perplexity;
+    head trains the model, tail gets dropped or down-weighted) over the
+    transcendental-free rarity proxy :func:`lm_bigram_rarity` — lower
+    ``rare_ppm`` = more fluent = head.
+
+    Tertile assignment is INTEGER-exact (no percent_rank floats): rows
+    ranked per language by ``(rare_ppm, id)``, then
+    ``tier = least((rank - 1) * 3 div n_lang, 2)`` — 0/1/2 =>
+    head/middle/tail, ties broken deterministically by id, identical in
+    any engine.
+
+    Scale shape: the rarity computation is the bigram equi-join
+    (:func:`lm_bigram_rarity`); the bucketing adds ONE window partitioned
+    by language — a bounded-cardinality key, so each language sorts in
+    parallel across its partitions' tasks.  With per-language skew (one
+    dominant language at 100 TB), range-partition the window input on
+    ``(lang, rare_ppm)`` first or bucket by (lang, ppm-band)."""
+    r = lm_bigram_rarity(df, rare_max_count, text_col, id_col)
+    j = df.select(F.col(id_col), F.col(lang_col)).join(
+        r.select(id_col, "rare_ppm"), id_col
+    )
+    wo = Window.partitionBy(lang_col).orderBy("rare_ppm", id_col)
+    wn = Window.partitionBy(lang_col)
+    j = j.withColumn("__rn", F.row_number().over(wo)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    tier = F.least(F.expr("((__rn - 1) * 3) div __n"), F.lit(2))
+    bucket = (
+        F.when(tier == 0, F.lit("head"))
+        .when(tier == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("rare_ppm").cast("long").alias("rare_ppm"),
+        bucket.alias("ppl_bucket"),
+    )

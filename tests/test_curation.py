@@ -1,0 +1,160 @@
+"""Planted-case tests for the round-10 curation family: fuzzy record
+linkage / entity resolution (pyfads.linkage), CCNet perplexity tertiles
+(pyfads.text.rarity_buckets), asymmetric shingle containment
+(pyfads.dedup.containment_pairs) — fixture corpora can't pin the
+blocking recall contract, tertile boundary arithmetic, or the
+containment-vs-Jaccard asymmetry."""
+
+from __future__ import annotations
+
+from pyfads import dedup as D
+from pyfads import linkage as L
+from pyfads import text as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+# --------------------------------------------------------------------------
+# fuzzy record linkage
+# --------------------------------------------------------------------------
+BASE = "alpha beta gamma delta epsilon zeta trailing context words here"
+
+
+def test_fuzzy_pairs_exact_and_typo(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "en", BASE),
+            (1, "en", BASE),  # exact dup: dist 0
+            # one edit inside the key (gamma -> gamma2: 1 insert); first
+            # token intact -> caught by the first-token block
+            (2, "en", "alpha beta gamma2 delta epsilon zeta other tail"),
+            (3, "en", "completely different words in this one entirely"),
+        ],
+    )
+    pairs = {(r.a_id, r.b_id): r.edit_dist for r in L.fuzzy_pairs(df).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == 1 and pairs[(1, 2)] == 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_fuzzy_pairs_blocking_recall_contract(spark):
+    # edits at BOTH boundary tokens of the key -> no shared block -> the
+    # documented miss (edit distance itself would be 2)
+    df = _docs(
+        spark,
+        [
+            (0, "en", "alpha beta gamma delta epsilon zeta tail"),
+            (1, "en", "alphaX beta gamma delta epsilon zetaX tail"),
+        ],
+    )
+    assert L.fuzzy_pairs(df).count() == 0
+    # but an edit at only ONE boundary is caught via the other block
+    df2 = _docs(
+        spark,
+        [
+            (0, "en", "alpha beta gamma delta epsilon zeta tail"),
+            (1, "en", "alphaX beta gamma delta epsilon zeta tail"),
+        ],
+    )
+    got = L.fuzzy_pairs(df2).collect()
+    assert [(r.a_id, r.b_id, r.edit_dist) for r in got] == [(0, 1, 1)]
+
+
+def test_fuzzy_pairs_threshold(spark):
+    # 3 edits > max_dist=2 -> verified out even though blocked together
+    df = _docs(
+        spark,
+        [
+            (0, "en", "alpha beta gamma delta epsilon zeta tail"),
+            (1, "en", "alpha betaXXX gamma delta epsilon zeta tail"),
+        ],
+    )
+    assert L.fuzzy_pairs(df, max_dist=2).count() == 0
+    assert L.fuzzy_pairs(df, max_dist=3).collect()[0].edit_dist == 3
+
+
+def test_resolve_entities_transitive(spark):
+    # 0-1 exact, 1-2 one edit -> one entity {0,1,2}; 3 is a singleton
+    df = _docs(
+        spark,
+        [
+            (0, "en", BASE),
+            (1, "en", BASE),
+            (2, "en", "alpha beta gamma2 delta epsilon zeta other tail"),
+            (3, "en", "completely different words in this one entirely"),
+        ],
+    )
+    ent = {r.doc_id: r.entity_id for r in L.resolve_entities(df).collect()}
+    assert ent == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_record_keys_short_text(spark):
+    df = _docs(spark, [(0, "en", "one two"), (1, "en", None)])
+    rows = L.record_keys(df).collect()
+    assert len(rows) == 1  # null text excluded
+    r = rows[0]
+    assert r.rkey == "one two"
+    # last token of a short key = last token of the text
+    assert r["__first"] == "one" and r["__last"] == "two"
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity tertiles
+# --------------------------------------------------------------------------
+def test_rarity_buckets_tertiles(spark):
+    # 6 docs, one lang: a shared fluent phrase (corpus-frequent bigrams)
+    # plus i doc-unique words -> rare_ppm strictly increases with i
+    shared = "the cat sat on the mat"  # 5 bigrams, each in all 6 docs
+    rows = [
+        (i, "en", shared + "".join(f" u{i}w{j}" for j in range(i)))
+        for i in range(6)
+    ]
+    out = {r.doc_id: r for r in X.rarity_buckets(_docs(spark, rows)).collect()}
+    ppms = [out[i].rare_ppm for i in range(6)]
+    assert ppms == sorted(ppms) and len(set(ppms)) == 6
+    assert [out[i].ppl_bucket for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+
+
+def test_rarity_buckets_per_lang_and_singleton(spark):
+    rows = [
+        (0, "en", "a b c d"),
+        (1, "en", "a b c d"),
+        (2, "en", "a b c d"),
+        (3, "de", "x y z w"),  # singleton lang -> tier 0 -> head
+    ]
+    out = {r.doc_id: r for r in X.rarity_buckets(_docs(spark, rows)).collect()}
+    # en: 3 identical docs -> ranks split purely by id into 3 tertiles
+    assert [out[i].ppl_bucket for i in range(3)] == ["head", "middle", "tail"]
+    assert out[3].ppl_bucket == "head"
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment
+# --------------------------------------------------------------------------
+def test_containment_catches_subset_jaccard_misses(spark):
+    inner = "q w e r t y u i"  # 8 tokens -> 6 shingles
+    outer = inner + " " + " ".join(f"pad{j}" for j in range(20))
+    df = _docs(spark, [(0, "en", inner), (1, "en", outer), (2, "en", "z x c v b n m k")])
+    rows = D.containment_pairs(df, threshold_ppm=900_000, max_df=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_id, r.b_id) == (0, 1)
+    # doc 0 fully contained: every one of its shingles appears in doc 1
+    assert r.cont_a_ppm == 1_000_000 and r.n_shared == r.n_a
+    # the symmetric (Jaccard-style) direction is small — the asymmetry
+    assert r.cont_b_ppm < 300_000
+
+
+def test_containment_frequent_shingle_blocking(spark):
+    # pairs overlapping ONLY on a corpus-frequent shingle are not candidates
+    boiler = "all rights reserved worldwide"
+    rows = [(i, "en", boiler + f" unique{i} token{i} here{i}") for i in range(20)]
+    out = D.containment_pairs(
+        _docs(spark, rows), threshold_ppm=100_000, max_df=16
+    ).collect()
+    assert out == []

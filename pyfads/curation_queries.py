@@ -221,3 +221,26 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         _docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM, max_df=_CONT_MAX_DF
     )
+
+
+# --------------------------------------------------------------------------
+# Prototypicality data pruning (Sorscher et al. 2022) over the embeddings
+# table — codebook retrained bitwise into oracle literals (the ann_ivf
+# precedent in pyfads.golden).
+# --------------------------------------------------------------------------
+def _proto_prune_sql() -> str:
+    from pyfads.golden import prototypicality_prune_oracle
+
+    return prototypicality_prune_oracle(dim=64, prune_pct=30)
+
+
+@query("prototypicality_prune", oracle=_proto_prune_sql)
+def prototypicality_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised data pruning: per-cluster cosine-to-centroid score,
+    drop the most prototypical 30% of every cluster (keep the hard
+    examples) — integer keep rule, in-plan fold scoring.  See
+    :func:`pyfads.similarity.prototypicality_prune`."""
+    from pyfads.similarity import prototypicality_prune
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return prototypicality_prune(emb, dim=64, prune_pct=30)

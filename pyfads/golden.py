@@ -1567,3 +1567,57 @@ FROM (VALUES
 
 def kcenter_select_oracle(k: int = 8, dim: int = 64) -> str:
     return _kcenter_cached(oracle_sf_dir(), k, dim)
+
+
+@functools.lru_cache(maxsize=None)
+def _proto_prune_cached(
+    sf_dir: str, dim: int, prune_pct: int, n_centroids: int, seed: int
+) -> str:
+    """DuckDB twin of similarity.prototypicality_prune: the codebook is
+    retrained bitwise (`_ivf_centroids` — same md5-ordered sample, same
+    spherical k-means) into literals; dp is the same left fold as the
+    Spark in-plan score; the per-cell (proto_cos DESC, id) ranking and the
+    integer keep rule replay exactly."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    # proto_cos is an OUTPUT column, so the centroid literals must take the
+    # '<repr>'::DOUBLE strtod path (_dvec_lit) — a bare list literal parses
+    # as DECIMAL and converts one ulp off for some values (the queries.py
+    # float-literal parity rule), which only rank-consuming twins tolerate
+    vals = ",\n  ".join(f"({j}, {_dvec_lit(cents[j])})" for j in range(len(cents)))
+    norm = _chain_norm_sql("e0", dim)
+    dot = _fold_dot("e.embedding", "c.cvec", dim)
+    fnorm = _sem_fnorm("e.embedding")
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding FROM embeddings e0 WHERE {norm} > 0),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({dot}) AS dp, ({fnorm}) AS nv
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell, dp / nv AS proto_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dp DESC, cell) AS rn
+        FROM celldot)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell, proto_cos,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY proto_cos DESC, vec_id) AS BIGINT)
+           AS rank,
+         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+  FROM assigned
+)
+SELECT vec_id, cell, proto_cos, rank, n_cell,
+       rank * 100 > {prune_pct} * n_cell AS keep
+FROM ranked
+"""
+
+
+def prototypicality_prune_oracle(
+    dim: int = 64, prune_pct: int = 30, n_centroids: int = 32, seed: int = 7
+) -> str:
+    return _proto_prune_cached(oracle_sf_dir(), dim, prune_pct, n_centroids, seed)

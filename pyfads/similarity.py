@@ -2346,3 +2346,75 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "qscore", "rank")
     )
+
+
+def prototypicality_prune(
+    embeddings: DataFrame,
+    dim: int,
+    prune_pct: int = 30,
+    n_centroids: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Self-supervised prototypicality data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws"): cluster the embedding space, score each
+    example by cosine to its cluster centroid, and DROP the most
+    prototypical ``prune_pct`` percent of every cluster — with abundant
+    data, the easy/redundant examples near cluster centers teach the
+    least, and pruning them beats random subsampling.  (The same score
+    with the opposite sign is a noise/outlier filter — keep-rule is a
+    column, flip it downstream.)
+
+    Score: ``proto_cos = dp(v, c_assigned) / |v|`` with spherical-k-means
+    (unit-norm) centroids — dp is the same in-plan fold the assignment
+    argmax uses (:func:`_assign_cells_inplan`), so score and assignment
+    are one projection and the DuckDB twin replays both from centroid
+    literals.  Keep rule is INTEGER cross-multiplied:
+    ``rank * 100 > prune_pct * n_cell`` over the per-cell
+    ``(proto_cos DESC, id)`` ranking — no float percentile.
+
+    Scale shape: bounded-sample codebook training; scoring is map-only
+    (centroid literals ride the plan); the only exchange is ONE window
+    partitioned by cell id.  Hot cells cost O(cell) sort work, not
+    O(cell^2) — windows, unlike self-joins, need no salt cap.  Returns
+    ``(id_col, cell, proto_cos, rank, n_cell, keep)`` for every non-zero
+    vector."""
+    emb = drop_zero_norm(embeddings, dim, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(emb, dim, n_centroids, seed, id_col, vec_col)
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot_fold("__v", f"__c{j}").alias("dp"),
+                    F.lit(-j).alias("negcell"),
+                )
+                for j in range(len(cents))
+            ]
+        )
+    )
+    with_cents = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        *[
+            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
+            for j in range(len(cents))
+        ],
+    )
+    scored = with_cents.select(
+        F.col(id_col),
+        (-best["negcell"]).cast("int").alias("cell"),
+        (best["dp"] / _norm_fold("__v")).alias("proto_cos"),
+    )
+    wo = Window.partitionBy("cell").orderBy(F.desc("proto_cos"), id_col)
+    wn = Window.partitionBy("cell")
+    out = scored.withColumn("rank", F.row_number().over(wo).cast("long")).withColumn(
+        "n_cell", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    keep = F.col("rank") * F.lit(100) > F.lit(int(prune_pct)) * F.col("n_cell")
+    return out.select(id_col, "cell", "proto_cos", "rank", "n_cell", keep.alias("keep"))

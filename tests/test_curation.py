@@ -158,3 +158,40 @@ def test_containment_frequent_shingle_blocking(spark):
         _docs(spark, rows), threshold_ppm=100_000, max_df=16
     ).collect()
     assert out == []
+
+
+# --------------------------------------------------------------------------
+# prototypicality pruning
+# --------------------------------------------------------------------------
+def test_prototypicality_prune_planted(spark):
+    import numpy as np
+
+    from pyfads.similarity import prototypicality_prune
+
+    cents = np.eye(4)[:2]  # two unit centroids: axis0, axis1
+    rows = [
+        # cell 0: alignment to axis0 strictly decreasing with id
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.3, 0.0, 0.0]),
+        (2, [1.0, 0.6, 0.0, 0.0]),
+        (3, [1.0, 0.9, 0.0, 0.0]),
+        # cell 1: two members
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.4, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in prototypicality_prune(
+            df, dim=4, prune_pct=50, centroids=cents
+        ).collect()
+    }
+    assert [out[i].cell for i in range(6)] == [0, 0, 0, 0, 1, 1]
+    # per-cell prototypicality rank follows alignment
+    assert [out[i].rank for i in range(4)] == [1, 2, 3, 4]
+    # prune_pct=50 on a 4-cluster: ranks 1-2 (most prototypical) dropped
+    assert [out[i].keep for i in range(4)] == [False, False, True, True]
+    # 2-cluster: rank 1 dropped (1*100 <= 50*2), rank 2 kept
+    assert (out[4].keep, out[5].keep) == (False, True)
+    # the hard examples survive: proto_cos of kept < dropped within a cell
+    assert out[3].proto_cos < out[0].proto_cos

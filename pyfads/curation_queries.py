@@ -17,6 +17,7 @@ from pyfads import linkage as L
 from pyfads import text as X
 from pyfads.io import read_table
 from pyfads.queries import query
+from pyfads.text import md5_hash60_sql
 
 _N_WORDS = 6
 _MAX_DIST = 2
@@ -171,29 +172,42 @@ def ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Asymmetric shingle containment (subset-duplication detector).
+# Asymmetric shingle containment (subset-duplication detector) — exact
+# prefix-filter candidates (the SSJoin/PPJoin precedent), replayed fully.
 # --------------------------------------------------------------------------
 _CONT_THR_PPM = 800_000
-_CONT_MAX_DF = 16
+
+_CONT_H60 = md5_hash60_sql("cont", "g0")
 
 _CONT_SQL = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-             generate_series(1, greatest(len(toks) - 2, 1)),
-             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS sh
+         list_transform(
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))),
+             g0 -> {_CONT_H60}) AS sh
   FROM t
 ),
-occ AS (SELECT doc_id, unnest(sh) AS s2 FROM s),
-freq AS (SELECT s2, CAST(count(*) AS BIGINT) AS dfc FROM occ GROUP BY s2),
-rare AS (SELECT o.doc_id, o.s2 FROM occ o JOIN freq USING (s2)
-         WHERE dfc <= {_CONT_MAX_DF}),
+ds AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sn FROM s),
+gf AS (SELECT g, CAST(count(*) AS BIGINT) AS gdf FROM ds GROUP BY g),
+pref AS (
+  SELECT doc_id, g, sn FROM (
+    SELECT ds.doc_id, ds.g, sz.sn,
+           row_number() OVER (PARTITION BY ds.doc_id
+                              ORDER BY gf.gdf, ds.g) AS rn
+    FROM ds JOIN gf USING (g) JOIN sz USING (doc_id))
+  WHERE rn <= sn - (({_CONT_THR_PPM} * sn + 999999) // 1000000) + 1
+),
+fullocc AS (SELECT ds.doc_id, ds.g, sz.sn FROM ds JOIN sz USING (doc_id)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM rare a JOIN rare b USING (s2)
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT least(p.doc_id, f.doc_id) AS a_id,
+                  greatest(p.doc_id, f.doc_id) AS b_id
+  FROM pref p JOIN fullocc f USING (g)
+  WHERE (p.sn, p.doc_id) < (f.sn, f.doc_id)
 ),
 v AS (
   SELECT c.a_id, c.b_id,
@@ -215,12 +229,10 @@ WHERE n_shared * 1000000 >= {_CONT_THR_PPM} * least(n_a, n_b)
 @query("dedup_containment", oracle=_CONT_SQL)
 def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-containment pairs (|A∩B|/|A| — the subset/
-    excerpt duplication Jaccard misses), rare-shingle candidate blocking
-    with the skew bound built in (df <= max_df), integer ppm verify.  See
-    :func:`pyfads.dedup.containment_pairs`."""
-    return D.containment_pairs(
-        _docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM, max_df=_CONT_MAX_DF
-    )
+    excerpt duplication Jaccard misses), EXACT prefix-filter candidates
+    (rarest-first ordering doubles as the skew guard), integer ppm
+    verify.  See :func:`pyfads.dedup.containment_pairs`."""
+    return D.containment_pairs(_docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM)
 
 
 # --------------------------------------------------------------------------

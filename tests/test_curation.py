@@ -140,7 +140,7 @@ def test_containment_catches_subset_jaccard_misses(spark):
     inner = "q w e r t y u i"  # 8 tokens -> 6 shingles
     outer = inner + " " + " ".join(f"pad{j}" for j in range(20))
     df = _docs(spark, [(0, "en", inner), (1, "en", outer), (2, "en", "z x c v b n m k")])
-    rows = D.containment_pairs(df, threshold_ppm=900_000, max_df=16).collect()
+    rows = D.containment_pairs(df, threshold_ppm=900_000).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r.a_id, r.b_id) == (0, 1)
@@ -150,14 +150,36 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert r.cont_b_ppm < 300_000
 
 
-def test_containment_frequent_shingle_blocking(spark):
-    # pairs overlapping ONLY on a corpus-frequent shingle are not candidates
-    boiler = "all rights reserved worldwide"
-    rows = [(i, "en", boiler + f" unique{i} token{i} here{i}") for i in range(20)]
-    out = D.containment_pairs(
-        _docs(spark, rows), threshold_ppm=100_000, max_df=16
-    ).collect()
-    assert out == []
+def test_containment_prefix_filter_is_lossless(spark):
+    # the prefix-filter theorem claims NO false negatives: compare against
+    # an unpruned brute-force twin on a corpus dense with partial overlaps
+    words = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, "en", " ".join(words[i % 5 : i % 5 + 6] + [f"u{i}a", f"u{i}b"]))
+        for i in range(24)
+    ]
+    df = _docs(spark, rows)
+    thr = 500_000
+    got = {
+        (r.a_id, r.b_id, r.n_shared)
+        for r in D.containment_pairs(df, threshold_ppm=thr).collect()
+    }
+    # brute force over all pairs
+    sets = {
+        i: set(
+            " ".join(t.split(" ")[j : j + 3])
+            for j in range(max(len(t.split(" ")) - 2, 1))
+        )
+        for i, _, t in rows
+    }
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                shared = len(sets[a] & sets[b])
+                if shared * 1_000_000 >= thr * min(len(sets[a]), len(sets[b])):
+                    want.add((a, b, shared))
+    assert got == want and len(want) > 0
 
 
 # --------------------------------------------------------------------------

@@ -10,7 +10,7 @@ MinHash `_salt_cap` oracle precedent in pyfads.llm_queries)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyfads import dedup as D
 from pyfads import linkage as L
@@ -256,3 +256,145 @@ def prototypicality_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return prototypicality_prune(emb, dim=64, prune_pct=30)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream watermarked interval join, driven end-to-end as a REAL
+# Structured Streaming query per call — the driver-gate registration of the
+# capability tests/test_windows.py::test_interval_join_stream_equals_batch
+# proves (inner time-interval joins emit matches as both sides arrive, so
+# the streamed result equals the batch join value-for-value).
+# --------------------------------------------------------------------------
+_SSJ_CHUNKS: dict[str, str] = {}
+
+
+@query(
+    "interval_join_streamed",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+       p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 3600000
+""",
+)
+def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click->purchase within 1h per user),
+    both sides watermarked, run through a real chunked-parquet streaming
+    query with a memory sink — Spark's canonical two-stream join with
+    watermark state eviction; the oracle is the SAME SQL as the batch
+    ``interval_join_events`` twin (inner joins emit exactly the matched
+    pairs, independent of micro-batching).  Chunks are ts-ordered so the
+    watermark advances behind the data and never drops a late row at
+    fixture skew.  See :func:`pyfads.windows.interval_join`."""
+    from pyfads.io import epoch_ms
+    from pyfads.llm_queries import _scratch_dir
+    from pyfads.windows import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    if sf_dir not in _SSJ_CHUNKS:
+        d = _scratch_dir("pyfads_ssj_")
+        qs = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
+        lo, hi = int(qs[0]), int(qs[1])
+        base = ev.orderBy("ts", "event_id")
+        base.filter(F.col("event_id") <= lo).coalesce(1).write.parquet(
+            d + "/c0.parquet"
+        )
+        base.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)).coalesce(
+            1
+        ).write.parquet(d + "/c1.parquet")
+        base.filter(F.col("event_id") > hi).coalesce(1).write.parquet(
+            d + "/c2.parquet"
+        )
+        _SSJ_CHUNKS[sf_dir] = d
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(_SSJ_CHUNKS[sf_dir])
+    )
+
+    def side(df, etype, idname, tsname):
+        return df.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(idname),
+            F.col("ts").cast("timestamp").alias(tsname),
+        )
+
+    clicks = side(src, "click", "click_id", "c_ts").withWatermark("c_ts", "2 hours")
+    purchases = side(src, "purchase", "purchase_id", "p_ts").withWatermark(
+        "p_ts", "2 hours"
+    )
+    joined = interval_join(clicks, purchases, ["user_id"], "c_ts", "p_ts", 0, 3_600_000)
+    name = "interval_join_streamed_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        "click_id",
+        epoch_ms(out, "c_ts").alias("click_ms"),
+        "purchase_id",
+        epoch_ms(out, "p_ts").alias("purchase_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup (dropDuplicates keyed on the 128-bit content hash)
+# driven as a real streaming query; the deterministic projection is the
+# distinct content-hash SET (which row of a duplicate group a micro-batch
+# keeps is engine-internal, the SET of survivors' texts is not).
+# --------------------------------------------------------------------------
+_SDEDUP_CHUNKS: dict[str, str] = {}
+
+
+@query(
+    "dedup_exact_streamed",
+    oracle="SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE text IS NOT NULL",
+)
+def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across micro-batches: one surviving row per
+    distinct text on the whole stream (state = 16-byte content hashes) —
+    the value oracle is the distinct-text set, which micro-batch
+    boundaries cannot change.  See :func:`pyfads.dedup.exact_dedup_stream`."""
+    from pyfads.llm_queries import _scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sf_dir not in _SDEDUP_CHUNKS:
+        d = _scratch_dir("pyfads_sdedup_")
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+            d + "/c0.parquet"
+        )
+        docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+            d + "/c1.parquet"
+        )
+        _SDEDUP_CHUNKS[sf_dir] = d
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(_SDEDUP_CHUNKS[sf_dir])
+    )
+    deduped = D.exact_dedup_stream(src.filter(F.col("text").isNotNull()))
+    name = "dedup_exact_streamed_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(F.md5("text").alias("text_md5"))

@@ -398,3 +398,105 @@ def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(F.md5("text").alias("text_md5"))
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship (record-linkage completion) — longest text
+# wins per resolved entity, ties on smaller id.
+# --------------------------------------------------------------------------
+_GOLDEN_SQL = f"""
+WITH RECURSIVE {_FUZZY_CTES},
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM vp
+  UNION
+  SELECT b_id, a_id FROM vp
+),
+reach(src, node) AS (
+    SELECT doc_id, doc_id FROM documents WHERE text IS NOT NULL
+  UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+cg AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS entity_id
+       FROM reach GROUP BY src),
+j AS (
+  SELECT cg.entity_id, cg.doc_id, CAST(length(d.text) AS BIGINT) AS len
+  FROM cg JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT entity_id, doc_id, len,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY len DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_records
+  FROM j
+)
+SELECT entity_id, n_records, doc_id AS rep_id, len AS rep_len
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("golden_records", oracle=_GOLDEN_SQL)
+def golden_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage survivorship: one golden record per resolved entity
+    (longest text wins, id tiebreak).  See
+    :func:`pyfads.linkage.golden_records`."""
+    return L.golden_records(
+        _docs(spark, sf_dir),
+        max_dist=_MAX_DIST,
+        n_words=_N_WORDS,
+        max_block=_MAX_BLOCK,
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-quality diagnostic: for every verified near-dup pair,
+# the signature-agreement estimate k/16 vs the exact Jaccard — the
+# measure-don't-guess dial for picking n_perm.
+# --------------------------------------------------------------------------
+def _minhash_est_sql() -> str:
+    from pyfads.llm_queries import _minhash_ctes
+
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH {_minhash_ctes()}
+SELECT v.a_id, v.b_id, v.jaccard,
+       CAST({match_sum} AS BIGINT) AS n_match,
+       CAST({match_sum} AS DOUBLE) / 16.0 AS est_jaccard
+FROM vpairs v
+JOIN m a ON a.doc_id = v.a_id
+JOIN m b ON b.doc_id = v.b_id
+"""
+
+
+@query("minhash_estimate", oracle=_minhash_est_sql)
+def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash sketch quality: signature-agreement estimate
+    (n_match/16, exactly representable) next to the exact Jaccard for
+    every verified near-dup pair — E[est] = J, so the gap measured here
+    is the n_perm=16 variance a production pipeline tunes against."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(docs)
+    sigs = D.minhash_signature(docs)
+    ma = sigs.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(16)]
+    )
+    mb = sigs.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(16)]
+    )
+    n_match = None
+    for j in range(16):
+        t = (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int")
+        n_match = t if n_match is None else n_match + t
+    return (
+        pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .withColumn("n_match", n_match.cast("long"))
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            "n_match",
+            (F.col("n_match").cast("double") / F.lit(16.0)).alias("est_jaccard"),
+        )
+    )

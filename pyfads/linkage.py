@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyfads.dedup import _salt_cap, connected_components
 from pyfads.text import tokens
 
-__all__ = ["record_keys", "fuzzy_pairs", "resolve_entities"]
+__all__ = ["record_keys", "fuzzy_pairs", "resolve_entities", "golden_records"]
 
 
 def record_keys(
@@ -127,3 +127,44 @@ def resolve_entities(
     nodes = df.filter(F.col(text_col).isNotNull()).select(id_col)
     cc = connected_components(pairs, nodes=nodes, id_col=id_col, max_iter=max_iter)
     return cc.select(F.col(id_col), F.col("group_id").alias("entity_id"))
+
+
+def golden_records(
+    df: DataFrame,
+    max_dist: int = 2,
+    n_words: int = 6,
+    max_block: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship: one GOLDEN record per resolved entity — the classic
+    record-linkage completion (after clustering, pick the most complete
+    member as the canonical row).  Survivorship rule here: longest text
+    wins, ties break on the smaller id — deterministic and
+    engine-portable.  Returns ``(entity_id, n_records, rep_id,
+    rep_len)``.
+
+    Scale shape: entity resolution's CC output joined back to the corpus
+    (equi-join on id), then ONE window partitioned by entity_id — entity
+    groups are near-dup clusters, naturally small; a pathological
+    mega-entity costs O(group) sort work, not O(group^2)."""
+    from pyspark.sql import Window
+
+    ents = resolve_entities(df, max_dist, n_words, max_block, text_col, id_col)
+    j = ents.join(
+        df.select(
+            F.col(id_col), F.length(text_col).cast("long").alias("__len")
+        ),
+        id_col,
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("__len"), id_col)
+    wn = Window.partitionBy("entity_id")
+    ranked = j.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "n_records", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "entity_id",
+        "n_records",
+        F.col(id_col).alias("rep_id"),
+        F.col("__len").alias("rep_len"),
+    )

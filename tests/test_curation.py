@@ -217,3 +217,41 @@ def test_prototypicality_prune_planted(spark):
     assert (out[4].keep, out[5].keep) == (False, True)
     # the hard examples survive: proto_cos of kept < dropped within a cell
     assert out[3].proto_cos < out[0].proto_cos
+
+
+def test_golden_records_survivorship(spark):
+    # entity {0,1,2}: doc 2 has the longest text -> representative;
+    # singleton 3 represents itself
+    df = _docs(
+        spark,
+        [
+            (0, "en", BASE),
+            (1, "en", BASE),
+            (2, "en", "alpha beta gamma2 delta epsilon zeta other tail much longer than both"),
+            (3, "en", "completely different words in this one entirely"),
+        ],
+    )
+    out = {r.entity_id: r for r in L.golden_records(df).collect()}
+    assert set(out) == {0, 3}
+    assert out[0].n_records == 3 and out[0].rep_id == 2
+    assert out[3].n_records == 1 and out[3].rep_id == 3
+
+
+def test_golden_records_length_tie_breaks_on_id(spark):
+    df = _docs(spark, [(5, "en", BASE), (7, "en", BASE)])
+    rows = L.golden_records(df).collect()
+    assert len(rows) == 1 and rows[0].rep_id == 5 and rows[0].n_records == 2
+
+
+def test_minhash_estimate_exact_dup_is_16(spark):
+    from pyfads.curation_queries import minhash_estimate_q  # noqa: F401
+    from pyfads import dedup as D2
+
+    long_a = " ".join(f"w{i}" for i in range(40))
+    df = _docs(spark, [(0, "en", long_a), (1, "en", long_a)])
+    pairs = D2.minhash_near_dup_pairs(df)
+    sigs = D2.minhash_signature(df)
+    a = {r.doc_id: [r[f"mh{j}"] for j in range(16)] for r in sigs.collect()}
+    # identical texts -> identical signatures -> estimate 16/16
+    assert a[0] == a[1]
+    assert pairs.count() == 1

@@ -500,3 +500,36 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_match").cast("double") / F.lit(16.0)).alias("est_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration over the near-dup graph — the standard graph-quality
+# diagnostic for dedup clustering (triangle-dense components are true
+# duplicate piles; triangle-free stars are often chained false positives).
+# --------------------------------------------------------------------------
+def _triangles_sql() -> str:
+    from pyfads.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()}
+SELECT e1.a_id, e1.b_id AS m_id, e2.b_id AS c_id
+FROM vpairs e1
+JOIN vpairs e2 ON e2.a_id = e1.b_id
+JOIN vpairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+"""
+
+
+@query("dupgraph_triangles", oracle=_triangles_sql)
+def dupgraph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles (a < m < c, each edge a verified near-dup pair) in the
+    MinHash dup graph.  Ordered-edge enumeration: every triangle counted
+    exactly once via the a<m<c orientation — two equi-joins on node ids,
+    no explicit orientation dedup needed because pairs are already
+    canonical (a_id < b_id).  Scale: joins key on 8-byte ids over the
+    (small) verified-pair set, never the corpus; the classic node-order
+    trick bounds the join fan-out by the max out-degree in the
+    orientation.  See :func:`pyfads.graph.triangles`."""
+    from pyfads.graph import triangles
+
+    docs = _docs(spark, sf_dir)
+    return triangles(D.minhash_near_dup_pairs(docs).select("a_id", "b_id"))

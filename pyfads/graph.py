@@ -110,3 +110,26 @@ def pagerank(
             F.col("rank").alias("pagerank_scaled"),
         )
     )
+
+
+def triangles(
+    pairs: "DataFrame", a_col: str = "a_id", b_col: str = "b_id"
+) -> "DataFrame":
+    """Triangle enumeration over canonical undirected edges (``a < b``):
+    every triangle appears exactly once as ``(a < m < c)`` — the classic
+    node-order orientation, two equi-joins on node ids, no post-hoc
+    dedup.  Output columns ``(a_id, m_id, c_id)``.
+
+    Scale: both joins key on 8-byte node ids over the edge set (not the
+    corpus); the ascending orientation bounds each node's join fan-out by
+    its out-degree in the order, the standard skew control for triangle
+    counting (Suri-Vassilvitskii 2011)."""
+    from pyspark.sql import functions as F
+
+    e = pairs.select(F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id"))
+    e1 = e.select("a_id", F.col("b_id").alias("m_id"))
+    e2 = e.select(F.col("a_id").alias("m_id"), F.col("b_id").alias("c_id"))
+    e3 = e.select("a_id", F.col("b_id").alias("c_id"))
+    return e1.join(e2, "m_id").join(e3, ["a_id", "c_id"]).select(
+        "a_id", "m_id", "c_id"
+    )

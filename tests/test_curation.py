@@ -255,3 +255,13 @@ def test_minhash_estimate_exact_dup_is_16(spark):
     # identical texts -> identical signatures -> estimate 16/16
     assert a[0] == a[1]
     assert pairs.count() == 1
+
+
+def test_triangles_planted(spark):
+    from pyfads.graph import triangles
+
+    # K4 on {1,2,3,4} -> 4 triangles; chain 10-11-12 (open) -> none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+    got = {(r.a_id, r.m_id, r.c_id) for r in triangles(pairs).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}

@@ -533,3 +533,67 @@ def dupgraph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return triangles(D.minhash_near_dup_pairs(docs).select("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# LSH recall diagnostic: MinHash-LSH verified pairs vs the EXACT prefix-
+# filter join at the same Jaccard threshold — the measured recall of the
+# probabilistic path (its precision is 1.0 by construction: candidates are
+# exact-Jaccard verified).
+# --------------------------------------------------------------------------
+def _minhash_recall_sql() -> str:
+    from pyfads.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+eds AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+esz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn FROM eds GROUP BY doc_id),
+einter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+  FROM eds a JOIN eds b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ep AS (
+  SELECT i.a_id, i.b_id
+  FROM einter i
+  JOIN esz sa ON sa.doc_id = i.a_id
+  JOIN esz sb ON sb.doc_id = i.b_id
+  WHERE 5 * i.inter >= 4 * (sa.sn + sb.sn - i.inter)
+),
+lp AS (SELECT a_id, b_id FROM vpairs)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ep) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM lp) AS n_lsh,
+       (SELECT CAST(count(*) AS BIGINT) FROM ep JOIN lp USING (a_id, b_id))
+         AS n_hit,
+       CAST(CASE WHEN (SELECT count(*) FROM ep) > 0
+            THEN (SELECT count(*) FROM ep JOIN lp USING (a_id, b_id)) * 10000
+                 // (SELECT count(*) FROM ep)
+            ELSE 10000 END AS BIGINT) AS recall_bp
+"""
+
+
+@query("minhash_recall", oracle=_minhash_recall_sql)
+def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall report of MinHash-LSH (16 perms, 4 bands, salt cap)
+    against the exact prefix-filter join at Jaccard >= 0.8 — the
+    quality-vs-cost dial for the probabilistic dedup path (the ann_recall_*
+    precedent, applied to lexical dedup).  Integer basis points."""
+    docs = _docs(spark, sf_dir)
+    exact = D.prefix_jaccard_pairs(docs).select("a_id", "b_id")
+    lsh = D.minhash_near_dup_pairs(docs).select("a_id", "b_id")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nh = exact.join(lsh, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return ne.crossJoin(nl).crossJoin(nh).select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.when(
+            F.col("n_exact") > 0, F.expr("n_hit * 10000 div n_exact")
+        )
+        .otherwise(F.lit(10000))
+        .cast("long")
+        .alias("recall_bp"),
+    )

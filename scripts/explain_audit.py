@@ -43,6 +43,7 @@ EXPECTED_BNLJ = {
     "split_summary",  # 1-row leakage-count frame crossJoined back (skew_report class)
     "tclose_audit_events",  # bounded dims crossJoined: category distribution (|event_type| rows) + 1-row total — never row-scale
     "corpus_manifest",  # 1-row summary frames crossJoined (theta-setops class)
+    "minhash_recall",  # same class: three 1-row count frames crossJoined
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
     "g3_cluster_ttl",
@@ -91,6 +92,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames
     "corpus_manifest",  # same class: keyless 1-row component aggs, <= 1 partial row per task
+    "minhash_recall",  # same class: keyless 1-row count aggs, <= 1 partial row per task
     # DSIR lambda totals: a whole-frame window over the bucket-count table,
     # which is BOUNDED at n_buckets (4096) rows by construction — the
     # hashed model never grows with the corpus, so the single partition

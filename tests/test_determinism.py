@@ -28,6 +28,11 @@ QUERIES = [
     # the hierarchical two-stage assignment + keeper self-join
     "dedup_segments_scrub",
     "dedup_semantic_twolevel",
+    # r10 families: salt-capped boundary-token blocking + Levenshtein verify,
+    # and the prefix-filter containment join over hashed shingle keys with a
+    # localCheckpoint-ed set table
+    "fuzzy_pairs",
+    "dedup_containment",
 ]
 
 

@@ -699,6 +699,13 @@ def test_end_to_end_taxi_job_gz_to_parquet(spark, tmp_path):
                 break
             _t.sleep(2)
         got = spark.read.schema(out_schema).parquet(out_dir).collect()
+        # listener progress events are delivered asynchronously — under CPU
+        # contention the final micro-batch's event can lag the sink rows, so
+        # drain it BEFORE stop()/removeListener (observed: 80/120 rows
+        # counted when stopping immediately)
+        drain = _t.time() + 60
+        while listener.rows_total < len(lines) and _t.time() < drain:
+            _t.sleep(0.5)
     finally:
         q.stop()
         spark.streams.removeListener(listener)

@@ -597,3 +597,32 @@ def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Containment scrub verdict: drop the contained (smaller-set) side of every
+# qualifying pair — the actionable form of dedup_containment.
+# --------------------------------------------------------------------------
+_CONT_SCRUB_SQL = f"""
+WITH pairs AS ({_CONT_SQL.strip()}),
+drops AS (
+  SELECT CASE WHEN n_a < n_b THEN a_id
+              WHEN n_a > n_b THEN b_id
+              ELSE b_id END AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_containers
+  FROM pairs GROUP BY 1
+)
+SELECT d.doc_id,
+       dr.n_containers IS NULL AS keep,
+       coalesce(dr.n_containers, 0) AS n_containers
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN drops dr USING (doc_id)
+"""
+
+
+@query("containment_scrub", oracle=_CONT_SCRUB_SQL)
+def containment_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-the-excerpt verdict per doc from the exact containment pairs
+    (smaller set = the contained copy; equal sizes keep the min id).  See
+    :func:`pyfads.dedup.containment_scrub`."""
+    return D.containment_scrub(_docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM)

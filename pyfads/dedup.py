@@ -1668,3 +1668,38 @@ def containment_pairs(
         F.expr("n_shared * 1000000 div n_a").cast("long").alias("cont_a_ppm"),
         F.expr("n_shared * 1000000 div n_b").cast("long").alias("cont_b_ppm"),
     )
+
+
+def containment_scrub(
+    df: DataFrame,
+    k: int = 3,
+    threshold_ppm: int = 800_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Actionable verdict over :func:`containment_pairs`: DROP the
+    contained side of every qualifying pair (the excerpt/quote/aggregated
+    copy), keep the container.  The contained side is the smaller shingle
+    set — containment_pairs' threshold tests ``shared/min(|A|,|B|)``,
+    which IS the smaller side's containment — with the (size, id) tie
+    rule: equal-size mutual near-copies drop the larger id (keep-min-id,
+    the exact_dedup convention).  Returns ``(doc_id, keep,
+    n_containers)`` for every non-null-text doc."""
+    pairs = containment_pairs(df, k, threshold_ppm, text_col, id_col)
+    dropped_id = (
+        F.when(F.col("n_a") < F.col("n_b"), F.col("a_id"))
+        .when(F.col("n_a") > F.col("n_b"), F.col("b_id"))
+        .otherwise(F.col("b_id"))
+    )
+    drops = (
+        pairs.select(dropped_id.alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_containers"))
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(id_col)
+    out = base.join(drops, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("n_containers").isNull().alias("keep"),
+        F.coalesce(F.col("n_containers"), F.lit(0)).cast("long").alias("n_containers"),
+    )

@@ -289,3 +289,20 @@ def test_fuzzy_blocking_salt_cap_bounds_hot_block(spark):
     # and the uncapped run would exceed the capped bound's candidate space
     uncapped = L.fuzzy_pairs(df, max_dist=2, n_words=6, max_block=100000).count()
     assert uncapped >= got
+
+
+def test_containment_scrub_drops_the_excerpt(spark):
+    inner = "q w e r t y u i"
+    outer = inner + " " + " ".join(f"pad{j}" for j in range(20))
+    df = _docs(spark, [(0, "en", inner), (1, "en", outer), (2, "en", "z x c v b n m k")])
+    out = {r.doc_id: r for r in D.containment_scrub(df, threshold_ppm=900_000).collect()}
+    assert not out[0].keep and out[0].n_containers == 1  # the excerpt drops
+    assert out[1].keep and out[2].keep  # container + unrelated survive
+
+
+def test_containment_scrub_equal_size_keeps_min_id(spark):
+    t = "a b c d e f g h"
+    out = {r.doc_id: r for r in D.containment_scrub(
+        _docs(spark, [(3, "en", t), (9, "en", t)]), threshold_ppm=900_000
+    ).collect()}
+    assert out[3].keep and not out[9].keep

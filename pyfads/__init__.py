@@ -26,7 +26,9 @@ re-exported here so `import pyfads` stays cheap):
   quantiles (all cross-engine deterministic).
 - ``pyfads.windows`` — sessionization, tumbling/sliding, as-of +
   interval joins, funnels, cohorts, event transitions.
-- ``pyfads.graph`` — fixed-point PageRank.  ``pyfads.layout`` — Z-order.
+- ``pyfads.graph`` — fixed-point PageRank + triangle enumeration.
+  ``pyfads.layout`` — Z-order.  ``pyfads.linkage`` — fuzzy record
+  linkage (blocking + Levenshtein), entity resolution, golden records.
 - ``pyfads.profile`` — table profiling.  ``pyfads.semistruct`` — JSON.
 - ``pyfads.multimodal`` — image/audio/frame plumbing (Arrow batches).
 - ``pyfads.metrics`` — throughput observers (P5).

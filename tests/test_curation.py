@@ -306,3 +306,51 @@ def test_containment_scrub_equal_size_keeps_min_id(spark):
         _docs(spark, [(3, "en", t), (9, "en", t)]), threshold_ppm=900_000
     ).collect()}
     assert out[3].keep and not out[9].keep
+
+
+def test_containment_lossless_hypothesis(spark):
+    """Property: prefix-filter containment == brute force on random small
+    corpora (random vocab overlap stresses prefix boundaries and ties)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = [f"v{i}" for i in range(8)]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=10),
+            min_size=2,
+            max_size=8,
+        ),
+        thr=st.sampled_from([300_000, 600_000, 900_000]),
+    )
+    def check(corpus, thr):
+        rows = [(i, "en", " ".join(ws)) for i, ws in enumerate(corpus)]
+        got = {
+            (r.a_id, r.b_id, r.n_shared)
+            for r in D.containment_pairs(
+                _docs(spark, rows), threshold_ppm=thr
+            ).collect()
+        }
+        sets = {
+            i: set(
+                " ".join(ws[j : j + 3]) for j in range(max(len(ws) - 2, 1))
+            )
+            for i, _, txt in rows
+            for ws in [txt.split(" ")]
+        }
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    sh = len(sets[a] & sets[b])
+                    if sh * 1_000_000 >= thr * min(len(sets[a]), len(sets[b])):
+                        want.add((a, b, sh))
+        assert got == want
+
+    check()

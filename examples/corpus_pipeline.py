@@ -68,6 +68,15 @@ def main() -> None:
             kept.select("doc_id", "lang", "source"), "doc_id"
         ),
     )
+    # 2a'. containment scrub: drop excerpt/quote copies (subset shingle
+    # sets) — Jaccard below scores a short excerpt inside a long doc too
+    # low to catch, containment sees it at 1.0 from the excerpt's side
+    cont = D.containment_scrub(exact)
+    exact = stage(
+        "containment_scrub",
+        exact.join(cont.filter(F.col("keep")).select("doc_id"), "doc_id"),
+    )
+
     pairs = D.minhash_near_dup_pairs(exact).select("a_id", "b_id")
     groups = D.connected_components(pairs, nodes=exact.select("doc_id"))
     survivors = stage(

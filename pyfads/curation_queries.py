@@ -626,3 +626,64 @@ def containment_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smaller set = the contained copy; equal sizes keep the min id).  See
     :func:`pyfads.dedup.containment_scrub`."""
     return D.containment_scrub(_docs(spark, sf_dir), threshold_ppm=_CONT_THR_PPM)
+
+
+# --------------------------------------------------------------------------
+# Token-sort linkage variant: reorder-invariant keys (fuzzywuzzy's
+# token_sort_ratio class) — word-reordered duplicates collapse to dist 0.
+# --------------------------------------------------------------------------
+_FUZZY_TS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+k AS (
+  SELECT doc_id,
+         array_to_string(list_sort(toks[1:{_N_WORDS}]), ' ') AS rkey,
+         list_sort(toks[1:{_N_WORDS}])[1] AS tok_first,
+         list_sort(toks[1:{_N_WORDS}])[len(list_sort(toks[1:{_N_WORDS}]))]
+           AS tok_last
+  FROM t
+),
+b0 AS (
+  SELECT doc_id, unnest([0, 1]) AS block_idx,
+         unnest([tok_first, tok_last]) AS block_key
+  FROM k
+),
+b1 AS (
+  SELECT doc_id, block_idx,
+         concat_ws('#', block_key,
+                   CAST((row_number() OVER (PARTITION BY block_idx, block_key
+                                            ORDER BY doc_id) - 1)
+                        // {_MAX_BLOCK} AS VARCHAR)) AS block_key
+  FROM b0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM b1 a JOIN b1 b USING (block_idx, block_key)
+  WHERE a.doc_id < b.doc_id
+),
+vp AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(ka.rkey, kb.rkey) AS BIGINT) AS edit_dist
+  FROM cand c
+  JOIN k ka ON ka.doc_id = c.a_id
+  JOIN k kb ON kb.doc_id = c.b_id
+  WHERE levenshtein(ka.rkey, kb.rkey) <= {_MAX_DIST}
+)
+SELECT a_id, b_id, edit_dist FROM vp
+"""
+
+
+@query("fuzzy_pairs_tokensort", oracle=_FUZZY_TS_SQL)
+def fuzzy_pairs_tokensort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-invariant fuzzy linkage: keys are the SORTED leading-token
+    slice, blocking on the slice's min/max token — "smith, john" vs
+    "john smith" collapse to edit distance 0 where the raw-key variant
+    needs 2x the token length in edits.  See
+    :func:`pyfads.linkage.fuzzy_pairs` (sort_tokens=True)."""
+    return L.fuzzy_pairs(
+        _docs(spark, sf_dir),
+        max_dist=_MAX_DIST,
+        n_words=_N_WORDS,
+        max_block=_MAX_BLOCK,
+        sort_tokens=True,
+    )

@@ -45,18 +45,31 @@ def record_keys(
     n_words: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sort_tokens: bool = False,
 ) -> DataFrame:
     """Per-record pseudo-title: the leading ``n_words`` tokens re-joined,
     plus the two boundary tokens used as blocking keys.  Null-text rows
     are excluded (no key, nothing to link).  Pure per-row projection —
-    zero shuffles."""
+    zero shuffles.
+
+    ``sort_tokens=True`` is the TOKEN-SORT variant (fuzzywuzzy's
+    token_sort_ratio class): the key is the lexicographically sorted
+    token slice, so word-reordered duplicates ("smith, john" vs "john
+    smith") collapse to edit distance 0, and the blocking tokens become
+    the slice's min/max token — reorder-invariant by construction."""
     toks = tokens(text_col)
-    last_idx = F.least(F.size(toks), F.lit(int(n_words))).cast("int")
+    sl = F.slice(toks, 1, int(n_words))
+    if sort_tokens:
+        sl = F.array_sort(sl)
+        first, last = F.element_at(sl, 1), F.element_at(sl, F.size(sl))
+    else:
+        last_idx = F.least(F.size(toks), F.lit(int(n_words))).cast("int")
+        first, last = F.element_at(toks, 1), F.element_at(toks, last_idx)
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.concat_ws(" ", F.slice(toks, 1, int(n_words))).alias("rkey"),
-        F.element_at(toks, 1).alias("__first"),
-        F.element_at(toks, last_idx).alias("__last"),
+        F.concat_ws(" ", sl).alias("rkey"),
+        first.alias("__first"),
+        last.alias("__last"),
     )
 
 
@@ -67,6 +80,7 @@ def fuzzy_pairs(
     max_block: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sort_tokens: bool = False,
 ) -> DataFrame:
     """Fuzzy-duplicate candidate pairs ``(a_id, b_id, edit_dist)`` with
     ``edit_dist = levenshtein(key_a, key_b) <= max_dist`` and
@@ -82,8 +96,9 @@ def fuzzy_pairs(
     key -> distinct pairs -> two hash joins to fetch keys -> per-row
     Levenshtein.  ``F.levenshtein(..., threshold)`` short-circuits the DP
     at ``max_dist`` (returns -1 past the bound), so the verify is
-    O(max_dist * keylen) per pair."""
-    keys = record_keys(df, n_words, text_col, id_col)
+    O(max_dist * keylen) per pair.  ``sort_tokens=True`` switches to
+    reorder-invariant token-sort keys (see :func:`record_keys`)."""
+    keys = record_keys(df, n_words, text_col, id_col, sort_tokens)
     blocks = keys.select(
         F.col(id_col),
         F.posexplode(F.array("__first", "__last")).alias("block_idx", "block_key"),

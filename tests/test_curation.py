@@ -354,3 +354,18 @@ def test_containment_lossless_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_tokensort_catches_reordered_words(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "en", "john smith baker street berlin office extra words"),
+            (1, "en", "smith john baker street berlin office other tail"),
+        ],
+    )
+    # raw keys: reorder = many edits -> missed at max_dist 2
+    assert L.fuzzy_pairs(df).count() == 0
+    # token-sort keys: identical sorted slice -> dist 0
+    got = L.fuzzy_pairs(df, sort_tokens=True).collect()
+    assert [(r.a_id, r.b_id, r.edit_dist) for r in got] == [(0, 1, 0)]

@@ -687,3 +687,133 @@ def fuzzy_pairs_tokensort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block=_MAX_BLOCK,
         sort_tokens=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-eval harness over the labeled embeddings: kNN majority-vote
+# classification and k-means cell label purity — the two standard "is the
+# embedding space any good" dials.
+# --------------------------------------------------------------------------
+_KNN_EVAL_Q = 64  # labeled queries
+_KNN_EVAL_K = 10
+
+
+def _knn_label_sql() -> str:
+    from pyfads.llm_queries import DIM, _dot_sql, _norm_sql
+
+    return f"""
+WITH e AS (SELECT * FROM embeddings e0 WHERE {_norm_sql('e0', DIM)} > 0),
+q AS (SELECT * FROM e WHERE vec_id < {_KNN_EVAL_Q}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label AS n_label,
+         ({_dot_sql('q', 'c', DIM)})
+           / ({_norm_sql('q', DIM)} * {_norm_sql('c', DIM)}) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+),
+nn AS (
+  SELECT q_id, n_label
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+  WHERE rank <= {_KNN_EVAL_K}
+),
+votes AS (SELECT q_id, n_label, CAST(count(*) AS BIGINT) AS n_votes
+          FROM nn GROUP BY q_id, n_label),
+pred AS (
+  SELECT q_id, n_label AS pred_label, n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT p.q_id, q.label AS true_label, p.pred_label, p.n_votes,
+       p.pred_label = q.label AS correct
+FROM pred p JOIN q ON q.vec_id = p.q_id
+"""
+
+
+@query("knn_label_accuracy", oracle=_knn_label_sql)
+def knn_label_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over the labeled embeddings (the
+    classic retrieval-quality eval): per query, the top-10 neighbours'
+    label vote (ties: count DESC, label ASC) against the true label.
+    Brute-force exact neighbours (the ground-truth path — swap in any ANN
+    entry for the production shape)."""
+    from pyfads import similarity as S
+    from pyfads.llm_queries import DIM
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    nn = S.cosine_topk(
+        embs, embs.filter(F.col("vec_id") < _KNN_EVAL_Q), DIM, k=_KNN_EVAL_K
+    )
+    lab = embs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("q_id", "n_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.col("n_label"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", F.col("n_label").alias("pred_label"), "n_votes")
+    )
+    truth = embs.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def _cell_purity_sql() -> str:
+    from pyfads.golden import cell_purity_oracle
+
+    return cell_purity_oracle(dim=64, n_centroids=32, seed=7)
+
+
+@query("cell_purity_report", oracle=_cell_purity_sql)
+def cell_purity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell label purity of the k-means codebook (clustering-quality
+    dial: a cell whose members share a label is a coherent region; purity
+    near the label prior means the codebook ignores the labels).  Majority
+    tie -> smaller label; integer basis points."""
+    from pyfads import similarity as S
+    from pyfads.llm_queries import DIM
+    from pyfads.similarity import _assign_cells, drop_zero_norm, train_ivf_centroids
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    emb = drop_zero_norm(embs, DIM)
+    cents = train_ivf_centroids(emb, DIM, 32, 7)
+    assigned = _assign_cells(emb, cents, "vec_id", "embedding").join(
+        embs.select("vec_id", "label"), "vec_id"
+    )
+    lc = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    tot = lc.groupBy("cell").agg(F.sum("n_label").cast("long").alias("n_cell"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(F.desc("n_label"), F.col("label"))
+    maj = (
+        lc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n_label").alias("n_majority"),
+        )
+    )
+    return maj.join(tot, "cell").select(
+        "cell",
+        "n_cell",
+        "majority_label",
+        "n_majority",
+        F.expr("n_majority * 10000 div n_cell").cast("long").alias("purity_bp"),
+    )

@@ -1621,3 +1621,49 @@ def prototypicality_prune_oracle(
     dim: int = 64, prune_pct: int = 30, n_centroids: int = 32, seed: int = 7
 ) -> str:
     return _proto_prune_cached(oracle_sf_dir(), dim, prune_pct, n_centroids, seed)
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_purity_cached(sf_dir: str, dim: int, n_centroids: int, seed: int) -> str:
+    """DuckDB twin of the cell-purity report: bitwise-retrained codebook
+    (rank-consuming only — plain list literals suffice, the dp never
+    reaches an output column), per-cell label counts, majority with the
+    (count DESC, label ASC) tie, integer basis-point purity."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed)
+    vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
+    norm = _chain_norm_sql("e0", dim)
+    dot = _fold_dot("e.embedding", "c.cvec", dim)
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, embedding, label FROM embeddings e0 WHERE {norm} > 0),
+celldot AS (
+  SELECT e.vec_id, e.label, c.cell, ({dot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dp DESC, cell) AS rn
+        FROM celldot)
+  WHERE rn = 1
+),
+lc AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n_label
+       FROM assigned GROUP BY cell, label),
+tot AS (SELECT cell, CAST(sum(n_label) AS BIGINT) AS n_cell FROM lc GROUP BY cell),
+maj AS (
+  SELECT cell, label AS majority_label, n_label AS n_majority
+  FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                                     ORDER BY n_label DESC, label) AS rn
+        FROM lc)
+  WHERE rn = 1
+)
+SELECT m.cell, t.n_cell, m.majority_label, m.n_majority,
+       m.n_majority * 10000 // t.n_cell AS purity_bp
+FROM maj m JOIN tot t USING (cell)
+"""
+
+
+def cell_purity_oracle(dim: int = 64, n_centroids: int = 32, seed: int = 7) -> str:
+    return _cell_purity_cached(oracle_sf_dir(), dim, n_centroids, seed)

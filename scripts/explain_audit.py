@@ -46,6 +46,7 @@ EXPECTED_BNLJ = {
     "minhash_recall",  # same class: three 1-row count frames crossJoined
     "skew_report",  # 1-row global (total, n_keys) frame joined keylessly
     "ann_cosine_dim1024",
+    "knn_label_accuracy",  # same class: bounded broadcast query side, q_id <> neighbor_id theta join
     "g3_cluster_ttl",
     "g5_knn_topk",
     "g7_fits",

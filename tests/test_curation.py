@@ -369,3 +369,27 @@ def test_tokensort_catches_reordered_words(spark):
     # token-sort keys: identical sorted slice -> dist 0
     got = L.fuzzy_pairs(df, sort_tokens=True).collect()
     assert [(r.a_id, r.b_id, r.edit_dist) for r in got] == [(0, 1, 0)]
+
+
+def test_knn_vote_and_purity_planted(spark):
+    """Planted separable clusters: kNN vote and cell purity both perfect."""
+    import numpy as np
+
+    from pyfads.similarity import _assign_cells, cosine_topk
+
+    # two tight label clusters on orthogonal axes, dim 4
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.01 * i, 1.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    nn = cosine_topk(df, df.filter("vec_id in (0, 6)"), dim=4, k=3)
+    lab = {r.vec_id: r.label for r in df.collect()}
+    votes = [(r.q_id, lab[r.neighbor_id]) for r in nn.collect()]
+    assert all(lab[q] == v for q, v in votes)  # every neighbour same-label
+    # purity: assign to the two exact axis centroids -> 100% pure cells
+    cents = np.eye(4)[:2]
+    assigned = {r.vec_id: r.cell for r in _assign_cells(df, cents, "vec_id", "embedding").collect()}
+    assert all(assigned[i] == 0 for i in range(6))
+    assert all(assigned[i] == 1 for i in range(6, 12))

@@ -265,7 +265,7 @@ def prototypicality_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves (inner time-interval joins emit matches as both sides arrive, so
 # the streamed result equals the batch join value-for-value).
 # --------------------------------------------------------------------------
-_SSJ_CHUNKS: dict[str, str] = {}
+_SSJ_CHUNKS: dict[tuple, str] = {}
 
 
 @query(
@@ -285,34 +285,39 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     query with a memory sink — Spark's canonical two-stream join with
     watermark state eviction; the oracle is the SAME SQL as the batch
     ``interval_join_events`` twin (inner joins emit exactly the matched
-    pairs, independent of micro-batching).  Chunks are ts-ordered so the
-    watermark advances behind the data and never drops a late row at
-    fixture skew.  See :func:`pyfads.windows.interval_join`."""
+    pairs, independent of micro-batching).  Chunks are split on TS
+    quantiles (not row ids), so chunk boundaries are ts-monotone no matter
+    how event_ids were assigned and the 2h watermark never drops a
+    legitimately-joinable row as late (ADVICE r10: id-quantile splits
+    diverge on fixtures whose ids interleave across the full ts range).
+    See :func:`pyfads.windows.interval_join`."""
     from pyfads.io import epoch_ms
-    from pyfads.llm_queries import _scratch_dir
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
     from pyfads.windows import interval_join
 
     ev = read_table(spark, sf_dir, "events")
-    if sf_dir not in _SSJ_CHUNKS:
+    key = _chunk_key(sf_dir, "events")
+    if key not in _SSJ_CHUNKS:
         d = _scratch_dir("pyfads_ssj_")
-        qs = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
+        ms = ev.withColumn("_ms", epoch_ms(ev, "ts"))
+        qs = ms.approxQuantile("_ms", [0.34, 0.67], 0.001)
         lo, hi = int(qs[0]), int(qs[1])
-        base = ev.orderBy("ts", "event_id")
-        base.filter(F.col("event_id") <= lo).coalesce(1).write.parquet(
+        base = ms.orderBy("_ms", "event_id")
+        base.filter(F.col("_ms") <= lo).drop("_ms").coalesce(1).write.parquet(
             d + "/c0.parquet"
         )
-        base.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)).coalesce(
-            1
-        ).write.parquet(d + "/c1.parquet")
-        base.filter(F.col("event_id") > hi).coalesce(1).write.parquet(
+        base.filter((F.col("_ms") > lo) & (F.col("_ms") <= hi)).drop(
+            "_ms"
+        ).coalesce(1).write.parquet(d + "/c1.parquet")
+        base.filter(F.col("_ms") > hi).drop("_ms").coalesce(1).write.parquet(
             d + "/c2.parquet"
         )
-        _SSJ_CHUNKS[sf_dir] = d
+        _SSJ_CHUNKS[key] = d
     src = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_SSJ_CHUNKS[sf_dir])
+        .parquet(_SSJ_CHUNKS[key])
     )
 
     def side(df, etype, idname, tsname):
@@ -354,7 +359,7 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct content-hash SET (which row of a duplicate group a micro-batch
 # keeps is engine-internal, the SET of survivors' texts is not).
 # --------------------------------------------------------------------------
-_SDEDUP_CHUNKS: dict[str, str] = {}
+_SDEDUP_CHUNKS: dict[tuple, str] = {}
 
 
 @query(
@@ -366,10 +371,11 @@ def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct text on the whole stream (state = 16-byte content hashes) —
     the value oracle is the distinct-text set, which micro-batch
     boundaries cannot change.  See :func:`pyfads.dedup.exact_dedup_stream`."""
-    from pyfads.llm_queries import _scratch_dir
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if sf_dir not in _SDEDUP_CHUNKS:
+    key = _chunk_key(sf_dir, "documents")
+    if key not in _SDEDUP_CHUNKS:
         d = _scratch_dir("pyfads_sdedup_")
         mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
         docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
@@ -378,12 +384,12 @@ def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
             d + "/c1.parquet"
         )
-        _SDEDUP_CHUNKS[sf_dir] = d
+        _SDEDUP_CHUNKS[key] = d
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_SDEDUP_CHUNKS[sf_dir])
+        .parquet(_SDEDUP_CHUNKS[key])
     )
     deduped = D.exact_dedup_stream(src.filter(F.col("text").isNotNull()))
     name = "dedup_exact_streamed_sink"
@@ -486,7 +492,11 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_match = None
     for j in range(16):
-        t = (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int")
+        # null-safe: a NULL slot counts 0, matching the oracle's CASE WHEN
+        # (a plain == would propagate NULL through the whole sum; ADVICE r10)
+        t = F.coalesce(
+            (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int"), F.lit(0)
+        )
         n_match = t if n_match is None else n_match + t
     return (
         pairs.join(ma, "a_id")

@@ -164,6 +164,59 @@ def fads_hotkey_events_oracle(max_group_rows: int = 120) -> str:
     return _fads_golden_cached("fads_hotkey_events", True, oracle_sf_dir(), max_group_rows)
 
 
+@functools.lru_cache(maxsize=None)
+def _fads_mode_golden_cached(name: str, sf_dir: str, legacy: bool, distinct: bool) -> str:
+    """Golden builder for the opt-in reference-parity modes (r10 verdict
+    item 3): ``legacy_distance`` replays the reference's SHIPPED
+    (abs/hi)-lo distance precedence bug (Generalizer.java:356) and
+    ``distinct_pids`` its intended pairwise-distinct-PID neighbour rule
+    (Generalizer.java:205-216).  Same flagship config otherwise; the
+    expected table comes from the independent pure-Python oracle run in
+    the matching mode."""
+    from pyfads.config import FADSConfig
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(GOLDEN_DIR, f"{name}.{tag}.parquet")
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        pid_col="user_id" if distinct else "event_id",
+        legacy_distance=legacy,
+        distinct_pids=distinct,
+    )
+    from pyfads.oracle import fads_oracle
+
+    rows = _events_rows(sf_dir)
+    if distinct:
+        # pid = user_id (repeats, so the distinct-PID rule actually
+        # engages); the batch engine's stable (arrival, pid) mergesort is
+        # replayed by python's stable sort over parquet-order rows
+        ordered = sorted(rows, key=lambda r: (r[3], r[1]))
+        orows = [(eid, (u, v, float(ms)), ms, u) for eid, u, v, ms, _et in ordered]
+    else:
+        ordered = sorted(rows, key=lambda r: (r[3], r[0]))
+        orows = [(eid, (u, v, float(ms)), ms) for eid, u, v, ms, _et in ordered]
+    released = fads_oracle(orows, cfg)
+    _write_golden(path, released)
+    return f"""
+SELECT g.event_id, g.user_id_lo, g.user_id_hi, g.value_lo, g.value_hi,
+       g.ts_millis_lo, g.ts_millis_hi,
+       e.event_type, epoch_ms(e.ts) AS arrival_ms
+FROM read_parquet('{path}') g JOIN events e USING (event_id)
+"""
+
+
+def fads_legacy_events_oracle() -> str:
+    return _fads_mode_golden_cached("fads_legacy_events", oracle_sf_dir(), True, False)
+
+
+def fads_distinct_pids_events_oracle() -> str:
+    return _fads_mode_golden_cached(
+        "fads_distinct_pids_events", oracle_sf_dir(), False, True
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN LSH: hyperplane literals, sign-bit bucketing recomputed in SQL
 # --------------------------------------------------------------------------

@@ -45,6 +45,21 @@ def _scratch_dir(prefix: str) -> str:
     return path
 
 
+def _chunk_key(sf_dir: str, table: str) -> tuple:
+    """Cache key for streamed-chunk / derived-store scratch dirs:
+    (sf_dir, table, fixture mtime, size).  Regenerating the fixture
+    in-place changes the key, so derived data is rebuilt instead of
+    silently serving stale rows (ADVICE r10)."""
+    import os
+
+    p = os.path.join(sf_dir, table + ".parquet")
+    try:
+        st = os.stat(p)
+        return (sf_dir, table, int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        return (sf_dir, table)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one small parquet file at test SFs — spread the CPU-heavy per-row
     # hashing across cores (no-op once the scan itself is wide)
@@ -956,7 +971,7 @@ def dedup_semantic_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMGATE_CHUNKS: dict[str, str] = {}
+_SEMGATE_CHUNKS: dict[tuple, str] = {}
 
 
 @query(
@@ -973,7 +988,8 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL value oracle (the incremental twin filtered to is_new), not the
     weaker rows-only streaming check."""
     cents, corpus = _semstore(spark, sf_dir)
-    if sf_dir not in _SEMGATE_CHUNKS:
+    _sgkey = _chunk_key(sf_dir, "embeddings")
+    if _sgkey not in _SEMGATE_CHUNKS:
         d = _scratch_dir("pyfads_semgate_")
         embs = _embs(spark, sf_dir).select("vec_id", "embedding")
         batch = _plant_gate_batch(embs)
@@ -983,12 +999,12 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.filter(F.col("vec_id") >= 15_000_000).coalesce(1).write.parquet(
             d + "/c1.parquet"
         )
-        _SEMGATE_CHUNKS[sf_dir] = d
+        _SEMGATE_CHUNKS[_sgkey] = d
     src = (
         spark.readStream.schema("vec_id bigint, embedding array<double>")
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_SEMGATE_CHUNKS[sf_dir])
+        .parquet(_SEMGATE_CHUNKS[_sgkey])
     )
     gated = S.semantic_gate_stream(src, cents, corpus, DIM, threshold=0.9)
     # one fixed sink name: each run replaces the previous registration, so
@@ -3774,7 +3790,7 @@ def domain_policy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _URL_GATE_PRED = "doc_id % 10 = 7"
-_URLGATE_CHUNKS: dict[str, str] = {}
+_URLGATE_CHUNKS: dict[tuple, str] = {}
 
 _URL_GATE_SQL = f"""
 WITH {_URL_BASE_CTE},
@@ -3800,7 +3816,8 @@ def url_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = W.url_canonicalize(W.with_synth_urls(docs))
     pred = F.expr(_URL_GATE_PRED)
     corpus = c.filter(~pred).select("canonical_url")
-    if sf_dir not in _URLGATE_CHUNKS:
+    _ugkey = _chunk_key(sf_dir, "documents")
+    if _ugkey not in _URLGATE_CHUNKS:
         d = _scratch_dir("pyfads_urlgate_")
         batch = docs.filter(pred)
         mid = batch.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
@@ -3810,12 +3827,12 @@ def url_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
             d + "/c1.parquet"
         )
-        _URLGATE_CHUNKS[sf_dir] = d
+        _URLGATE_CHUNKS[_ugkey] = d
     src = (
         spark.readStream.schema("doc_id bigint, source string")
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_URLGATE_CHUNKS[sf_dir])
+        .parquet(_URLGATE_CHUNKS[_ugkey])
     )
     gated = W.url_gate_stream(W.url_canonicalize(W.with_synth_urls(src)), corpus)
     name = "url_gate_streamed_sink"

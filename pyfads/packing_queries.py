@@ -214,7 +214,7 @@ def split_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PACKSTREAM_CHUNKS: dict[str, str] = {}
+_PACKSTREAM_CHUNKS: dict[tuple, str] = {}
 
 
 @query("pack_nextfit_streamed", oracle=_PACK_NEXTFIT_SQL)
@@ -227,20 +227,21 @@ def pack_nextfit_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is checked against the SAME recursive-CTE oracle as the
     batch operator, so state carry-over is value-verified, not just
     smoke-tested."""
-    from pyfads.llm_queries import _scratch_dir
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if sf_dir not in _PACKSTREAM_CHUNKS:
+    _pskey = _chunk_key(sf_dir, "documents")
+    if _pskey not in _PACKSTREAM_CHUNKS:
         d = _scratch_dir("pyfads_packstream_")
         mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
         docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(d + "/c0.parquet")
         docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(d + "/c1.parquet")
-        _PACKSTREAM_CHUNKS[sf_dir] = d
+        _PACKSTREAM_CHUNKS[_pskey] = d
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_PACKSTREAM_CHUNKS[sf_dir])
+        .parquet(_PACKSTREAM_CHUNKS[_pskey])
     )
     packed = P.pack_nextfit_stream(src, _CAP, _SHARDS)
     name = "pack_nextfit_streamed_sink"
@@ -255,3 +256,99 @@ def pack_nextfit_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (r11): per-source quality stages (Gopher-flag count
+# tertiles, the ppl_buckets integer-rank arithmetic) + seeded hash shuffle
+# within each stage.  The oracle replays the full chain: quality flags ->
+# per-source stage rank -> md5 shard/order hashes -> per-(stage, shard)
+# position.
+# --------------------------------------------------------------------------
+_CURR_SEED = "curr-r11"
+_CURR_STAGES = 3
+
+
+def _curriculum_sql() -> str:
+    from pyfads.llm_queries import _QUALITY_SQL
+
+    shard = md5_hash60_sql(_CURR_SEED + ":shard", "CAST(doc_id AS VARCHAR)")
+    okey = md5_hash60_sql(_CURR_SEED + ":order", "CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+d AS (
+  SELECT doc_id, source, n_flags FROM q JOIN documents USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, n_flags,
+         row_number() OVER (PARTITION BY source ORDER BY n_flags, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+s AS (
+  SELECT doc_id, source, n_flags,
+         CAST(least(((rn - 1) * {_CURR_STAGES}) // n, {_CURR_STAGES - 1}) AS INT)
+             AS stage,
+         CAST({shard} % {_SHARDS} AS INT) AS shard,
+         {okey} AS okey
+  FROM r
+)
+SELECT doc_id, source, n_flags, stage, shard,
+       CAST(row_number() OVER (PARTITION BY stage, shard
+                               ORDER BY okey, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
+@query("curriculum_order", oracle=_curriculum_sql)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: per-source quality stages (cleanest
+    first), deterministic seeded shuffle within stage — see
+    :func:`pyfads.pipeline.curriculum_order`."""
+    from pyfads.pipeline import curriculum_order
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curriculum_order(
+        docs, n_stages=_CURR_STAGES, n_shards=_SHARDS, seed=_CURR_SEED
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-constrained epoch scheduling (r11): per-source integer repeat
+# factors for a fixed training token budget (proportional slice div source
+# tokens, clamped to [1, max_epochs]) — pure integer arithmetic.
+# --------------------------------------------------------------------------
+_EPOCH_BUDGET = 3_000_000
+_EPOCH_MAX = 4
+
+_EPOCH_SQL = f"""
+WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS source_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT CAST(sum(source_tokens) AS BIGINT) AS total FROM per)
+SELECT source, n_docs, source_tokens,
+       CAST(least(greatest((CAST({_EPOCH_BUDGET} AS BIGINT) * source_tokens
+                            // total) // source_tokens, 1),
+                  {_EPOCH_MAX}) AS BIGINT) AS epochs,
+       CAST(least(greatest((CAST({_EPOCH_BUDGET} AS BIGINT) * source_tokens
+                            // total) // source_tokens, 1),
+                  {_EPOCH_MAX}) * source_tokens AS BIGINT) AS scheduled_tokens
+FROM per, tot
+"""
+
+
+@query("epoch_schedule", oracle=_EPOCH_SQL)
+def epoch_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch schedule: integer per-source repeat factors
+    for a fixed token budget (Muennighoff et al. 2023 regime) — see
+    :func:`pyfads.pipeline.epoch_schedule`."""
+    from pyfads.pipeline import epoch_schedule
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return epoch_schedule(docs, budget_tokens=_EPOCH_BUDGET, max_epochs=_EPOCH_MAX)

@@ -26,6 +26,8 @@ __all__ = [
     "global_shuffle_index",
     "mix_sample",
     "key_skew_report",
+    "curriculum_order",
+    "epoch_schedule",
 ]
 
 _SAMPLE_BUCKETS = 10_000
@@ -720,4 +722,114 @@ def sample_priority_stratified(
                 F.col("weight"), F.coalesce(F.col("tau"), F.lit(0.0))
             ).alias("est_weight"),
         )
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_stages: int = 3,
+    n_shards: int = 8,
+    seed: str = "curriculum",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Curriculum training-order construction: per-``strat_col`` quality
+    stages (cleanest docs first — the anneal-from-clean schedule
+    curriculum-learning pipelines use), then a deterministic seeded
+    shuffle WITHIN each stage so the order inside a stage is unbiased.
+
+    Stage assignment is INTEGER-exact (the :func:`pyfads.text.
+    rarity_buckets` tertile arithmetic): rows ranked per stratum by
+    Gopher-flag count ``(n_flags, id)``, ``stage = least((rank-1) *
+    n_stages div n_strat, n_stages-1)`` — stage 0 is the cleanest slice.
+    Within a stage the order is :func:`pyfads.packing.global_shuffle`'s
+    (hash shard, hash position) pair — a training loop reads stages in
+    order and shards within a stage in any interleaving.
+
+    Scale shape: ONE window per stratum for the stage rank (bounded-
+    cardinality key, the ppl_buckets precedent) + one row_number per
+    (stage, shard) — shard count bounds that partition; no global sort,
+    no RNG state.  Returns ``(id, strat, n_flags, stage, shard, pos)``."""
+    from pyfads.text import quality_score
+
+    q = quality_score(docs).select(id_col, "n_flags")
+    d = docs.select(F.col(id_col), F.col(strat_col)).join(q, id_col)
+    # asc_nulls_last: DuckDB's ASC default — keeps the twin exact even if
+    # a corpus carries NULL texts (Spark's bare ASC is NULLS FIRST)
+    wo = Window.partitionBy(strat_col).orderBy(
+        F.asc_nulls_last("n_flags"), id_col
+    )
+    wn = Window.partitionBy(strat_col)
+    d = d.withColumn("__rn", F.row_number().over(wo)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    stage = F.least(
+        F.expr(f"((__rn - 1) * {int(n_stages)}) div __n"),
+        F.lit(int(n_stages) - 1),
+    ).cast("int")
+    sid = F.col(id_col).cast("string")
+    shard = (md5_hash60(sid, f"{seed}:shard") % int(n_shards)).cast("int")
+    okey = md5_hash60(sid, f"{seed}:order")
+    staged = d.select(
+        F.col(id_col),
+        F.col(strat_col),
+        F.col("n_flags"),
+        stage.alias("stage"),
+        shard.alias("shard"),
+        okey.alias("__okey"),
+    )
+    wpos = Window.partitionBy("stage", "shard").orderBy("__okey", id_col)
+    return staged.withColumn(
+        "pos", F.row_number().over(wpos).cast("bigint")
+    ).drop("__okey")
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained epoch scheduling (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" regime): given a training
+    token budget and the per-source token inventory, assign each source an
+    integer repeat factor — proportional allocation, capped at
+    ``max_epochs`` (beyond ~4 epochs repeated data stops helping), floor 1
+    (every source is seen at least once).
+
+    All integer arithmetic: ``share = budget * source_tokens div
+    total_tokens`` (proportional budget slice), ``epochs =
+    least(greatest(share div source_tokens, 1), max_epochs)`` — i.e. how
+    many full passes of the source fit its slice, clamped.  Returns one
+    row per source: ``(source, n_docs, source_tokens, epochs,
+    scheduled_tokens)``.
+
+    Scale shape: whitespace token counts are a map-only projection;
+    the per-source rollup is one map-side-combinable groupBy over a
+    bounded key; the corpus total joins back as a literal-free crossJoin
+    of a 1-row aggregate (broadcast by AQE).  Nothing per-row ever
+    shuffles except the (source, partial sum) pairs."""
+    t = docs.select(
+        F.col(strat_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("__nt"),
+    )
+    per = t.groupBy(strat_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("source_tokens"),
+    )
+    total = per.agg(F.sum("source_tokens").cast("bigint").alias("__total"))
+    j = per.crossJoin(F.broadcast(total))
+    epochs = F.expr(
+        f"least(greatest((CAST({int(budget_tokens)} AS BIGINT) * source_tokens"
+        f" div __total) div source_tokens, CAST(1 AS BIGINT)),"
+        f" CAST({int(max_epochs)} AS BIGINT))"
+    )
+    return j.select(
+        F.col(strat_col),
+        "n_docs",
+        "source_tokens",
+        epochs.alias("epochs"),
+        (epochs * F.col("source_tokens")).cast("bigint").alias("scheduled_tokens"),
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 # values are SQL strings, or zero-arg callables -> SQL for oracles that are
@@ -133,6 +133,183 @@ def fads_hotkey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fads_generalize_partitioned(
         events_with_arrival(spark, sf_dir), cfg, "event_type", max_group_rows=120
+    )
+
+
+@query("fads_legacy_events", oracle=_golden.fads_legacy_events_oracle)
+def fads_legacy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped-bug parity mode (r10 verdict item 3): ``legacy_distance``
+    replays the reference's SHIPPED neighbour distance byte-for-byte —
+    the (abs/hi)-lo operator-precedence bug of Generalizer.java:356,
+    IEEE x/0 -> inf and 0/0 -> NaN included — instead of the intended
+    normalized L1.  Oracle: the independent pure-Python golden run in the
+    same mode (pyfads.oracle supports it natively)."""
+    from pyfads import FADSConfig, fads_generalize
+    from pyfads.io import events_with_arrival
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+        legacy_distance=True,
+    )
+    return fads_generalize(events_with_arrival(spark, sf_dir), cfg)
+
+
+@query("fads_distinct_pids_events", oracle=_golden.fads_distinct_pids_events_oracle)
+def fads_distinct_pids_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intended-semantics parity mode of the reference's distinct-PID
+    neighbour rule (Generalizer.java:205-216): the k-1 nearest neighbours
+    must carry pairwise-distinct PIDs.  The PID here is ``user_id`` (it
+    repeats in events, so the rule actually engages — with the unique
+    event_id it would be a no-op); pid-as-QID is the reference's own
+    pattern (TransactionGeneralizationJob.java:66-72)."""
+    from pyfads import FADSConfig, fads_generalize
+    from pyfads.io import events_with_arrival
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="user_id",
+        arrival_col="arrival_ms",
+        distinct_pids=True,
+    )
+    return fads_generalize(events_with_arrival(spark, sf_dir), cfg)
+
+
+_FADS_STREAM_CHUNKS: dict[tuple, str] = {}
+
+
+def _fads_stream_chunks(spark: SparkSession, sf_dir: str) -> tuple:
+    """Three arrival-contiguous parquet chunks of events_with_arrival,
+    mtimes ascending so the file stream ingests them in arrival order.
+    Chunks split on arrival_ms VALUE boundaries, so rows with equal
+    arrivals never straddle a chunk (the per-batch stable (arrival, pid)
+    mergesort then reproduces the batch order globally).  Returns
+    (chunk_dir, input schema, row count); cached per fixture fingerprint."""
+    import os
+
+    from pyfads.io import events_with_arrival
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
+
+    ev = events_with_arrival(spark, sf_dir)
+    n_events = ev.count()
+    key = _chunk_key(sf_dir, "events")
+    if key not in _FADS_STREAM_CHUNKS:
+        d = _scratch_dir("pyfads_fstream_")
+        qs = ev.approxQuantile("arrival_ms", [0.34, 0.67], 0.001)
+        lo, hi = int(qs[0]), int(qs[1])
+        base = ev.orderBy("arrival_ms", "event_id")
+        parts = [
+            base.filter(F.col("arrival_ms") <= lo),
+            base.filter((F.col("arrival_ms") > lo) & (F.col("arrival_ms") <= hi)),
+            base.filter(F.col("arrival_ms") > hi),
+        ]
+        for i, part in enumerate(parts):
+            p = f"{d}/c{i}.parquet"
+            part.coalesce(1).write.parquet(p)
+            t = 1_700_000_000 + i * 60
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (t, t))
+        _FADS_STREAM_CHUNKS[key] = d
+    return _FADS_STREAM_CHUNKS[key], ev.schema, n_events
+
+
+def _run_fads_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg,
+    sink_name: str,
+    partition_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Drive fads_generalize_stream over the chunked events source to
+    completion (poll the memory sink for the full release count — with a
+    ProcessingTimeTimeout armed, processAllAvailable never terminates)."""
+    import time as _time
+
+    from pyfads.fads_stream import fads_generalize_stream
+
+    d, schema, n_events = _fads_stream_chunks(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = fads_generalize_stream(
+        src, cfg, partition_cols=partition_cols, flush_after_ms=2_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            if spark.table(sink_name).count() >= n_events:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    return spark.table(sink_name)
+
+
+@query("fads_stream_events", oracle=_golden.fads_generalize_events_oracle)
+def fads_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING FADS under the driver gate (r10 verdict item 2): the
+    flagship config driven through a real ``applyInPandasWithState``
+    Structured Streaming query — three arrival-contiguous parquet chunks
+    fed one per micro-batch (state survives a pickle round-trip through
+    the state store at each boundary), idle ProcessingTimeTimeout flush
+    draining the buffer (G14).  Oracle: the SAME golden table as the
+    batch flagship — stream==batch parity is the operator's contract
+    (pytest-proven in tests/test_fads_stream.py; this entry puts it under
+    the driver's independent check).
+
+    Chunks split on arrival_ms VALUE boundaries, so rows with equal
+    arrivals never straddle a chunk (the per-batch stable (arrival, pid)
+    mergesort then reproduces the batch order globally)."""
+    from pyfads import FADSConfig
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    return _run_fads_stream(spark, sf_dir, cfg, "fads_stream_events_sink")
+
+
+@query("fads_stream_partitioned", oracle=_golden.fads_partitioned_events_oracle)
+def fads_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-OUT streaming FADS under the driver gate: one independent
+    stateful FADS instance per event_type key (the reference's keyBy
+    scale-out, SURVEY §2.5.9), driven through applyInPandasWithState over
+    the same arrival-contiguous chunks — each key's state crosses every
+    micro-batch boundary through the state store independently.  Oracle:
+    the SAME golden table as the batch fads_partitioned_events (per-group
+    stream==batch parity)."""
+    from pyfads import FADSConfig
+
+    cfg = FADSConfig(
+        k=5,
+        buffer_rows=15,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    return _run_fads_stream(
+        spark, sf_dir, cfg, "fads_stream_partitioned_sink", ["event_type"]
     )
 
 

@@ -65,7 +65,10 @@ def main():
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written directory fixture (e.g. /tmp/sf1)
+            p = p + "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry

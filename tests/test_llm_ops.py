@@ -2777,6 +2777,38 @@ def test_semantic_hot_cell_salt_cap(spark):
     assert un_kept == [0, 1000]
 
 
+def test_semantic_salt_cap_short_circuit(spark):
+    """r10 verdict #1: the hot-cell split must be FREE when no cell is hot.
+    With every cell under max_cell, semantic_dedup's physical plan contains
+    no Window (no full-corpus row_number shuffle+sort) and the result
+    equals the force-salted run bit-for-bit (sub 0 everywhere == plain
+    cell); a hot corpus still engages the cap (plan grows a Window)."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    healthy = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)] + [(10, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert not S._cells_over_cap(S._assign_cells(healthy, cents, "vec_id", "embedding"), 50)
+    out = S.semantic_dedup(healthy, 2, threshold=0.9, centroids=cents, max_cell=50)
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    forced = S.semantic_dedup(healthy, 2, threshold=0.9, centroids=cents, max_cell=None)
+    key = lambda df: sorted(
+        (r["vec_id"], r["n_better_neighbors"], r["is_kept"]) for r in df.collect()
+    )
+    assert key(out) == key(forced)
+
+    hot = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    assert S._cells_over_cap(S._assign_cells(hot, cents, "vec_id", "embedding"), 3)
+    capped = S.semantic_dedup(hot, 2, threshold=0.9, centroids=cents, max_cell=3)
+    assert "Window" in capped._jdf.queryExecution().executedPlan().toString()
+    # ceil(8/3)=3 sub-cells -> 3 survivors
+    assert capped.filter("is_kept").count() == 3
+
+
 def test_semantic_gate_hot_cell_replication_exact(spark):
     """Unlike the lossy self-join cap, the incremental gate's hot-cell
     handling is EXACT (corpus sub-bucket replication): verdicts and dup

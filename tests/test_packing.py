@@ -144,3 +144,68 @@ def test_nextfit_stream_state_carries_across_batches(spark, tmp_path):
         spark.createDataFrame(rows0 + rows1, "doc_id bigint, text string"), 256, 8
     )
     assert {r.doc_id: (r.bin_id, r.fill_after) for r in batch.collect()} == got
+
+
+def test_epoch_schedule_clamps_and_floors(spark):
+    """Integer epoch factors: a dominant source saturates at max_epochs
+    only when the budget allows; every source gets >= 1 epoch; the
+    proportional slice (budget * share div total) div tokens is exact
+    integer arithmetic."""
+    from pyfads.pipeline import epoch_schedule
+
+    rows = (
+        [(i, "big", "w " * 99 + "w") for i in range(10)]  # 100 tok x 10
+        + [(100 + i, "small", "w w w w") for i in range(5)]  # 4 tok x 5
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # total = 1020; budget 10x total: big's slice = 10200*1000/1020 = 10000
+    # -> 10 epochs -> clamp 4; small's slice = 10200*20/1020 = 200 -> 10 -> 4
+    got = {
+        r.source: (r.n_docs, r.source_tokens, r.epochs, r.scheduled_tokens)
+        for r in epoch_schedule(docs, budget_tokens=10_200, max_epochs=4).collect()
+    }
+    assert got == {"big": (10, 1000, 4, 4000), "small": (5, 20, 4, 80)}
+    # budget below total: everything floors at 1 epoch
+    got1 = {
+        r.source: r.epochs
+        for r in epoch_schedule(docs, budget_tokens=100, max_epochs=4).collect()
+    }
+    assert got1 == {"big": 1, "small": 1}
+    # proportional middle: budget = 2x total -> both get exactly 2
+    got2 = {
+        r.source: r.epochs
+        for r in epoch_schedule(docs, budget_tokens=2040, max_epochs=4).collect()
+    }
+    assert got2 == {"big": 2, "small": 2}
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    """Stage 0 holds each source's cleanest tertile (fewest Gopher flags,
+    id tiebreak); (stage, shard, pos) is a total order: positions are
+    1..n_rows(stage, shard) dense; re-running yields the identical frame
+    (hash-seeded, no RNG)."""
+    from pyfads.pipeline import curriculum_order
+
+    clean = "the of and a to in is it for on " * 4  # 40 tokens, no flags
+    dirty = "!!! ??? !!! ??? !!! ??? xx yy"  # short + punct-heavy
+    rows = [(i, "s1", clean) for i in range(6)] + [
+        (10 + i, "s1", dirty) for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = curriculum_order(docs, n_stages=3, n_shards=2, seed="t").collect()
+    by_id = {r.doc_id: r for r in out}
+    # 9 rows -> tertiles of 3; the 3 dirty docs have more flags than any
+    # clean doc, so they fill stage 2 exactly
+    assert sorted(r.doc_id for r in out if r.stage == 2) == [10, 11, 12]
+    assert all(by_id[i].stage < 2 for i in range(6))
+    # dense positions per (stage, shard)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.stage, r.shard)].append(r.pos)
+    for poss in groups.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # determinism
+    again = curriculum_order(docs, n_stages=3, n_shards=2, seed="t").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -1625,3 +1625,44 @@ def robust_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("adev") > thr).cast("long")).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-gate drift audit (r11): per length-bin raw-vs-kept integer-ppm
+# shares — the PSI-class stability report, transcendental-free.
+# --------------------------------------------------------------------------
+def _gate_drift_sql() -> str:
+    from pyfads.llm_queries import _QUALITY_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+b AS (
+  SELECT CAST(len(string_split(d.text, ' ')) // 16 AS BIGINT) AS bin,
+         q.quality_pass
+  FROM documents d JOIN q USING (doc_id)
+),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM b GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+               CAST(sum(n_kept) AS BIGINT) AS t_kept FROM agg)
+SELECT bin, n_raw, n_kept,
+       CAST(n_raw * 1000000 // t_raw AS BIGINT) AS raw_ppm,
+       CAST(CASE WHEN t_kept > 0 THEN n_kept * 1000000 // t_kept ELSE 0 END
+            AS BIGINT) AS kept_ppm,
+       CAST((CASE WHEN t_kept > 0 THEN n_kept * 1000000 // t_kept ELSE 0 END)
+            - (n_raw * 1000000 // t_raw) AS BIGINT) AS delta_ppm
+FROM agg, tot
+"""
+
+
+@query("gate_drift_report", oracle=_gate_drift_sql)
+def gate_drift_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate drift audit: per token-length bin, the raw vs
+    gate-surviving population in exact integer ppm and the delta — a
+    PSI-class stability report without the float ln() term.  See
+    :func:`pyfads.text.gate_drift`."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.gate_drift(docs)

@@ -268,6 +268,38 @@ def prototypicality_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJ_CHUNKS: dict[tuple, str] = {}
 
 
+def _events_ts_chunks(spark: SparkSession, sf_dir: str) -> tuple:
+    """Three TS-quantile-contiguous parquet chunks of the events table —
+    the shared source for every events-driven streaming entry that needs
+    a watermark-safe micro-batch sequence (interval_join_streamed,
+    session_window_streamed).  Splitting on the ts VALUE guarantees chunk
+    boundaries are ts-monotone no matter how event_ids were assigned
+    (ADVICE r10).  Returns (chunk_dir, schema); cached per fixture
+    fingerprint."""
+    from pyfads.io import epoch_ms
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
+
+    ev = read_table(spark, sf_dir, "events")
+    key = _chunk_key(sf_dir, "events")
+    if key not in _SSJ_CHUNKS:
+        d = _scratch_dir("pyfads_ssj_")
+        ms = ev.withColumn("_ms", epoch_ms(ev, "ts"))
+        qs = ms.approxQuantile("_ms", [0.34, 0.67], 0.001)
+        lo, hi = int(qs[0]), int(qs[1])
+        base = ms.orderBy("_ms", "event_id")
+        base.filter(F.col("_ms") <= lo).drop("_ms").coalesce(1).write.parquet(
+            d + "/c0.parquet"
+        )
+        base.filter((F.col("_ms") > lo) & (F.col("_ms") <= hi)).drop(
+            "_ms"
+        ).coalesce(1).write.parquet(d + "/c1.parquet")
+        base.filter(F.col("_ms") > hi).drop("_ms").coalesce(1).write.parquet(
+            d + "/c2.parquet"
+        )
+        _SSJ_CHUNKS[key] = d
+    return _SSJ_CHUNKS[key], ev.schema
+
+
 @query(
     "interval_join_streamed",
     oracle="""
@@ -292,32 +324,14 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge on fixtures whose ids interleave across the full ts range).
     See :func:`pyfads.windows.interval_join`."""
     from pyfads.io import epoch_ms
-    from pyfads.llm_queries import _chunk_key, _scratch_dir
     from pyfads.windows import interval_join
 
-    ev = read_table(spark, sf_dir, "events")
-    key = _chunk_key(sf_dir, "events")
-    if key not in _SSJ_CHUNKS:
-        d = _scratch_dir("pyfads_ssj_")
-        ms = ev.withColumn("_ms", epoch_ms(ev, "ts"))
-        qs = ms.approxQuantile("_ms", [0.34, 0.67], 0.001)
-        lo, hi = int(qs[0]), int(qs[1])
-        base = ms.orderBy("_ms", "event_id")
-        base.filter(F.col("_ms") <= lo).drop("_ms").coalesce(1).write.parquet(
-            d + "/c0.parquet"
-        )
-        base.filter((F.col("_ms") > lo) & (F.col("_ms") <= hi)).drop(
-            "_ms"
-        ).coalesce(1).write.parquet(d + "/c1.parquet")
-        base.filter(F.col("_ms") > hi).drop("_ms").coalesce(1).write.parquet(
-            d + "/c2.parquet"
-        )
-        _SSJ_CHUNKS[key] = d
+    d, schema = _events_ts_chunks(spark, sf_dir)
     src = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_SSJ_CHUNKS[key])
+        .parquet(d)
     )
 
     def side(df, etype, idname, tsname):

@@ -1227,3 +1227,57 @@ def rarity_buckets(
         F.col("rare_ppm").cast("long").alias("rare_ppm"),
         bucket.alias("ppl_bucket"),
     )
+
+
+def gate_drift(
+    docs: DataFrame,
+    bin_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution-drift audit of the quality gate: what did the filter
+    do to the corpus's length distribution?  Per fixed-width token-length
+    bin, the raw count, the count surviving :func:`quality_score`'s
+    composite gate, and the integer-ppm share of each population plus the
+    ppm delta — the training-data twin of a PSI/population-stability
+    report, but transcendental-free (pure integer cross-multiplication,
+    so every engine agrees to the last digit; a classic PSI's ln() term
+    is float-parity-hostile for zero diagnostic gain here).
+
+    A large negative ``delta_ppm`` on a bin means the gate is eating that
+    length band (e.g. flag_short wiping bin 0); the |delta| sum over bins
+    is 2,000,000x the total-variation distance between the raw and kept
+    distributions.
+
+    Scale shape: one map projection (token count + flags), one map-side-
+    combined groupBy on the bin id, totals join back as a broadcast 1-row
+    aggregate.  Nothing per-row shuffles except (bin, partial count)."""
+    q = quality_score(docs, text_col=text_col).select(id_col, "quality_pass")
+    b = (
+        docs.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("__nt"))
+        .join(q, id_col)
+        .select(F.expr(f"__nt div {int(bin_tokens)}").alias("bin"), "quality_pass")
+    )
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    tot = agg.agg(
+        F.sum("n_raw").cast("long").alias("__t_raw"),
+        F.sum("n_kept").cast("long").alias("__t_kept"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    raw_ppm = F.expr("n_raw * 1000000 div __t_raw")
+    kept_ppm = F.expr(
+        "CASE WHEN __t_kept > 0 THEN n_kept * 1000000 div __t_kept ELSE 0 END"
+    )
+    return j.select(
+        "bin",
+        "n_raw",
+        "n_kept",
+        raw_ppm.cast("long").alias("raw_ppm"),
+        kept_ppm.cast("long").alias("kept_ppm"),
+        (kept_ppm - raw_ppm).cast("long").alias("delta_ppm"),
+    )

@@ -731,6 +731,55 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("session_window_streamed", oracle=_SESSION_WINDOW_SQL)
+def session_window_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window_agg driven as a REAL Structured Streaming query: the
+    native merging-session operator over a watermarked chunked-parquet
+    stream (ts-quantile chunks, maxFilesPerTrigger=1 -> one micro-batch
+    per chunk; open sessions merge/extend through the state store across
+    batch boundaries).  Complete output mode + availableNow trigger so the
+    final sessions the watermark never passes are still emitted (the
+    test_windows._run_stream_to_memory pattern); the oracle is the SAME
+    gaps-and-islands SQL as the batch twin — session contents are
+    micro-batch-invariant."""
+    from pyfads.curation_queries import _events_ts_chunks
+    from pyfads.llm_queries import _scratch_dir
+
+    d, schema = _events_ts_chunks(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = session_agg(
+        src,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        ],
+    )
+    name = "session_window_streamed_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _scratch_dir("pyfads_swck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def event_transitions(
     df: DataFrame,
     ts_ms_col: str = "ts_ms",

@@ -539,6 +539,31 @@ def test_quality_score_flags(spark):
     assert out[2]["quality_score"] == pytest.approx(1.0 - out[2]["n_flags"] / 5.0)
 
 
+def test_gate_drift_planted(spark):
+    """Known-value drift report: 12-token clean docs land in bin 0 and
+    pass the gate; 2-token docs land in bin 0 and fail (flag_short), so
+    the kept population concentrates — integer ppm arithmetic checked
+    exactly, |delta| sums to 2e6 * TVD."""
+    clean = "the cat sat on the mat and then the dog sat too"  # 12 tok, passes
+    # 32 tokens -> bin 2; distinct-heavy suffix keeps every flag green
+    long_clean = clean + " " + " ".join(f"w{i:02d}" for i in range(20))
+    rows = (
+        [Row(doc_id=i, text=clean) for i in range(3)]
+        + [Row(doc_id=10 + i, text="a b") for i in range(2)]  # bin 0, fails
+        + [Row(doc_id=20, text=long_clean)]
+    )
+    out = {r["bin"]: r for r in X.gate_drift(spark.createDataFrame(rows)).collect()}
+    # raw: bin0 = 5/6 docs, bin2 = 1/6; kept: bin0 = 3/4, bin2 = 1/4
+    assert out[0]["n_raw"] == 5 and out[0]["n_kept"] == 3
+    assert out[2]["n_raw"] == 1 and out[2]["n_kept"] == 1
+    assert out[0]["raw_ppm"] == 5 * 1_000_000 // 6
+    assert out[0]["kept_ppm"] == 3 * 1_000_000 // 4
+    assert out[0]["delta_ppm"] == out[0]["kept_ppm"] - out[0]["raw_ppm"]
+    assert out[2]["kept_ppm"] == 250_000 and out[2]["raw_ppm"] == 166_666
+    # TVD sanity: deltas sum to ~0 (integer floor residue only)
+    assert abs(sum(r["delta_ppm"] for r in out.values())) <= len(out)
+
+
 def test_resize_media_plumbing(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="x" * 300, source="s"), Row(doc_id=2, text="", source="s")]

@@ -66,6 +66,8 @@ EXPECTED_BNLJ = {
     # any scale, the probe side streams
     "important_part_values",
     "top_supplier_revenue",
+    "epoch_schedule",  # 1-row corpus-token total cross-joined to the per-source rollup (skew_report class)
+    "gate_drift_report",  # 1-row (t_raw, t_kept) totals frame cross-joined to the bin agg (same class)
 }
 
 # Queries allowed to contain an `Exchange SinglePartition` — a shuffle that
@@ -113,6 +115,8 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "g2_running_bounds",
     "p3_pid_assign",
     "p4_arrival_enrich",
+    "epoch_schedule",  # keyless 1-row token-total re-agg over the per-source frame, <= 1 partial row per task
+    "gate_drift_report",  # keyless 1-row totals re-agg over the bounded bin frame, same class
 }
 
 

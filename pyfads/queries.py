@@ -166,7 +166,13 @@ def fads_distinct_pids_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     must carry pairwise-distinct PIDs.  The PID here is ``user_id`` (it
     repeats in events, so the rule actually engages — with the unique
     event_id it would be a no-op); pid-as-QID is the reference's own
-    pattern (TransactionGeneralizationJob.java:66-72)."""
+    pattern (TransactionGeneralizationJob.java:66-72).
+
+    Ordering contract: the engine's arrival sort tiebreaks on the pid, so
+    with a NON-unique pid the (arrival, pid) pair must be unique for the
+    run to be deterministic — true of the fixtures (verified: zero tied
+    (ms, user) groups at every sf) and replayed identically by the golden
+    twin's stable sort."""
     from pyfads import FADSConfig, fads_generalize
     from pyfads.io import events_with_arrival
 

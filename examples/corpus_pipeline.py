@@ -155,6 +155,17 @@ def main() -> None:
         ).select("doc_id").join(clean, "doc_id")
         mixed = stage("mixed", mixed)
 
+    # 4b. training-order + epoch plan over the mixed corpus: per-source
+    # quality-curriculum stages with a seeded in-stage shuffle, and the
+    # data-constrained integer epoch schedule for a fixed token budget
+    from pyfads.pipeline import curriculum_order, epoch_schedule
+
+    order = curriculum_order(mixed, n_stages=3, n_shards=4)
+    funnel.append(("curriculum_rows", order.count()))
+    sched = epoch_schedule(mixed, budget_tokens=200_000)
+    order.write.mode("overwrite").parquet(out + "/train_order")
+    sched.write.mode("overwrite").parquet(out + "/epoch_schedule")
+
     # 5. chunk + pack chunks into fixed-length training contexts
     chunks = stage("chunks", X.chunk_documents(mixed, chunk_tokens=64, stride=48))
     packed = P.pack_greedy(

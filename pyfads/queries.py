@@ -319,6 +319,47 @@ def fads_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fads_stream_foreachbatch", oracle=_golden.fads_generalize_events_oracle)
+def fads_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST streaming FADS code path under the driver gate: the
+    documented parallelism-1 ``foreachBatch`` parity fallback
+    (pyfads.fads_stream.ForeachBatchFADS — each micro-batch toPandas'd
+    into ONE shared sequential state machine, the closest shape to the
+    reference's single Flink operator).  processAllAvailable terminates
+    here (no GroupState timeout), then flush() drains the tail — so the
+    entry is deterministic without polling.  Oracle: the same flagship
+    golden (micro-batch boundaries cannot change a sequential machine's
+    releases when chunks arrive in arrival order)."""
+    import pandas as pd
+
+    from pyfads import FADSConfig
+    from pyfads.fads_stream import ForeachBatchFADS
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("user_id", "value", "ts_millis"),
+        pid_col="event_id",
+        arrival_col="arrival_ms",
+    )
+    d, schema, _n = _fads_stream_chunks(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    fb = ForeachBatchFADS(cfg)
+    q = src.writeStream.foreachBatch(fb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = pd.concat([*fb.outputs, fb.flush()], ignore_index=True)
+    return spark.createDataFrame(out)
+
+
 def _kanon_audit_sql() -> str:
     rel = _golden.fads_generalize_events_oracle()
     return f"""

@@ -1640,6 +1640,7 @@ b AS (
   SELECT CAST(len(string_split(d.text, ' ')) // 16 AS BIGINT) AS bin,
          q.quality_pass
   FROM documents d JOIN q USING (doc_id)
+  WHERE d.text IS NOT NULL
 ),
 agg AS (
   SELECT bin, CAST(count(*) AS BIGINT) AS n_raw,

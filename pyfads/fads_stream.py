@@ -463,9 +463,17 @@ class ForeachBatchFADS:
         self.pending: pd.DataFrame | None = None
         self.outputs: list[pd.DataFrame] = []
         self._out_cols: list[str] | None = None
+        self._last_batch_id: int | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
+        # foreachBatch is at-least-once: a retried micro-batch re-invokes
+        # with the SAME batch_id, and double-ingesting it would corrupt the
+        # shared sequential state machine — the standard foreachBatch
+        # idempotency idiom is to skip already-seen ids (r11 advice)
+        if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+            return
+        self._last_batch_id = batch_id
         if self._out_cols is None:
             self._out_cols = _out_cols(batch_df.columns, cfg)
         pdf = batch_df.toPandas()

@@ -218,6 +218,101 @@ def fads_distinct_pids_events_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# Composed taxi job (r11 verdict item 3): the full reference pipeline —
+# gz nycTaxiRides CSV -> parse -> arrival enrich -> listener -> FADS ->
+# parquet sink (TransactionGeneralizationJob.java:36-79) — as ONE gate
+# entry.  The CSV fixture is synthesized deterministically from the events
+# view, so the Spark entry and this golden derive from the same rows.
+# --------------------------------------------------------------------------
+
+
+def taxi_fixture_lines(sf_dir: str) -> list[tuple]:
+    """Deterministic NYCTaxiRideSource-format CSV lines derived from the
+    events table — token order rideId,START|END,time,time,lon,lat,lon,lat,
+    passengerCnt,taxiId,driverId (NYCTaxiRideSource.java:204-244).  One
+    line per event: rideId = driverId = event_id (a unique pid AND a
+    unique passthrough join key), taxiId = user_id, the ride clock is the
+    event's arrival second (so parse_taxi_lines under a UTC session
+    recovers startTime = sec*1000 exactly — the replayable arrival
+    clock), endTime = start + a content-derived duration.  A slice of
+    lines are END events (parse swaps the time pair back) and a slice
+    carry empty lon/lat (reference maps them to 0.0) so the entry
+    exercises the full P2 dispatch.  Returns ``(arrival_sec, rideId,
+    taxiId, duration_s, line)`` sorted by (arrival_sec, rideId)."""
+    from datetime import datetime, timezone
+
+    fmt = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).strftime(  # noqa: E731
+        "%Y-%m-%d %H:%M:%S"
+    )
+    out = []
+    for eid, u, _v, ms, _et in _events_rows(sf_dir):
+        eid, taxi, sec = int(eid), int(u), int(ms) // 1000
+        dur = 300 + eid % 997
+        t1, t2 = fmt(sec), fmt(sec + dur)
+        if eid % 10 == 3:  # END line: parse swaps (time1, time2) back
+            kind, ta, tb = "END", t2, t1
+        else:
+            kind, ta, tb = "START", t1, t2
+        lon = "" if eid % 17 == 5 else f"-73.9{eid % 100:02d}"
+        lat = "" if eid % 17 == 5 else f"40.7{eid % 100:02d}"
+        line = ",".join(
+            [
+                str(eid), kind, ta, tb, lon, lat, lon, lat,
+                str(1 + eid % 4), str(taxi), str(eid),
+            ]
+        )
+        out.append((sec, eid, taxi, dur, line))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _taxi_job_golden_cached(sf_dir: str) -> str:
+    """Golden for the composed job: the independent pure-Python FADS
+    oracle over the same (rideId, taxiId, endTime) derivation the CSV
+    fixture encodes — QIDs and config exactly the reference job's
+    (Generalizer(10, 30, 60000), pid = rideId which is itself a QID)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyfads.config import FADSConfig
+    from pyfads.oracle import fads_oracle
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(GOLDEN_DIR, f"taxi_job_composed.{tag}.parquet")
+    cfg = FADSConfig(k=10, buffer_rows=30, reuse_ms=60_000)
+    rows = taxi_fixture_lines(sf_dir)
+    orows = [
+        (rid, (float(rid), float(taxi), float((sec + dur) * 1000)), sec * 1000)
+        for sec, rid, taxi, dur, _line in rows
+    ]
+    released = fads_oracle(orows, cfg)
+    arr = {rid: sec * 1000 for sec, rid, _t, _d, _l in rows}
+    rids = sorted(released)
+    cols = {
+        "driverId": pa.array(rids, type=pa.int64()),
+        "rideId_lo": pa.array([released[r][0][0] for r in rids], type=pa.float64()),
+        "rideId_hi": pa.array([released[r][1][0] for r in rids], type=pa.float64()),
+        "taxiId_lo": pa.array([released[r][0][1] for r in rids], type=pa.float64()),
+        "taxiId_hi": pa.array([released[r][1][1] for r in rids], type=pa.float64()),
+        "endTime_lo": pa.array([released[r][0][2] for r in rids], type=pa.float64()),
+        "endTime_hi": pa.array([released[r][1][2] for r in rids], type=pa.float64()),
+        "arrival_ms": pa.array([arr[r] for r in rids], type=pa.int64()),
+    }
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    pq.write_table(pa.table(cols), path)
+    return (
+        "SELECT driverId, rideId_lo, rideId_hi, taxiId_lo, taxiId_hi, "
+        "endTime_lo, endTime_hi, arrival_ms "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+def taxi_job_composed_oracle() -> str:
+    return _taxi_job_golden_cached(oracle_sf_dir())
+
+
+# --------------------------------------------------------------------------
 # ANN LSH: hyperplane literals, sign-bit bucketing recomputed in SQL
 # --------------------------------------------------------------------------
 

@@ -752,7 +752,11 @@ def curriculum_order(
     no RNG state.  Returns ``(id, strat, n_flags, stage, shard, pos)``."""
     from pyfads.text import quality_score
 
-    q = quality_score(docs).select(id_col, "n_flags")
+    # quality_score's output id column is fixed at doc_id — rename the
+    # caller's id through and back so a custom id_col works (r11 advice)
+    q = quality_score(
+        docs.select(F.col(id_col).alias("doc_id"), "text")
+    ).select(F.col("doc_id").alias(id_col), "n_flags")
     d = docs.select(F.col(id_col), F.col(strat_col)).join(q, id_col)
     # asc_nulls_last: DuckDB's ASC default — keeps the twin exact even if
     # a corpus carries NULL texts (Spark's bare ASC is NULLS FIRST)

@@ -264,6 +264,16 @@ def _run_fads_stream(
             _time.sleep(1)
     finally:
         q.stop()
+    got = spark.table(sink_name).count()
+    if got < n_events:
+        # fail LOUDLY: returning the partial sink table would go red at the
+        # oracle in a way indistinguishable from a value bug, making a
+        # stream stall misdiagnosable (r11 advice)
+        raise TimeoutError(
+            f"{sink_name}: streaming query released only {got}/{n_events} "
+            "rows before the 240s polling deadline — the stream stalled, "
+            "this is not an operator value bug"
+        )
     return spark.table(sink_name)
 
 
@@ -358,6 +368,129 @@ def fads_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     out = pd.concat([*fb.outputs, fb.flush()], ignore_index=True)
     return spark.createDataFrame(out)
+
+
+_TAXI_JOB_DIRS: dict[tuple, str] = {}
+
+
+@query("taxi_job_composed", oracle=_golden.taxi_job_composed_oracle)
+def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED reference job under the driver gate (r11 verdict item
+    3): gz nycTaxiRides CSV -> line parse with START/END dispatch (P2) ->
+    arrival enrichment (P4) -> throughput listener (P5) -> streaming
+    stateful FADS (P6, G1-G14 inside) -> parquet sink (P7), wired as ONE
+    Structured Streaming query — the full
+    TransactionGeneralizationJob.java:36-79 chain (pyfads.taxi_job is the
+    CLI form; tests/test_fads_stream.py asserts it row-for-row).  Fixture:
+    CSV synthesized deterministically from the events table
+    (pyfads.golden.taxi_fixture_lines), split into three gz files on
+    arrival-SECOND value boundaries (equal arrivals never straddle a
+    micro-batch).  Oracle: the independent pure-Python golden over the
+    same derivation.  The ride clock parses under an explicit UTC session
+    timezone so the entry is ambient-TZ-proof (restored afterwards)."""
+    import gzip
+    import os
+    import tempfile
+    import time as _time
+
+    from pyfads import FADSConfig
+    from pyfads.fads_stream import fads_generalize_stream
+    from pyfads.io import parse_taxi_lines
+    from pyfads.llm_queries import _chunk_key, _scratch_dir
+    from pyfads.metrics import ThroughputListener
+    from pyfads.schema import fads_output_schema
+
+    rows = _golden.taxi_fixture_lines(sf_dir)
+    key = _chunk_key(sf_dir, "events")
+    if key not in _TAXI_JOB_DIRS:
+        d = _scratch_dir("pyfads_taxijob_")
+        secs = sorted({r[0] for r in rows})
+        cuts = (secs[len(secs) // 3], secs[(2 * len(secs)) // 3])
+        chunks: list[list[str]] = [[], [], []]
+        for r in rows:
+            i = 0 if r[0] <= cuts[0] else (1 if r[0] <= cuts[1] else 2)
+            chunks[i].append(r[4])
+        os.makedirs(f"{d}/in")
+        for i, ch in enumerate(chunks):
+            p = f"{d}/in/nycTaxiRides_{i}.gz"
+            with gzip.open(p, "wt") as fh:
+                fh.write("\n".join(ch) + "\n")
+            t = 1_700_000_000 + i * 60  # mtime-ordered => arrival-ordered
+            os.utime(p, (t, t))
+        _TAXI_JOB_DIRS[key] = d
+    run_dir = tempfile.mkdtemp(dir=_TAXI_JOB_DIRS[key], prefix="run_")
+    out_dir, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
+
+    cfg = FADSConfig(
+        k=10,
+        buffer_rows=30,
+        reuse_ms=60_000,
+        qid_cols=("rideId", "taxiId", "endTime"),
+        pid_col="rideId",
+        arrival_col="arrival_ms",
+    )
+    tz_old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    listener = ThroughputListener("TaxiJobGate")
+    spark.streams.addListener(listener)
+    try:
+        raw = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .text(f"{_TAXI_JOB_DIRS[key]}/in")
+        )
+        parsed = parse_taxi_lines(raw)  # P2
+        enriched = parsed.withColumn("arrival_ms", F.col("startTime"))  # P4
+        released = fads_generalize_stream(enriched, cfg, flush_after_ms=2_000)
+        out_schema = fads_output_schema(enriched.schema, cfg)
+        q = (
+            released.writeStream.format("parquet")  # P7
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+        def _count() -> int:
+            try:
+                return spark.read.schema(out_schema).parquet(out_dir).count()
+            except Exception:
+                return 0
+
+        n = len(rows)
+        try:
+            deadline = _time.time() + 240
+            while _time.time() < deadline:
+                if _count() >= n:
+                    break
+                _time.sleep(0.5)
+            # let any in-flight state-cleanup micro-batch commit before
+            # stopping — stopping mid-commit aborts its state-store write
+            # with a noisy (but harmless: the parquet sink's metadata log is
+            # already committed for every counted row) error
+            settle = _time.time() + 5
+            while q.status.get("isTriggerActive") and _time.time() < settle:
+                _time.sleep(0.25)
+        finally:
+            q.stop()
+        got = _count()
+        if got < n:
+            raise TimeoutError(
+                f"taxi_job_composed: sink holds {got}/{n} rows at the 240s "
+                "deadline — the stream stalled, not an operator value bug"
+            )
+    finally:
+        spark.streams.removeListener(listener)
+        spark.conf.set("spark.sql.session.timeZone", tz_old)
+    return spark.read.schema(out_schema).parquet(out_dir).select(
+        "driverId",
+        "rideId_lo",
+        "rideId_hi",
+        "taxiId_lo",
+        "taxiId_hi",
+        "endTime_lo",
+        "endTime_hi",
+        F.col("arrival_ms").cast("long").alias("arrival_ms"),
+    )
 
 
 def _kanon_audit_sql() -> str:

@@ -1002,7 +1002,11 @@ def _cells_over_cap(df: DataFrame, max_cell: int, cell_col: str = "cell") -> boo
     corpora (r10 verdict: the unconditional row_number window was a full
     corpus shuffle+sort even when no cell was hot, ~2x on dedup_semantic).
     One map-side-combined count pass: only ``(cell, partial count)`` rows
-    ever shuffle, never vectors.  Skipping the split when this is False is
+    ever shuffle, never vectors.  This is an EAGER action — callers must
+    pass a ``localCheckpoint``-ed frame (r11 verdict: checking the raw
+    plan re-evaluated the whole assignment subtree once for the check and
+    again for the real query, ~1.8x on the family).  Skipping the split
+    when this is False is
     bit-identical to applying it: the id-ordered row_number split then
     labels every row sub 0, i.e. relabels ``cell`` as ``cell#0`` without
     changing any group — so the DuckDB twins keep replaying the
@@ -1044,16 +1048,19 @@ def _semantic_gate(
         "cell",
     )
     cos = _dot_fold("b_vec", "c_vec") / (F.col("b_n") * F.col("c_n"))
-    if (
-        max_cell is not None
-        and "c_sub" not in cp.columns
-        and not _cells_over_cap(cp, max_cell)
-    ):
-        # no hot corpus cell: sub-bucketing would label every row c_sub 0
-        # and replicate each batch row exactly once — identical pairs, so
-        # skip the window + explode (the served path's store precomputes
-        # c_sub and never reaches this check)
-        max_cell = None
+    if max_cell is not None and "c_sub" not in cp.columns:
+        # train-inline path: the cap check is an eager action, so
+        # materialize the assigned corpus ONCE (localCheckpoint) and let
+        # the check, the nsub aggregate, and the gate join all read the
+        # cached (c_id, c_vec, c_n, cell) rows instead of re-running the
+        # assignment folds per action (the r11 double-evaluation).  The
+        # served path's store precomputes c_sub and never reaches this.
+        cp = cp.localCheckpoint(eager=False)
+        if not _cells_over_cap(cp, max_cell):
+            # no hot corpus cell: sub-bucketing would label every row
+            # c_sub 0 and replicate each batch row exactly once —
+            # identical pairs, so skip the window + explode
+            max_cell = None
     if max_cell is not None:
         if "c_sub" not in cp.columns:
             w = Window.partitionBy("cell").orderBy("c_id")
@@ -1463,12 +1470,24 @@ def semantic_dedup(
     # ONCE here and carried through the pair join (the quadratic stage)
     # instead of re-folded per candidate pair (code-review r8 #6) —
     # bit-identical doubles, one-third the per-pair arithmetic.
-    withp = assigned.join(cents_df, "cell").select(
-        id_col,
-        "cell",
-        "__v",
-        _norm_fold("__v").alias("__n"),
-        (_dot_fold("__v", "cvec") / _norm_fold("__v")).alias("centroid_cos"),
+    # localCheckpoint (the embedding_near_dup_pairs pattern above): the
+    # scan + cell-assignment fold + norm/centroid folds run ONCE and only
+    # the materialized (id, vec, cell, 2 doubles) rows are re-read by the
+    # hot-cell cap check, BOTH self-join sides, and the final left join —
+    # r11's eager `_cells_over_cap` over the un-checkpointed frame
+    # re-evaluated the whole assignment subtree per action (~1.8x on the
+    # dedup_semantic family in the r11 driver capture).  eager=False: the
+    # cap check (or the first real job) materializes it.
+    withp = (
+        assigned.join(cents_df, "cell")
+        .select(
+            id_col,
+            "cell",
+            "__v",
+            _norm_fold("__v").alias("__n"),
+            (_dot_fold("__v", "cvec") / _norm_fold("__v")).alias("centroid_cos"),
+        )
+        .localCheckpoint(eager=False)
     )
     # hot-cell salt cap (r9 verdict #1): the keeper self-join below is the
     # quadratic stage, and k-means cannot split a mass-duplicate pile —
@@ -1483,7 +1502,10 @@ def semantic_dedup(
     if (
         max_cell is not None
         and n_assign <= 1
-        and _cells_over_cap(assigned, max_cell)
+        # check the CHECKPOINTED frame (withp has the same rows/cells as
+        # assigned — an inner join to the complete 1-row-per-cell broadcast
+        # codebook), so the count pass reads cached blocks, not the plan
+        and _cells_over_cap(withp, max_cell)
     ):
         withp = _salt_cells(withp, id_col, max_cell)
         key = "__scell"
@@ -1530,6 +1552,9 @@ def semantic_dedup(
                 ).alias("cell"),
             )
         pkey = "cell"
+        # tiny (id, cell) rows read three times (cap check + both self-join
+        # sides) — materialize once instead of re-running the probe fold
+        probe = probe.localCheckpoint(eager=False)
         if max_cell is not None and _cells_over_cap(probe, max_cell):
             # same cap on the probe buckets: each (row, probed-cell) entry
             # salts by id order within the cell, bounding the candidate
@@ -1630,7 +1655,15 @@ def semantic_tau_pairs(
         if centroids is not None
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
-    assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+    # assignment + norm folds run once, materialized for the cap check and
+    # both self-join sides (r11 double-evaluation fix — same pattern as
+    # semantic_dedup above); the norm is precomputed per ROW here so the
+    # self-join sides read a cached double instead of re-folding per side
+    assigned = (
+        _assign_cells(embeddings, cents, id_col, vec_col)
+        .withColumn("__n", _norm_fold("__v"))
+        .localCheckpoint(eager=False)
+    )
     key = "cell"
     if max_cell is not None and _cells_over_cap(assigned, max_cell):
         assigned = _salt_cells(assigned, id_col, max_cell)
@@ -1638,13 +1671,13 @@ def semantic_tau_pairs(
     a = assigned.select(
         F.col(id_col).alias("a_id"),
         F.col("__v").alias("a_vec"),
-        _norm_fold("__v").alias("a_n"),
+        F.col("__n").alias("a_n"),
         key,
     )
     b = assigned.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
-        _norm_fold("__v").alias("b_n"),
+        F.col("__n").alias("b_n"),
         key,
     )
     cos = _dot_fold("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))

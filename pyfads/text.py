@@ -1251,8 +1251,20 @@ def gate_drift(
 
     Scale shape: one map projection (token count + flags), one map-side-
     combined groupBy on the bin id, totals join back as a broadcast 1-row
-    aggregate.  Nothing per-row shuffles except (bin, partial count)."""
-    q = quality_score(docs, text_col=text_col).select(id_col, "quality_pass")
+    aggregate.  Nothing per-row shuffles except (bin, partial count).
+
+    NULL texts are excluded up front (the module convention —
+    chunk_documents, bm25_topk): Spark's size(split(NULL)) is -1, which
+    would land a NULL-text doc in bin 0 while a SQL engine bins it NULL —
+    filtering both twins identically keeps them agreeing by
+    construction (r11 advice)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
+    # quality_score's output id column is fixed at doc_id — rename the
+    # caller's id through and back so a custom id_col works (r11 advice)
+    q = quality_score(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col=text_col,
+    ).select(F.col("doc_id").alias(id_col), "quality_pass")
     b = (
         docs.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("__nt"))
         .join(q, id_col)

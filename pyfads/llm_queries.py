@@ -1088,7 +1088,7 @@ def semantic_gate_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-_SEMREFRESH_PATHS: dict[str, str] = {}
+_SEMREFRESH_PATHS: dict[tuple, str] = {}
 
 
 @query(
@@ -1102,15 +1102,26 @@ def semantic_refresh_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted batch through the store-served incremental gate, append the
     admitted survivors back with cells/norms/continued c_sub packing, and
     return the POST-REFRESH corpus membership (vec_id, cell).  The store
-    is REBUILT (overwrite) at the top of every call, so repeated runs are
-    deterministic despite the append.  Oracle: corpus assignment UNION
-    the incremental twin's is_new rows."""
-    if sf_dir not in _SEMREFRESH_PATHS:
-        _SEMREFRESH_PATHS[sf_dir] = _scratch_dir("pyfads_semrefresh_")
-    path = _SEMREFRESH_PATHS[sf_dir] + "/store"
-    cents, _ = _semstore(spark, sf_dir)  # codebook round-trip is exact
+    is RESTORED to its pristine pre-refresh state at the top of every
+    call, so repeated runs are deterministic despite the append — the
+    pristine store is Spark-written ONCE per process (write_semantic_store
+    is deterministic) and each call starts from a byte-copy of it, so
+    reps measure the refresh TICK, not a fixture rebuild (r11 verdict
+    item 5).  Oracle: corpus assignment UNION the incremental twin's
+    is_new rows."""
+    import shutil
+
+    key = _chunk_key(sf_dir, "embeddings")
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    S.write_semantic_store(spark, path, cents, embs, DIM)
+    if key not in _SEMREFRESH_PATHS:
+        d = _scratch_dir("pyfads_semrefresh_")
+        cents, _ = _semstore(spark, sf_dir)  # codebook round-trip is exact
+        S.write_semantic_store(spark, d + "/pristine", cents, embs, DIM)
+        _SEMREFRESH_PATHS[key] = d
+    d = _SEMREFRESH_PATHS[key]
+    path = d + "/store"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.copytree(d + "/pristine", path)
     S.semantic_refresh_store(
         spark, path, _plant_gate_batch(embs), DIM, threshold=0.9
     )

@@ -1030,6 +1030,134 @@ def bm25_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_batch(_docs(spark, sf_dir), _BM25_QUERIES, k=_BM25_BATCH_K)
 
 
+_HYBRID_POOL = 50
+_HYBRID_K = 10
+_HYBRID_KRRF = 60
+_HYBRID_DIM = 64
+_HYBRID_SEED = "emb"
+
+
+def _hybrid_rrf_sql() -> str:
+    """DuckDB twin of text.hybrid_rrf: the BM25 chain (same construction
+    as _bm25_sql, ranked to the pool), the dense side over the golden
+    doc-embedding parquet (integer-valued doubles — exact round trip) with
+    the SAME literal query vector, and the RRF fusion in micro-quantized
+    integers.  Lazy builder: materializing the golden embeddings needs the
+    oracle sf dir."""
+    import math
+    from functools import reduce
+
+    from pyfads import golden as G
+    from pyfads.text import doc_embed_hash_py
+
+    path, _ids, _m = G._doc_embed_golden(
+        G.oracle_sf_dir(), _HYBRID_DIM, _HYBRID_SEED
+    )
+    qv = doc_embed_hash_py(" ".join(_BM25_TERMS), _HYBRID_DIM, _HYBRID_SEED)
+    qn = math.sqrt(reduce(lambda a, x: a + x, [c * c for c in qv]))
+
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    half = "'0.5'::DOUBLE"
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
+        denom = (
+            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
+            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
+        )
+        terms.append(f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+
+    dot = " + ".join(
+        f"embedding[{i + 1}] * '{float(qv[i])!r}'::DOUBLE" for i in range(_HYBRID_DIM)
+    )
+    sq = " + ".join(
+        f"embedding[{i + 1}] * embedding[{i + 1}]" for i in range(_HYBRID_DIM)
+    )
+
+    def contrib(rank: str) -> str:
+        return (
+            f"COALESCE(CAST(round('1000000.0'::DOUBLE / ({_HYBRID_KRRF} + {rank}))"
+            f" AS BIGINT), 0)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT)
+             AS rank_lex
+    FROM (SELECT doc_id,
+                 CAST(round({score} * '1000000.0'::DOUBLE) AS BIGINT) AS score_micros
+          FROM base CROSS JOIN stats))
+  WHERE rank_lex <= {_HYBRID_POOL}
+),
+dense AS (
+  SELECT doc_id, rank_dense FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+             AS rank_dense
+    FROM (SELECT vec_id AS doc_id,
+                 ({dot}) / (sqrt({sq}) * '{qn!r}'::DOUBLE) AS cos
+          FROM read_parquet('{path}')))
+  WHERE rank_dense <= {_HYBRID_POOL}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense,
+         {contrib('l.rank_lex')} + {contrib('d.rank_dense')} AS rrf_micros
+  FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rank_lex, rank_dense, rrf_micros, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
+              AS rank
+  FROM fused)
+WHERE rank <= {_HYBRID_K}
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=_hybrid_rrf_sql)
+def retrieval_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 and dense-cosine top-50 (hashing-trick
+    doc embeddings vs the same query embedded identically) fused by
+    Reciprocal Rank Fusion — the standard lexical+semantic serving stack
+    (see pyfads.text.hybrid_rrf).  One corpus scan per side, two <=50-row
+    rank frames, integer-micro RRF — the fusion itself is driver-scale
+    work at any corpus size."""
+    return X.hybrid_rrf(
+        _docs(spark, sf_dir),
+        _BM25_TERMS,
+        dim=_HYBRID_DIM,
+        seed=_HYBRID_SEED,
+        pool=_HYBRID_POOL,
+        k=_HYBRID_K,
+        k_rrf=_HYBRID_KRRF,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @query("bm25_topk", oracle=_bm25_sql())
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed query-term bag — the retrieval

@@ -535,6 +535,65 @@ def ann_ivf_topk_oracle(
     return _ann_ivf_cached(oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, tile)
 
 
+@functools.lru_cache(maxsize=None)
+def _ann_ivf_filtered_cached(
+    sf_dir: str, dim: int, k: int, n_centroids: int, n_probe: int, seed: int,
+    n_queries: int, filter_col: str,
+) -> str:
+    """DuckDB twin of similarity.ann_ivf_filtered_topk: the IVF twin with
+    the metadata predicate replayed as the same composite (cell,
+    filter_col) candidate join — same codebook literals, same chain
+    arithmetic, same rerank tail."""
+    cents = _ivf_centroids(sf_dir, n_centroids, seed, 1)
+    vals = ",\n  ".join(f"({j}, {_vec_lit(cents[j])})" for j in range(len(cents)))
+    norm = _chain_norm_sql("e0", dim)
+    dot = _fold_dot("e.embedding", "c.cvec", dim)
+    return f"""
+WITH cents(cell, cvec) AS (VALUES
+  {vals}
+),
+e AS (SELECT vec_id, {filter_col}, embedding FROM embeddings e0 WHERE {norm} > 0),
+celldot AS (
+  SELECT e.vec_id, c.cell, ({dot}) AS dp
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+  FROM celldot
+),
+ccells AS (
+  SELECT r.vec_id AS c_id, e.{filter_col} AS f, r.cell
+  FROM ranked r JOIN e ON e.vec_id = r.vec_id WHERE r.rn <= 1
+),
+qcells AS (
+  SELECT r.vec_id AS q_id, e.{filter_col} AS f, r.cell
+  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+  WHERE r.rn <= {n_probe} AND r.vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT q_id, c_id AS neighbor_id
+  FROM qcells JOIN ccells USING (cell, f)
+  WHERE q_id <> c_id
+),
+{_cosine_rerank_sql(dim, k)}
+"""
+
+
+def ann_ivf_filtered_oracle(
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    n_queries: int = 8,
+    filter_col: str = "label",
+) -> str:
+    return _ann_ivf_filtered_cached(
+        oracle_sf_dir(), dim, k, n_centroids, n_probe, seed, n_queries, filter_col
+    )
+
+
 def _sem_fdot(a: str, b: str, dim: int) -> str:
     """DuckDB left-fold dot — Spark forces the FOLD path for every
     semantic-dedup expression (five 64-dim chains in one stage overflow

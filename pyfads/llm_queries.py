@@ -962,6 +962,29 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_filtered_topk", oracle=G.ann_ivf_filtered_oracle)
+def ann_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-FILTERED vector search: IVF top-10 where each query
+    retrieves only among corpus vectors sharing its ``label`` — the
+    tenant-/ language-/ class-scoped retrieval every production vector
+    store serves (FAISS IDSelector, Milvus/Qdrant payload filters).  The
+    predicate rides IN the candidate equi-join key (cell, label), so
+    non-matching vectors are pruned before any scoring or shuffle and the
+    result can never under-fill versus post-filtering an unfiltered
+    top-k.  Same codebook as ann_ivf_topk (train-once/serve-many); oracle
+    recomputes assignment, the composite-key join, and the exact-cosine
+    re-rank (pyfads.golden.ann_ivf_filtered_oracle)."""
+    embs = _embs(spark, sf_dir)
+    return S.ann_ivf_filtered_topk(
+        embs,
+        embs.filter(F.col("vec_id") < _N_QUERIES),
+        DIM,
+        "label",
+        k=10,
+        centroids=_ivf32_cents(sf_dir, embs, DIM, "embeddings"),
+    )
+
+
 @query("dedup_semantic", oracle=lambda: G.semantic_dedup_oracle(plant_n=32))
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-class semantic dedup (Abbas et al. 2023): spherical-k-means

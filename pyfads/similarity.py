@@ -1770,6 +1770,85 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    filter_col: str,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Predicate-FILTERED IVF approximate top-k: each query retrieves only
+    among corpus vectors whose ``filter_col`` equals the query's own value
+    — the tenant-scoped / same-language / same-label "filtered vector
+    search" every production vector store exposes (FAISS IDSelector,
+    Milvus/Qdrant payload filters).
+
+    The predicate is pushed BELOW candidate generation, not applied as a
+    post-filter on an unfiltered top-k: the candidate equi-join key is the
+    composite ``(cell, filter_col)``, so a query never shuffles, scores,
+    or even *sees* a non-qualifying vector, and — unlike post-filtering —
+    it cannot come home with fewer than ``k`` results merely because the
+    unfiltered top-k happened to be dominated by non-matching vectors.
+
+    Scale shape: identical to :func:`ann_ivf_topk` (tiny broadcast
+    codebook inside the Arrow-batched assignment UDF; candidates from an
+    equi-join, never all-pairs) — the composite join key only *narrows*
+    every hash bucket, and for a selective filter it is the difference
+    between scanning n_probe/n_centroids of the corpus and n_probe/
+    n_centroids of one tenant's slice.  At 100 TB the corpus side would be
+    written bucketed by (cell, filter_col) so repeated query batches probe
+    with zero Exchange.
+    """
+    embeddings = drop_zero_norm(embeddings, dim, vec_col)
+    queries = drop_zero_norm(queries, dim, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
+    )
+    cb = embeddings.select(
+        F.col(id_col).alias("c_id"),
+        F.col(filter_col).alias("__f"),
+        F.explode(_cell_assign_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(filter_col).alias("__f"),
+        F.explode(_cell_assign_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        qb.join(cb, ["cell", "__f"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", F.col("c_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vq = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_expr("q_vec", dim))
+    )
+    vc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
+    )
+    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.join(vq, "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized ADC scoring inside IVF cells — the
 # memory-compressed scale path (a 1024-dim float vector becomes m_sub bytes

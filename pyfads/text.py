@@ -13,6 +13,7 @@ map-side-combined aggregations — no shuffles except where noted.
 from __future__ import annotations
 
 import hashlib as _hashlib
+import math as _math
 from functools import reduce
 
 import pandas as pd
@@ -692,6 +693,115 @@ def doc_embed_hash(
     )
     return (
         df.select(id_col).join(vec, id_col, "left").select(id_col, dense.alias("embedding"))
+    )
+
+
+def doc_embed_hash_py(
+    text: str, dim: int = 64, seed: str = "emb", bigrams: bool = True
+) -> "list[float]":
+    """Pure-Python twin of :func:`doc_embed_hash` for ONE text — used to
+    embed a literal query vector in both the Spark plan and the DuckDB
+    oracle (parity by construction: same featurization, same md5 bucket
+    and sign bits).  Tokenization mirrors split(text, ' ') including
+    empties; coordinates are exact small integers."""
+    toks = text.split(" ") if text is not None else []
+    feats = list(toks)
+    if bigrams and len(toks) >= 2:
+        feats += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+    v = [0.0] * dim
+    for g in feats:
+        h = md5_hash60_py(seed, g)
+        v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+    return v
+
+
+def hybrid_rrf(
+    df: DataFrame,
+    query_terms: "list[str]",
+    dim: int = 64,
+    seed: str = "emb",
+    pool: int = 50,
+    k: int = 10,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): BM25 top-``pool`` ranks and
+    dense-cosine top-``pool`` ranks (hashing-trick doc embeddings vs the
+    SAME query embedded the same way) combine as
+
+        rrf(d) = sum over systems of 1/(k_rrf + rank_system(d))
+
+    quantized per-system to micros (one correctly-rounded IEEE division
+    each — no .5 boundary exists for k_rrf=60, pool<=50, so the rounds are
+    engine-stable) and summed exactly as BIGINTs.  A doc missing from one
+    system's pool contributes 0 from it — the standard RRF treatment.
+
+    Scale shape: the lexical side is :func:`bm25_topk`'s one-scan shape;
+    the dense side is one :func:`doc_embed_hash` pass + a literal-vector
+    projection (map-only — the query vector rides in the plan, nothing
+    joins) + TakeOrdered; the fusion joins two <= ``pool``-row frames —
+    driver-scale work no matter the corpus size.  Output: top-``k``
+    ``(doc_id, rank_lex, rank_dense, rrf_micros, rank)``.
+    """
+    qv = doc_embed_hash_py(" ".join(query_terms), dim, seed)
+    qn = _math.sqrt(reduce(lambda a, x: a + x, [c * c for c in qv]))
+    lex = (
+        bm25_topk(df, query_terms, k=pool, k1=k1, b=b, text_col=text_col, id_col=id_col)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micros"), id_col))
+            .cast("long"),
+        )
+        .select(id_col, "rank_lex")
+    )
+    emb = doc_embed_hash(df, dim=dim, seed=seed, text_col=text_col, id_col=id_col)
+    dot = reduce(
+        lambda a, x: a + x,
+        [F.col("embedding")[i] * F.lit(float(qv[i])) for i in range(dim)],
+    )
+    dn = F.sqrt(
+        reduce(
+            lambda a, x: a + x,
+            [F.col("embedding")[i] * F.col("embedding")[i] for i in range(dim)],
+        )
+    )
+    dense = (
+        emb.select(F.col(id_col), dot.alias("__dot"), dn.alias("__dn"))
+        .filter(F.col("__dn") > 0)
+        .select(id_col, (F.col("__dot") / (F.col("__dn") * F.lit(qn))).alias("__cos"))
+        # TakeOrdered top-pool first (per-partition top-k, no global sort);
+        # the rank window then runs over <= pool rows
+        .orderBy(F.desc("__cos"), id_col)
+        .limit(pool)
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(Window.orderBy(F.desc("__cos"), id_col)).cast("long"),
+        )
+        .select(id_col, "rank_dense")
+    )
+
+    def _contrib(rank_col: str) -> Column:
+        return F.coalesce(
+            F.round(F.lit(1_000_000.0) / (F.lit(k_rrf) + F.col(rank_col))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    return (
+        lex.join(dense, id_col, "full_outer")
+        .withColumn("rrf_micros", _contrib("rank_lex") + _contrib("rank_dense"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_micros"), id_col))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank_lex", "rank_dense", "rrf_micros", "rank")
     )
 
 

@@ -55,6 +55,7 @@ EXPECTED_BNLJ = {
     "g11_suppress",
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
     "bm25_batch",  # same 1-row stats frame, batch variant
+    "retrieval_hybrid_rrf",  # composes bm25_topk's 1-row stats frame; the RRF fusion full-outer joins two <=pool(50)-row rank frames — every BNLJ side is bounded
     "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
     "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
@@ -91,6 +92,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "promo_revenue_share",  # Q14 flavor: same keyless-global-agg class
     "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
     "bm25_batch",  # same partial-agg feed, batch variant
+    "retrieval_hybrid_rrf",  # bm25's partial-agg feed + rank windows over <=pool(50)-row TakeOrdered outputs — KBs on the single task at any corpus size
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames

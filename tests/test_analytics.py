@@ -681,6 +681,42 @@ def test_hdr_streaming_maintenance(spark, tmp_path):
     assert got == want
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion: a doc ranked by BOTH systems outscores a doc of equal
+    single-system rank; contributions follow 1/(60+rank) micros exactly;
+    docs outside both pools never appear."""
+    from pyfads.text import doc_embed_hash_py, hybrid_rrf
+
+    rows = [
+        # doc 1: lexical hit AND verbatim query text (dense hit)
+        (1, "join dup vector window"),
+        # doc 2: lexical-only hit (query terms buried in unrelated text)
+        (2, "join dup vector window aaa bbb ccc ddd eee fff ggg hhh"),
+        # docs 3+: unrelated filler
+        (3, "xxx yyy zzz www vvv uuu"),
+        (4, "xxx yyy zzz www vvv ttt"),
+        (5, "qqq rrr sss ttt uuu vvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hybrid_rrf(df, ["join", "dup", "vector", "window"], k=5).collect()}
+    assert 1 in out and out[1].rank == 1, out
+    # doc 1 is in both pools; its rrf is the exact two-system sum
+    r1 = out[1]
+    assert r1.rank_lex is not None and r1.rank_dense is not None
+    expect = round(1_000_000.0 / (60 + r1.rank_lex)) + round(
+        1_000_000.0 / (60 + r1.rank_dense)
+    )
+    assert r1.rrf_micros == expect
+    # two-system doc 1 beats doc 2 even though doc 2 also hits lexically
+    assert out[1].rrf_micros > out[2].rrf_micros
+    # the python query-vector twin matches the Spark featurization device:
+    # embedding the query against itself gives cosine 1 -> doc 1 must lead
+    # the dense ranks too
+    assert r1.rank_dense == 1
+    qv = doc_embed_hash_py("join dup vector window")
+    assert sum(abs(c) for c in qv) > 0 and len(qv) == 64
+
+
 def test_bm25_batch_matches_single_query_runs(spark):
     """The one-scan batch scorer returns exactly what per-query bm25_topk
     runs return (same scores, same ranking) for each query in the batch."""

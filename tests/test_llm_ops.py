@@ -495,6 +495,44 @@ def test_ann_ivf_trained_recall_gate(spark):
             assert r["cosine"] == exact_cos[key]
 
 
+def test_ann_ivf_filtered_semantics(spark):
+    """Filtered vector search: every returned neighbour shares the query's
+    label (the predicate is in the candidate join, not a post-filter), the
+    result equals running the same IVF probe over the pre-filtered
+    same-label slice, and post-filtering the UNFILTERED top-k would have
+    under-filled — the property that makes in-join filtering correct."""
+    embs = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = embs.filter(F.col("vec_id") < 8)
+    cents = S.train_ivf_centroids(embs, dim=64, n_centroids=32)
+    got = S.ann_ivf_filtered_topk(
+        embs, q, dim=64, filter_col="label", k=10, centroids=cents
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    assert got, "filtered search returned nothing"
+    for r in got:
+        assert labels[r["neighbor_id"]] == labels[r["q_id"]], r
+        assert r["rank"] >= 1
+    # per-query, equals the plain IVF run over that query's own-label slice
+    for qid in {r["q_id"] for r in got}:
+        slice_df = embs.filter(F.col("label") == labels[qid])
+        expect = {
+            (r["neighbor_id"], r["rank"])
+            for r in S.ann_ivf_topk(
+                slice_df,
+                slice_df.filter(F.col("vec_id") == qid),
+                dim=64,
+                k=10,
+                centroids=cents,
+            ).collect()
+        }
+        mine = {(r["neighbor_id"], r["rank"]) for r in got if r["q_id"] == qid}
+        assert mine == expect, f"q{qid}: {mine ^ expect}"
+    # post-filtering the unfiltered top-10 keeps fewer qualifying rows
+    unf = S.ann_ivf_topk(embs, q, dim=64, k=10, centroids=cents).collect()
+    post = sum(1 for r in unf if labels[r["neighbor_id"]] == labels[r["q_id"]])
+    assert post < len(got), "post-filter baseline unexpectedly matched in-join filtering"
+
+
 def test_ivf_codebook_trained_and_balanced(spark):
     """The trained codebook must be deterministic and give balanced cells
     (a random codebook on skewed data degenerates into hot cells — the

@@ -594,6 +594,75 @@ def ann_ivf_filtered_oracle(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _mmr_rerank_cached(
+    sf_dir: str, dim: int, k: int, pool: int, lam: float, n_queries: int
+) -> str:
+    """Golden literal table for similarity.mmr_rerank: the shortlist is
+    recomputed with the CHAIN arithmetic (left-associated python float64 —
+    bit-identical to the JVM chain cosine_topk feeds the UDF), then the
+    greedy selection runs through the SAME pyfads.similarity.mmr_select
+    the Spark worker calls — selection, ranks, and micros agree by shared
+    code, not reimplementation.  All-integer output, so the literal table
+    carries no float-parity risk at all."""
+    import duckdb
+
+    from pyfads.similarity import mmr_select
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{_table_path(sf_dir, 'embeddings')}'"
+    ).fetchall()
+    con.close()
+
+    def chain_dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    import math
+
+    vecs, norms = {}, {}
+    for vid, emb in rows:
+        e = [float(x) for x in emb]
+        sq = chain_dot(e, e)
+        if sq > 0:
+            vecs[vid] = e
+            norms[vid] = math.sqrt(sq)
+    out_rows = []
+    for q in sorted(v for v in vecs if v < n_queries):
+        cands = []
+        for c in vecs:
+            if c == q:
+                continue
+            cos = chain_dot(vecs[q], vecs[c]) / (norms[q] * norms[c])
+            cands.append((c, cos))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        short = cands[:pool]
+        ids = [c for c, _ in short]
+        rel = np.array([cos for _, cos in short], dtype=np.float64)
+        M = np.array([vecs[c] for c in ids], dtype=np.float64)
+        for nid, r, s in mmr_select(ids, rel, M, k, float(lam)):
+            out_rows.append((q, nid, r, s))
+    vals = ",\n  ".join(f"({q}, {n}, {r}, {s})" for q, n, r, s in out_rows)
+    return f"""
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(mmr_micros AS BIGINT) AS mmr_micros
+FROM (VALUES
+  {vals}
+) AS t(q_id, neighbor_id, sel_rank, mmr_micros)
+"""
+
+
+def mmr_rerank_oracle(
+    dim: int = 64, k: int = 10, pool: int = 20, lam: float = 0.7, n_queries: int = 8
+) -> str:
+    return _mmr_rerank_cached(oracle_sf_dir(), dim, k, pool, float(lam), n_queries)
+
+
 def _sem_fdot(a: str, b: str, dim: int) -> str:
     """DuckDB left-fold dot — Spark forces the FOLD path for every
     semantic-dedup expression (five 64-dim chains in one stage overflow

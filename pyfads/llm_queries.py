@@ -985,6 +985,20 @@ def ann_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("retrieval_mmr", oracle=G.mmr_rerank_oracle)
+def retrieval_mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein 1998): exact
+    cosine top-20 shortlist per query, then greedy maximal-marginal-
+    relevance selection of 10 diverse results (lambda=0.7) in an
+    Arrow-batched per-query group.  The oracle replays the identical
+    chain-arithmetic shortlist and runs the SAME mmr_select function —
+    all-integer golden rows (see pyfads.golden.mmr_rerank_oracle)."""
+    embs = _embs(spark, sf_dir)
+    return S.mmr_rerank(
+        embs, embs.filter(F.col("vec_id") < _N_QUERIES), DIM, k=10, pool=20, lam=0.7
+    )
+
+
 @query("dedup_semantic", oracle=lambda: G.semantic_dedup_oracle(plant_n=32))
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-class semantic dedup (Abbas et al. 2023): spherical-k-means
@@ -2270,6 +2284,134 @@ def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
     return dsir_sample(w, k=_DSIR_K)
+
+
+def _clf_eval_sql() -> str:
+    """DuckDB twin of clf_eval_confusion: the deterministic hash split, the
+    DSIR trainer restricted to the TRAIN split (bucket counts + integer
+    floor-log2 lambda, with the c=0 smoothed default for buckets the train
+    corpus never hashed into), the serve pass over the held-out TEST
+    split, and the one-row confusion matrix in exact integers."""
+    bucket = f"{_h60('dsir', 'g')} % {_DSIR_BUCKETS}"
+    split_b = f"{_h60('split', 'CAST(doc_id AS VARCHAR)')} % 10000"
+    return f"""
+WITH sp AS (SELECT doc_id, lang, text, {split_b} AS b10k FROM documents),
+trf AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_concat(toks, CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i + 1]))
+           ELSE [] END) AS feats
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM sp WHERE b10k < 9000)
+),
+trh AS (
+  SELECT doc_id, tgt, CAST({bucket} AS BIGINT) AS b
+  FROM (SELECT doc_id, tgt, unnest(feats) AS g FROM trf)
+),
+bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS q_cnt,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+  FROM trh GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(q_cnt) AS BIGINT) AS q_tot,
+         CAST(sum(p_cnt) AS BIGINT) AS p_tot
+  FROM bk
+),
+lam AS (
+  SELECT b,
+         CAST(((length(bin(p_cnt + 1)) - 1) - (length(bin(p_tot + 1)) - 1))
+            - ((length(bin(q_cnt + 1)) - 1) - (length(bin(q_tot + 1)) - 1))
+           AS BIGINT) AS lam_bits
+  FROM bk CROSS JOIN tot
+),
+dflt AS (
+  SELECT CAST((length(bin(q_tot + 1)) - 1) - (length(bin(p_tot + 1)) - 1)
+           AS BIGINT) AS d_bits
+  FROM tot
+),
+tef AS (
+  SELECT doc_id, lang,
+         list_concat(toks, CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i + 1]))
+           ELSE [] END) AS feats
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM sp WHERE b10k >= 9500)
+),
+teh AS (
+  SELECT doc_id, CAST({bucket} AS BIGINT) AS b
+  FROM (SELECT doc_id, unnest(feats) AS g FROM tef)
+),
+tes AS (
+  SELECT teh.doc_id,
+         CAST(sum(COALESCE(lam.lam_bits, dflt.d_bits)) AS BIGINT) AS logw_bits
+  FROM teh LEFT JOIN lam ON teh.b = lam.b CROSS JOIN dflt
+  GROUP BY teh.doc_id
+),
+scored AS (
+  SELECT t.doc_id,
+         (COALESCE(tes.logw_bits, 0) > 0) AS pred,
+         (t.lang IS NOT DISTINCT FROM 'en') AS truth
+  FROM (SELECT doc_id, lang FROM sp WHERE b10k >= 9500) t
+  LEFT JOIN tes ON t.doc_id = tes.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST((sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) * 1000000)
+            // greatest(count(*), 1) AS BIGINT) AS accuracy_ppm
+FROM scored
+"""
+
+
+@query("clf_eval_confusion", oracle=_clf_eval_sql)
+def clf_eval_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier train/eval composition — the loop a quality-filter model
+    actually ships through: deterministic hash split (split_assign) ->
+    DSIR model trained ONLY on the train split (dsir_train_lambda, bounded
+    4096-bucket collect) -> served on the HELD-OUT test split
+    (dsir_score_serve, literal-array projection — zero joins) -> one-row
+    confusion matrix (tp/fp/fn/tn + integer-ppm accuracy) against the true
+    lang=='en' label.  Unseen test features score the trainer's smoothed
+    default, exactly as at serve time in production.
+
+    Scale shape: train pass = one explode + one bounded bucket agg; serve
+    pass = per-row projection; eval = one keyless agg (<= 1 partial row
+    per task).  Nothing grows with the corpus except the two scans."""
+    from pyfads import pipeline as P
+
+    docs = _docs(spark, sf_dir)
+    sp = P.split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = sp.filter(F.col("split") == "train")
+    test = sp.filter(F.col("split") == "test")
+    lam = X.dsir_train_lambda(train, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
+    scored = X.dsir_score_serve(test, lam)
+    joined = test.select("doc_id", "lang").join(
+        scored.select("doc_id", "logw_bits"), "doc_id", "left"
+    )
+    pred = F.coalesce(F.col("logw_bits"), F.lit(0)) > 0
+    truth = F.col("lang").eqNullSafe("en")
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(pred & truth, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(pred & ~truth, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~pred & truth, 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(~pred & ~truth, 1).otherwise(0)).cast("long").alias("tn"),
+        )
+        .select(
+            "n_test",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("((tp + tn) * 1000000) div greatest(n_test, 1)")
+            .cast("long")
+            .alias("accuracy_ppm"),
+        )
+    )
 
 
 # integer mixture weights over the 20 fixture sources; out_rows is ~40% of

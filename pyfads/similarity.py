@@ -1849,6 +1849,113 @@ def ann_ivf_filtered_topk(
     )
 
 
+def mmr_select(
+    ids: "list[int]",
+    rel: np.ndarray,
+    M: np.ndarray,
+    k: int,
+    lam: float,
+) -> "list[tuple[int, int, int]]":
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) over ONE query's candidate shortlist:
+
+        pick argmax over remaining d of
+            lam * rel(d) - (1 - lam) * max over selected s of cos(d, s)
+
+    (first pick has no diversity penalty).  Ties break on the smaller
+    candidate id.  Returns ``[(neighbor_id, sel_rank, mmr_micros)]`` with
+    the objective micro-quantized via np.round (half-even).
+
+    SHARED between the Spark ``applyInPandas`` worker and the DuckDB
+    golden-oracle builder (pyfads.golden.mmr_rerank_oracle) — both call
+    this exact function on bit-identical float64 inputs, so the selection,
+    ranks, and micros agree by construction, not by rounding luck.  The
+    pairwise sims use broadcast-multiply + np.sum pairwise reduction (no
+    BLAS dispatch) so the arithmetic is shape-deterministic.
+    """
+    n = len(ids)
+    k = min(k, n)
+    if n == 0:
+        return []
+    norms = np.sqrt((M * M).sum(axis=1))
+    sims = (M[:, None, :] * M[None, :, :]).sum(axis=2) / np.outer(norms, norms)
+    lam = np.float64(lam)
+    one_m = np.float64(1.0) - lam
+    selected: "list[int]" = []
+    remaining = list(range(n))
+    out: "list[tuple[int, int, int]]" = []
+    for step in range(1, k + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            pen = (
+                max(np.float64(sims[i, j]) for j in selected)
+                if selected
+                else np.float64(0.0)
+            )
+            score = lam * np.float64(rel[i]) - one_m * pen
+            if (
+                best_i is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((int(ids[best_i]), step, int(np.round(best_score * 1e6))))
+    return out
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR-diversified retrieval: exact cosine top-``pool`` shortlist per
+    query (:func:`cosine_topk` — JVM chain arithmetic, broadcast queries),
+    then greedy :func:`mmr_select` re-ranking to ``k`` diverse results
+    inside an Arrow-batched ``applyInPandas`` group per query.
+
+    The sequential greedy loop is genuinely non-relational (each pick
+    conditions on the set picked so far), so this is the documented
+    custom-operator escape hatch — but it only ever touches ``pool`` rows
+    per query: candidate generation stays declarative/distributed, the
+    Python stage is O(pool^2 * k) per query and parallel across queries.
+    At 100 TB the shortlist would come from the IVF path instead; the
+    re-rank stage is unchanged.
+
+    Output: ``(q_id, neighbor_id, sel_rank, mmr_micros)``.
+    """
+    short = cosine_topk(embeddings, queries, dim, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = short.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    )
+    lam_f = float(lam)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank")
+        ids = [int(x) for x in pdf["neighbor_id"]]
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        M = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
+        qid = int(pdf["q_id"].iloc[0])
+        rows = mmr_select(ids, rel, M, k, lam_f)
+        return pd.DataFrame(
+            [(qid, nid, r, s) for (nid, r, s) in rows],
+            columns=["q_id", "neighbor_id", "sel_rank", "mmr_micros"],
+        )
+
+    return cand.groupBy("q_id").applyInPandas(
+        fn, "q_id long, neighbor_id long, sel_rank long, mmr_micros long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized ADC scoring inside IVF cells — the
 # memory-compressed scale path (a 1024-dim float vector becomes m_sub bytes

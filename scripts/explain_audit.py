@@ -56,6 +56,7 @@ EXPECTED_BNLJ = {
     "bm25_topk",  # 1-row corpus-stats frame (N, sumdl, per-term df) joined keylessly
     "bm25_batch",  # same 1-row stats frame, batch variant
     "retrieval_hybrid_rrf",  # composes bm25_topk's 1-row stats frame; the RRF fusion full-outer joins two <=pool(50)-row rank frames — every BNLJ side is bounded
+    "retrieval_mmr",  # composes cosine_topk's audited bounded-broadcast query side + q_id <> neighbor_id theta join (ann_cosine_topk class)
     "sample_priority",  # 1-row broadcast tau threshold cross-joined to the k-row sample
     "sketch_hdr_quantiles",  # 3-row literal percentile frame cross-joined to the bounded histogram
     "value_deciles",  # same class: 9-row literal percentile frame inside hdr_quantiles
@@ -93,6 +94,7 @@ EXPECTED_SINGLE_PARTITION: set[str] = {
     "bm25_topk",  # partial-agg feed of the 1-row stats frame, <= 1 row per task
     "bm25_batch",  # same partial-agg feed, batch variant
     "retrieval_hybrid_rrf",  # bm25's partial-agg feed + rank windows over <=pool(50)-row TakeOrdered outputs — KBs on the single task at any corpus size
+    "clf_eval_confusion",  # keyless 1-row confusion-matrix agg over the test split, <= 1 partial row per task
     "profile_orders",  # keyless global profile agg: <= 1 partial row per task
     "corpus_mix_temp",  # stratum-fold agg over the per-lang count frame: <= strata rows total
     "sketch_theta_setops",  # keyless stats/count aggs over <=k-row sketch frames

@@ -258,6 +258,29 @@ def test_dsir_weights_fixture_prefers_target_language(spark):
             assert means["en"] > m + 3, (lang, means)
 
 
+def test_clf_eval_confusion_held_out(spark):
+    """The train/eval composition on the real fixture: the confusion counts
+    partition the test split exactly, accuracy_ppm is their integer ratio,
+    and the model generalizes — held-out accuracy beats the
+    majority-class baseline (the split is deterministic, so this is a
+    fixed measured property, not a flaky ML assert)."""
+    from pyfads.llm_queries import clf_eval_confusion_q
+    from pyfads.pipeline import split_assign
+
+    row = clf_eval_confusion_q(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.tp + row.fp + row.fn + row.tn == row.n_test > 0
+    assert row.accuracy_ppm == ((row.tp + row.tn) * 1_000_000) // row.n_test
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    test = split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).filter(
+        F.col("split") == "test"
+    )
+    n_en = test.filter(F.col("lang") == "en").count()
+    n = test.count()
+    majority_ppm = max(n_en, n - n_en) * 1_000_000 // n
+    assert row.n_test == n
+    assert row.accuracy_ppm > majority_ppm, (row.accuracy_ppm, majority_ppm)
+
+
 def test_dsir_sample_race_semantics(spark):
     """The integer exponential race: race_key = logw_bits + geometric
     noise (60 - bit_length(md5 uniform)); a 100-bit weight gap cannot be
@@ -531,6 +554,46 @@ def test_ann_ivf_filtered_semantics(spark):
     unf = S.ann_ivf_topk(embs, q, dim=64, k=10, centroids=cents).collect()
     post = sum(1 for r in unf if labels[r["neighbor_id"]] == labels[r["q_id"]])
     assert post < len(got), "post-filter baseline unexpectedly matched in-join filtering"
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR semantics: first pick is the most relevant candidate; a
+    near-duplicate of an already-picked result is demoted below a less
+    relevant but diverse candidate (the property plain top-k lacks); ranks
+    are contiguous and the sel_rank=1 score is exactly lam*rel micros."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    q = np.array([1.0, 0.9] + [0.0] * 62)
+    c1 = np.array([1.0] + [0.0] * 63)  # most relevant (cos ~0.743)
+    c2 = np.array([0.95, -0.001] + [0.0] * 62)  # near-copy of c1 (sim ~1)
+    c3 = np.array([0.0, 1.0] + [0.0] * 62)  # diverse: orthogonal to c1, cos ~0.669
+    rows = [(0, [float(x) for x in q])]
+    for i, v in enumerate((c1, c2, c3), start=1):
+        rows.append((i, [float(x) for x in v]))
+    # distant low-relevance filler so the pool has bulk
+    for i in range(4, 12):
+        v = rng.normal(size=64) * 0.01
+        v[3 + i % 4] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        S.mmr_rerank(
+            df, df.filter(F.col("vec_id") == 0), dim=64, k=4, pool=11, lam=0.7
+        ).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in out] == [1, 2, 3, 4]
+    assert out[0].neighbor_id == 1  # pure relevance first
+    # diverse c3 (0.7*0.669 - 0) beats near-dup c2 (0.7*0.743 - 0.3*~1)
+    assert out[1].neighbor_id == 3, out
+    assert out[2].neighbor_id == 2, out  # the near-dup still beats filler
+    # plain cosine ranking would have put the near-copy second
+    plain = S.cosine_topk(df, df.filter(F.col("vec_id") == 0), dim=64, k=2).collect()
+    assert {r.neighbor_id for r in plain} == {1, 2}
+    # rank-1 objective is exactly lam * rel (no diversity penalty yet)
+    rel1 = [r.cosine for r in plain if r.neighbor_id == 1][0]
+    assert out[0].mmr_micros == int(np.round(np.float64(0.7) * np.float64(rel1) * 1e6))
 
 
 def test_ivf_codebook_trained_and_balanced(spark):

@@ -182,9 +182,31 @@ def main() -> None:
     packed.write.mode("overwrite").parquet(out + "/contexts")
     chunks.write.mode("overwrite").parquet(out + "/chunks")
 
+    # 6. serving probe: the retrieval stack over the corpus just built —
+    # hybrid BM25+dense RRF fusion picks the entry point, then MMR
+    # diversifies around it (the RAG serving shape, same oracle-checked
+    # operators as retrieval_hybrid_rrf / retrieval_mmr)
+    serving: list[str] = []
+    if n_clean > 0:
+        hits = X.hybrid_rrf(mixed, ["join", "dup", "vector", "window"], k=5)
+        top = [r.doc_id for r in hits.orderBy("rank").collect()]
+        serving.append(f"hybrid_rrf top-5: {top}")
+        if top:
+            vecs = X.doc_embed_hash(mixed).withColumnRenamed("doc_id", "vec_id")
+            diverse = S.mmr_rerank(
+                vecs, vecs.filter(F.col("vec_id") == top[0]), dim=64, k=3, pool=8
+            )
+            picks = [
+                r.neighbor_id
+                for r in diverse.orderBy("sel_rank").collect()
+            ]
+            serving.append(f"mmr around doc {top[0]}: {picks}")
+
     print("\n=== corpus funnel ===")
     for stage_name, n in funnel:
         print(f"{stage_name:>20}: {n}")
+    for line in serving:
+        print(line)
     print(f"written: {out}/chunks, {out}/contexts")
     spark.stop()
 

@@ -913,28 +913,44 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_sql() -> str:
-    k1, b = _BM25_K1, _BM25_B
-    tf_cols = ",\n         ".join(
+# One SQL builder for the BM25 scoring chain, shared by _bm25_sql,
+# _bm25_batch_sql and _hybrid_rrf_sql (code-review r12: three inline
+# copies could silently desynchronize an oracle from text.bm25_topk).
+def _bm25_tf_cols(terms: "list[str]") -> str:
+    return ",\n         ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(_BM25_TERMS)
+        for i, t in enumerate(terms)
     )
-    df_cols = ",\n         ".join(
+
+
+def _bm25_df_cols(n_terms: int) -> str:
+    return ",\n         ".join(
         f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
-        for i in range(len(_BM25_TERMS))
+        for i in range(n_terms)
     )
+
+
+def _bm25_term_score(i: int, k1: float, b: float) -> str:
     half = "'0.5'::DOUBLE"
-    terms = []
-    for i in range(len(_BM25_TERMS)):
-        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
-        denom = (
-            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
-            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
-        )
-        terms.append(f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))")
-    score = terms[0]
-    for t in terms[1:]:
-        score = f"({score} + {t})"
+    idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
+    denom = (
+        f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
+        f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
+    )
+    return f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))"
+
+
+def _bm25_score_chain(idxs: "list[int]", k1: float, b: float) -> str:
+    score = _bm25_term_score(idxs[0], k1, b)
+    for i in idxs[1:]:
+        score = f"({score} + {_bm25_term_score(i, k1, b)})"
+    return score
+
+
+def _bm25_sql() -> str:
+    tf_cols = _bm25_tf_cols(_BM25_TERMS)
+    df_cols = _bm25_df_cols(len(_BM25_TERMS))
+    score = _bm25_score_chain(list(range(len(_BM25_TERMS))), _BM25_K1, _BM25_B)
     return f"""
 WITH base AS (
   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
@@ -968,29 +984,12 @@ def _bm25_batch_sql() -> str:
     k1, b = _BM25_K1, _BM25_B
     all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     t_idx = {t: i for i, t in enumerate(all_terms)}
-    tf_cols = ",\n         ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(all_terms)
-    )
-    df_cols = ",\n         ".join(
-        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
-        for i in range(len(all_terms))
-    )
-    half = "'0.5'::DOUBLE"
-
-    def term_score(i: int) -> str:
-        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
-        denom = (
-            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
-            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
-        )
-        return f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))"
+    tf_cols = _bm25_tf_cols(all_terms)
+    df_cols = _bm25_df_cols(len(all_terms))
 
     blocks = []
     for qid, ts in sorted(_BM25_QUERIES.items()):
-        score = term_score(t_idx[ts[0]])
-        for t in ts[1:]:
-            score = f"({score} + {term_score(t_idx[t])})"
+        score = _bm25_score_chain([t_idx[t] for t in ts], k1, b)
         blocks.append(
             f"""SELECT '{qid}' AS query_id, doc_id,
        CAST(round({score} * '1000000.0'::DOUBLE) AS BIGINT) AS score_micros
@@ -1056,27 +1055,9 @@ def _hybrid_rrf_sql() -> str:
     qv = doc_embed_hash_py(" ".join(_BM25_TERMS), _HYBRID_DIM, _HYBRID_SEED)
     qn = math.sqrt(reduce(lambda a, x: a + x, [c * c for c in qv]))
 
-    k1, b = _BM25_K1, _BM25_B
-    tf_cols = ",\n         ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(_BM25_TERMS)
-    )
-    df_cols = ",\n         ".join(
-        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
-        for i in range(len(_BM25_TERMS))
-    )
-    half = "'0.5'::DOUBLE"
-    terms = []
-    for i in range(len(_BM25_TERMS)):
-        idf = f"((n_docs - df{i} + {half}) / (df{i} + {half}))"
-        denom = (
-            f"(tf{i} + ('{k1!r}'::DOUBLE * (('{1.0!r}'::DOUBLE - '{b!r}'::DOUBLE)"
-            f" + (('{b!r}'::DOUBLE * (dl * n_docs)) / sum_dl))))"
-        )
-        terms.append(f"({idf} * ((tf{i} * '{k1 + 1.0!r}'::DOUBLE) / {denom}))")
-    score = terms[0]
-    for t in terms[1:]:
-        score = f"({score} + {t})"
+    tf_cols = _bm25_tf_cols(_BM25_TERMS)
+    df_cols = _bm25_df_cols(len(_BM25_TERMS))
+    score = _bm25_score_chain(list(range(len(_BM25_TERMS))), _BM25_K1, _BM25_B)
 
     dot = " + ".join(
         f"embedding[{i + 1}] * '{float(qv[i])!r}'::DOUBLE" for i in range(_HYBRID_DIM)

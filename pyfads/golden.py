@@ -645,6 +645,15 @@ def _mmr_rerank_cached(
         M = np.array([vecs[c] for c in ids], dtype=np.float64)
         for nid, r, s in mmr_select(ids, rel, M, k, float(lam)):
             out_rows.append((q, nid, r, s))
+    if not out_rows:
+        # no qualifying query (e.g. every vec_id < n_queries zero-norm):
+        # an empty VALUES list is a DuckDB parse error — emit a typed
+        # empty relation instead (code-review r12)
+        return """
+SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS neighbor_id,
+       CAST(NULL AS BIGINT) AS sel_rank, CAST(NULL AS BIGINT) AS mmr_micros
+WHERE FALSE
+"""
     vals = ",\n  ".join(f"({q}, {n}, {r}, {s})" for q, n, r, s in out_rows)
     return f"""
 SELECT CAST(q_id AS BIGINT) AS q_id,
@@ -1115,27 +1124,25 @@ def _doc_embed_vectors(sf_dir: str, dim: int, hseed: str):
     mirror word_ngrams(2); bucket = low md5 bits, sign = md5 bit 32."""
     import duckdb
 
-    from pyfads.text import md5_hash60_py
-
     con = duckdb.connect()
     rows = con.sql(
         f"SELECT doc_id, text FROM '{_table_path(sf_dir, 'documents')}'"
     ).fetchall()
     con.close()
     ids, vecs = [], []
+    from pyfads.text import doc_embed_hash_py
+
     for doc_id, text in sorted(rows):
         # NULL text keeps its row with the zero vector (doc_embed_hash's
-        # left join), which the nonzero-norm filter then drops uniformly
-        toks = text.split(" ") if text is not None else []
-        feats = list(toks)
-        if len(toks) >= 2:
-            feats += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
-        v = np.zeros(dim, dtype=np.float64)
-        for g in feats:
-            h = md5_hash60_py(hseed, g)
-            v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+        # left join), which the nonzero-norm filter then drops uniformly.
+        # Featurization delegates to the ONE shared python twin
+        # (text.doc_embed_hash_py) so the device lives in one place
+        # (code-review r12); integer +-1 sums are order-exact, so the
+        # ndarray round-trip is bit-identical.
         ids.append(doc_id)
-        vecs.append(v)
+        vecs.append(
+            np.asarray(doc_embed_hash_py(text, dim, hseed), dtype=np.float64)
+        )
     return ids, np.asarray(vecs)
 
 

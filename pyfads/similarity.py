@@ -1702,6 +1702,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     corpus_assign: int = 1,
+    filter_col: "str | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize every vector to its nearest
     centroid cell; queries probe their ``n_probe`` nearest cells; exact
@@ -1720,6 +1721,13 @@ def ann_ivf_topk(
     structureless Gaussian fixtures need far wider probing for the same
     recall (see tests/test_llm_ops.py for measured points).
 
+    ``filter_col`` makes the search predicate-FILTERED: each query
+    retrieves only among corpus vectors whose ``filter_col`` equals its
+    own value, with the predicate riding IN the candidate equi-join key
+    ``(cell, filter_col)`` — see :func:`ann_ivf_filtered_topk` for the
+    full rationale.  ``None`` (the default) is the unfiltered search,
+    byte-for-byte the pre-filter plan.
+
     The scale shape of FAISS-style IVF on Spark: the codebook is tiny and
     broadcast inside the Arrow-batched assignment UDF; the candidate join is
     an equi-join on the cell id (shuffle key = one int per vector), never
@@ -1732,19 +1740,21 @@ def ann_ivf_topk(
         if centroids is not None
         else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
     )
+    fcols = [F.col(filter_col).alias("__f")] if filter_col is not None else []
+    fkeys = ["__f"] if filter_col is not None else []
     cb = embeddings.select(
         F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
+        *fcols,
         F.explode(_cell_assign_udf(cents, corpus_assign)(F.col(vec_col))).alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
+        *fcols,
         F.explode(_cell_assign_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     cand = (
-        qb.select("q_id", "cell")
-        .join(cb.select("c_id", "cell"), "cell")
+        qb.select("q_id", "cell", *fkeys)
+        .join(cb.select("c_id", "cell", *fkeys), ["cell", *fkeys])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", F.col("c_id").alias("neighbor_id"))
         .distinct()
@@ -1804,48 +1814,24 @@ def ann_ivf_filtered_topk(
     n_centroids of one tenant's slice.  At 100 TB the corpus side would be
     written bucketed by (cell, filter_col) so repeated query batches probe
     with zero Exchange.
+
+    One body with the unfiltered search: this delegates to
+    :func:`ann_ivf_topk` with ``filter_col`` set (code-review r12 — a
+    separate copy could not pick up IVF fixes or ``corpus_assign``
+    multi-assignment), so every IVF feature works filtered too.
     """
-    embeddings = drop_zero_norm(embeddings, dim, vec_col)
-    queries = drop_zero_norm(queries, dim, vec_col)
-    cents = (
-        centroids
-        if centroids is not None
-        else train_ivf_centroids(embeddings, dim, n_centroids, seed, id_col, vec_col)
-    )
-    cb = embeddings.select(
-        F.col(id_col).alias("c_id"),
-        F.col(filter_col).alias("__f"),
-        F.explode(_cell_assign_udf(cents, 1)(F.col(vec_col))).alias("cell"),
-    )
-    qb = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(filter_col).alias("__f"),
-        F.explode(_cell_assign_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
-    )
-    cand = (
-        qb.join(cb, ["cell", "__f"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", F.col("c_id").alias("neighbor_id"))
-        .distinct()
-    )
-    vq = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("q_norm", norm_expr("q_vec", dim))
-    )
-    vc = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_expr(vec_col, dim).alias("c_norm"),
-    )
-    cos = dot_expr("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        cand.join(vq, "q_id")
-        .join(vc, "neighbor_id")
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cosine", "rank")
+    return ann_ivf_topk(
+        embeddings,
+        queries,
+        dim,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        filter_col=filter_col,
     )
 
 
@@ -1881,17 +1867,18 @@ def mmr_select(
     sims = (M[:, None, :] * M[None, :, :]).sum(axis=2) / np.outer(norms, norms)
     lam = np.float64(lam)
     one_m = np.float64(1.0) - lam
-    selected: "list[int]" = []
+    # running per-candidate penalty: max over selected of sims[i, sel].
+    # Maintained incrementally (max is order-independent, so this is
+    # bit-identical to recomputing the max per step — code-review r12,
+    # O(k*n) instead of O(k^2*n)).  None until the first pick: the TRUE
+    # max can be negative (a diversity *boost*), so it must not clamp at 0.
+    pen_arr: "np.ndarray | None" = None
     remaining = list(range(n))
     out: "list[tuple[int, int, int]]" = []
     for step in range(1, k + 1):
         best_i, best_score = None, None
         for i in remaining:
-            pen = (
-                max(np.float64(sims[i, j]) for j in selected)
-                if selected
-                else np.float64(0.0)
-            )
+            pen = np.float64(0.0) if pen_arr is None else np.float64(pen_arr[i])
             score = lam * np.float64(rel[i]) - one_m * pen
             if (
                 best_i is None
@@ -1899,8 +1886,12 @@ def mmr_select(
                 or (score == best_score and ids[i] < ids[best_i])
             ):
                 best_i, best_score = i, score
-        selected.append(best_i)
         remaining.remove(best_i)
+        pen_arr = (
+            sims[:, best_i].copy()
+            if pen_arr is None
+            else np.maximum(pen_arr, sims[:, best_i])
+        )
         out.append((int(ids[best_i]), step, int(np.round(best_score * 1e6))))
     return out
 
@@ -1930,6 +1921,14 @@ def mmr_rerank(
 
     Output: ``(q_id, neighbor_id, sel_rank, mmr_micros)``.
     """
+    # the output schema types ids as BIGINT (and mmr_select ints them) —
+    # fail fast at the API boundary instead of a ValueError inside the
+    # Arrow worker (code-review r12)
+    id_type = dict(embeddings.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"mmr_rerank requires an integral id column; {id_col!r} is {id_type}"
+        )
     short = cosine_topk(embeddings, queries, dim, k=pool, id_col=id_col, vec_col=vec_col)
     cand = short.join(
         embeddings.select(

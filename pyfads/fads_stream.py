@@ -473,17 +473,20 @@ class ForeachBatchFADS:
         # idempotency idiom is to skip already-seen ids (r11 advice)
         if self._last_batch_id is not None and batch_id <= self._last_batch_id:
             return
-        self._last_batch_id = batch_id
         if self._out_cols is None:
             self._out_cols = _out_cols(batch_df.columns, cfg)
         pdf = batch_df.toPandas()
-        if not len(pdf):
-            return
-        out, self.pending = _ingest_batch(
-            self.fads, self.pending, pdf, cfg, self._out_cols
-        )
-        if len(out):
-            self.outputs.append(out)
+        if len(pdf):
+            out, self.pending = _ingest_batch(
+                self.fads, self.pending, pdf, cfg, self._out_cols
+            )
+            if len(out):
+                self.outputs.append(out)
+        # mark AFTER the ingest succeeds: advancing the marker first would
+        # make a failed-then-retried batch skip itself — silent data loss
+        # (at-most-once), the opposite of what the guard is for
+        # (code-review r12)
+        self._last_batch_id = batch_id
 
     def flush(self) -> pd.DataFrame:
         """G14 end-of-stream drain (reference close(), Generalizer.java:59-74)."""

@@ -267,11 +267,16 @@ def taxi_fixture_lines(sf_dir: str) -> list[tuple]:
 
 
 @functools.lru_cache(maxsize=None)
-def _taxi_job_golden_cached(sf_dir: str) -> str:
+def _taxi_job_golden_cached(sf_dir: str, fingerprint: tuple = ()) -> str:
     """Golden for the composed job: the independent pure-Python FADS
     oracle over the same (rideId, taxiId, endTime) derivation the CSV
     fixture encodes — QIDs and config exactly the reference job's
-    (Generalizer(10, 30, 60000), pid = rideId which is itself a QID)."""
+    (Generalizer(10, 30, 60000), pid = rideId which is itself a QID).
+
+    ``fingerprint`` is the events fixture's (mtime_ns, size) — the same
+    device as the query side's _chunk_key — so a regenerated fixture
+    rebuilds the golden instead of serving stale rows while the CSV
+    chunks rebuild (code-review r12)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -309,7 +314,13 @@ def _taxi_job_golden_cached(sf_dir: str) -> str:
 
 
 def taxi_job_composed_oracle() -> str:
-    return _taxi_job_golden_cached(oracle_sf_dir())
+    sf = oracle_sf_dir()
+    try:
+        st = os.stat(os.path.join(sf, "events.parquet"))
+        fp = (int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        fp = ()
+    return _taxi_job_golden_cached(sf, fp)
 
 
 # --------------------------------------------------------------------------

@@ -261,6 +261,15 @@ def _run_fads_stream(
         while _time.time() < deadline:
             if spark.table(sink_name).count() >= n_events:
                 break
+            if not q.isActive:
+                # the query DIED (not stalled): surface its own exception
+                # instead of spinning out the deadline and blaming a stall
+                # (code-review r12)
+                exc = q.exception()
+                raise RuntimeError(
+                    f"{sink_name}: streaming query terminated before "
+                    f"releasing {n_events} rows"
+                ) from exc
             _time.sleep(1)
     finally:
         q.stop()
@@ -371,6 +380,7 @@ def fads_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TAXI_JOB_DIRS: dict[tuple, str] = {}
+_TAXI_JOB_ROWS: dict[tuple, list] = {}
 
 
 @query("taxi_job_composed", oracle=_golden.taxi_job_composed_oracle)
@@ -400,8 +410,12 @@ def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads.metrics import ThroughputListener
     from pyfads.schema import fads_output_schema
 
-    rows = _golden.taxi_fixture_lines(sf_dir)
     key = _chunk_key(sf_dir, "events")
+    # the fixture derivation is a full DuckDB scan + python sort — pay it
+    # once per fixture fingerprint, not per bench rep (code-review r12)
+    if key not in _TAXI_JOB_ROWS:
+        _TAXI_JOB_ROWS[key] = _golden.taxi_fixture_lines(sf_dir)
+    rows = _TAXI_JOB_ROWS[key]
     if key not in _TAXI_JOB_DIRS:
         d = _scratch_dir("pyfads_taxijob_")
         secs = sorted({r[0] for r in rows})
@@ -412,12 +426,24 @@ def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunks[i].append(r[4])
         os.makedirs(f"{d}/in")
         for i, ch in enumerate(chunks):
+            if not ch:
+                # a degenerate cut (<= 3 distinct arrival seconds) leaves a
+                # chunk empty; writing it would emit one empty line the
+                # strict parser dies on under ANSI mode (code-review r12)
+                continue
             p = f"{d}/in/nycTaxiRides_{i}.gz"
             with gzip.open(p, "wt") as fh:
                 fh.write("\n".join(ch) + "\n")
             t = 1_700_000_000 + i * 60  # mtime-ordered => arrival-ordered
             os.utime(p, (t, t))
         _TAXI_JOB_DIRS[key] = d
+    # previous reps' sink/checkpoint dirs are dead weight once their query
+    # stopped — drop them so a long bench process doesn't grow disk
+    import shutil as _shutil
+
+    for stale in os.listdir(_TAXI_JOB_DIRS[key]):
+        if stale.startswith("run_"):
+            _shutil.rmtree(os.path.join(_TAXI_JOB_DIRS[key], stale), ignore_errors=True)
     run_dir = tempfile.mkdtemp(dir=_TAXI_JOB_DIRS[key], prefix="run_")
     out_dir, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
 
@@ -462,6 +488,13 @@ def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             while _time.time() < deadline:
                 if _count() >= n:
                     break
+                if not q.isActive:
+                    # died, not stalled: surface the query's own exception
+                    # (code-review r12)
+                    raise RuntimeError(
+                        f"taxi_job_composed: streaming query terminated "
+                        f"before releasing {n} rows"
+                    ) from q.exception()
                 _time.sleep(0.5)
             # let any in-flight state-cleanup micro-batch commit before
             # stopping — stopping mid-commit aborts its state-store write

@@ -209,8 +209,17 @@ def test_session_window_stream_eight_chunks(spark, tmp_path_factory, tmp_path):
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     import numpy as np
 
+    import os
+
     for i, part in enumerate(np.array_split(pdf, 8)):
-        part.to_parquet(f"{d}/chunk_{i}.parquet", index=False)
+        p = f"{d}/chunk_{i}.parquet"
+        part.to_parquet(p, index=False)
+        # stagger mtimes: FileStreamSource orders pending files by mtime,
+        # and 8 sub-ms writes can tie — a late-time chunk processed first
+        # would advance the watermark past earlier chunks (code-review r12;
+        # same device as _fads_stream_chunks)
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
     stream = (
         spark.readStream.schema(batch_df.schema)
         .option("maxFilesPerTrigger", 1)

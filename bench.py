@@ -92,6 +92,13 @@ def build_spark() -> SparkSession:
         .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the Python call site for EVERY DataFrame/Column
+        # op (DataFrameQueryContext, for error messages): each op pays an
+        # inspect-stack walk plus 3 extra py4j RPCs (conf.get + origin
+        # set/clear).  cProfile showed ~1/3 of expression-heavy builders'
+        # wall time inside this wrapper (OPTIMIZATION_r12.md).  Scale-neutral:
+        # it's pure driver-side debugging aid, off in any production job.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .getOrCreate()

@@ -265,7 +265,7 @@ def prototypicality_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves (inner time-interval joins emit matches as both sides arrive, so
 # the streamed result equals the batch join value-for-value).
 # --------------------------------------------------------------------------
-_SSJ_CHUNKS: dict[tuple, str] = {}
+_SSJ_CHUNKS: dict[tuple, tuple] = {}
 
 
 def _events_ts_chunks(spark: SparkSession, sf_dir: str) -> tuple:
@@ -279,9 +279,9 @@ def _events_ts_chunks(spark: SparkSession, sf_dir: str) -> tuple:
     from pyfads.io import epoch_ms
     from pyfads.llm_queries import _chunk_key, _scratch_dir
 
-    ev = read_table(spark, sf_dir, "events")
     key = _chunk_key(sf_dir, "events")
     if key not in _SSJ_CHUNKS:
+        ev = read_table(spark, sf_dir, "events")
         d = _scratch_dir("pyfads_ssj_")
         ms = ev.withColumn("_ms", epoch_ms(ev, "ts"))
         qs = ms.approxQuantile("_ms", [0.34, 0.67], 0.001)
@@ -296,8 +296,10 @@ def _events_ts_chunks(spark: SparkSession, sf_dir: str) -> tuple:
         base.filter(F.col("_ms") > hi).drop("_ms").coalesce(1).write.parquet(
             d + "/c2.parquet"
         )
-        _SSJ_CHUNKS[key] = d
-    return _SSJ_CHUNKS[key], ev.schema
+        # schema + row count memoized with the chunks (row count sizes the
+        # stream's state partitions; re-counting per rep was a scan job)
+        _SSJ_CHUNKS[key] = (d, ev.schema, ev.count())
+    return _SSJ_CHUNKS[key]
 
 
 @query(
@@ -326,7 +328,7 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads.io import epoch_ms
     from pyfads.windows import interval_join
 
-    d, schema = _events_ts_chunks(spark, sf_dir)
+    d, schema, n_rows = _events_ts_chunks(spark, sf_dir)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -347,16 +349,22 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_join(clicks, purchases, ["user_id"], "c_ts", "p_ts", 0, 3_600_000)
     name = "interval_join_streamed_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from pyfads.io import stream_shuffle_scope
+
+    # a stream-stream join keeps FOUR state stores per partition per side,
+    # each opened+committed every micro-batch — size the partition count to
+    # the input volume (guide §2; pyfads.io.stream_state_partitions)
+    with stream_shuffle_scope(spark, n_rows=n_rows):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -373,7 +381,7 @@ def interval_join_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct content-hash SET (which row of a duplicate group a micro-batch
 # keeps is engine-internal, the SET of survivors' texts is not).
 # --------------------------------------------------------------------------
-_SDEDUP_CHUNKS: dict[tuple, str] = {}
+_SDEDUP_CHUNKS: dict[tuple, tuple] = {}
 
 
 @query(
@@ -387,9 +395,9 @@ def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries cannot change.  See :func:`pyfads.dedup.exact_dedup_stream`."""
     from pyfads.llm_queries import _chunk_key, _scratch_dir
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     key = _chunk_key(sf_dir, "documents")
     if key not in _SDEDUP_CHUNKS:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         d = _scratch_dir("pyfads_sdedup_")
         mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
         docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
@@ -398,25 +406,31 @@ def dedup_exact_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
             d + "/c1.parquet"
         )
-        _SDEDUP_CHUNKS[key] = d
+        _SDEDUP_CHUNKS[key] = (d, docs.count())
+    chunk_dir, n_rows = _SDEDUP_CHUNKS[key]
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(_SDEDUP_CHUNKS[key])
+        .parquet(chunk_dir)
     )
     deduped = D.exact_dedup_stream(src.filter(F.col("text").isNotNull()))
     name = "dedup_exact_streamed_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from pyfads.io import stream_shuffle_scope
+
+    # dropDuplicates state = one 16-byte hash per distinct doc — volume-
+    # sized state partitions (pyfads.io.stream_state_partitions)
+    with stream_shuffle_scope(spark, n_rows=n_rows):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(F.md5("text").alias("text_md5"))
 
 

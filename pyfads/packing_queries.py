@@ -245,16 +245,21 @@ def pack_nextfit_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = P.pack_nextfit_stream(src, _CAP, _SHARDS)
     name = "pack_nextfit_streamed_sink"
-    q = (
-        packed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()  # NoTimeout state: terminates
-    finally:
-        q.stop()
+    from pyfads.io import stream_shuffle_scope
+
+    # state keys = the _SHARDS open bins — partitions beyond that hold no
+    # state and pay per-batch store I/O (pyfads.io.stream_state_partitions)
+    with stream_shuffle_scope(spark, n_keys=_SHARDS):
+        q = (
+            packed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # NoTimeout state: terminates
+        finally:
+            q.stop()
     return spark.table(name)
 
 

@@ -30,8 +30,6 @@ cell id per (replicated) vector.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -91,63 +89,104 @@ any within-cell join quadratic on a skewed key at 100 TB.  256 gives 4x
 headroom over the adaptive target, so healthy cells never hit the cap."""
 
 
-def _elem(col: str, i: int) -> "F.Column":
+# Expression construction goes through ONE F.expr(sql_text) call per
+# expression instead of composing hundreds of Column ops: every PySpark
+# Column method is a py4j round-trip (~0.3-1 ms each), so a 64-term chain
+# built by reduce() cost ~300 RPCs and a single higher-order lambda ~66 ms
+# of gateway traffic — profiled at ~19 s of a 21 s semantic-dedup build
+# (optimization guide §4: the Python boundary, applied to PLAN construction
+# rather than data).  The SQL parser builds the identical Catalyst tree
+# (same Cast/Multiply/Add/ArrayAggregate nodes, same left association), so
+# every value is bit-for-bit what the Column-composed form produced.
+
+
+def _bt(col: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def _elem_sql(col_sql: str, i: int) -> str:
     # 1-indexed like SQL; cast float->double *before* arithmetic (oracle parity)
-    return F.element_at(F.col(col), i).cast("double")
+    return f"CAST(element_at({col_sql}, {i}) AS DOUBLE)"
+
+
+def dot_chain_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """SQL text of the explicit left-associated dot product."""
+    return " + ".join(
+        f"{_elem_sql(a_sql, i)} * {_elem_sql(b_sql, i)}" for i in range(1, dim + 1)
+    )
+
+
+def _norm_chain_sql(col_sql: str, dim: int) -> str:
+    sq = " + ".join(
+        f"{_elem_sql(col_sql, i)} * {_elem_sql(col_sql, i)}"
+        for i in range(1, dim + 1)
+    )
+    return f"SQRT({sq})"
+
+
+def _dot_fold_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of the left fold 0.0 + a1*b1 + a2*b2 + ... (chain rounding)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(__x, __y) -> CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+        "0.0D, (__acc, __e) -> __acc + __e)"
+    )
+
+
+def _norm_fold_sql(col_sql: str) -> str:
+    return (
+        f"SQRT(aggregate(transform({col_sql}, "
+        "__x -> CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)), "
+        "0.0D, (__acc, __e) -> __acc + __e))"
+    )
+
+
+def dot_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Dot-product SQL text, codegen chain below CHAIN_MAX_DIM, fold above."""
+    if dim <= CHAIN_MAX_DIM:
+        return dot_chain_sql(a_sql, b_sql, dim)
+    return _dot_fold_sql(a_sql, b_sql)
+
+
+def norm_sql(col_sql: str, dim: int) -> str:
+    """L2-norm SQL text, dim-switched like :func:`dot_sql`."""
+    if dim <= CHAIN_MAX_DIM:
+        return _norm_chain_sql(col_sql, dim)
+    return _norm_fold_sql(col_sql)
+
+
+def _vec_lit_sql(v) -> str:
+    """SQL array<double> literal for one vector (repr round-trips exactly)."""
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in v) + ")"
 
 
 def dot_chain(a_col: str, b_col: str, dim: int) -> "F.Column":
     """Explicit left-associated dot product over a fixed dimension."""
-    return reduce(
-        lambda acc, i: acc + _elem(a_col, i) * _elem(b_col, i),
-        range(2, dim + 1),
-        _elem(a_col, 1) * _elem(b_col, 1),
-    )
+    return F.expr(dot_chain_sql(_bt(a_col), _bt(b_col), dim))
 
 
 def _norm_chain(col: str, dim: int) -> "F.Column":
-    return F.sqrt(
-        reduce(
-            lambda acc, i: acc + _elem(col, i) * _elem(col, i),
-            range(2, dim + 1),
-            _elem(col, 1) * _elem(col, 1),
-        )
-    )
+    return F.expr(_norm_chain_sql(_bt(col), dim))
 
 
 def _dot_fold(a_col: str, b_col: str) -> "F.Column":
     """Left fold: 0.0 + a1*b1 + a2*b2 + ... — same rounding as the chain."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(a_col), F.col(b_col), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    return F.expr(_dot_fold_sql(_bt(a_col), _bt(b_col)))
 
 
 def dot_expr(a_col: str, b_col: str, dim: int) -> "F.Column":
     """Dot product, codegen chain below CHAIN_MAX_DIM, aggregate fold above."""
-    if dim <= CHAIN_MAX_DIM:
-        return dot_chain(a_col, b_col, dim)
-    return _dot_fold(a_col, b_col)
+    return F.expr(dot_sql(_bt(a_col), _bt(b_col), dim))
 
 
 def _norm_fold(col: str) -> "F.Column":
-    return F.sqrt(
-        F.aggregate(
-            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    return F.expr(_norm_fold_sql(_bt(col)))
 
 
 def norm_expr(col: str, dim: int) -> "F.Column":
     """L2 norm, dim-switched like :func:`dot_expr`."""
-    if dim <= CHAIN_MAX_DIM:
-        return _norm_chain(col, dim)
-    return _norm_fold(col)
+    return F.expr(norm_sql(_bt(col), dim))
 
 
 def drop_zero_norm(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
@@ -843,45 +882,27 @@ def _probe_cells_inplan(
     adaptive ``margin`` (ranks >= 2 kept only when
     ``dp1 - dp_r < margin * |v|`` — the boundary test the oracle
     replays; clear-interior vectors probe one cell)."""
-    arr = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _dot_fold("__v", f"__c{j}").alias("dp"),
-                    F.lit(-j).alias("negcell"),
-                )
-                for j in range(len(cents))
-            ]
-        )
+    structs = ", ".join(
+        f"struct({_dot_fold_sql('`__v`', _vec_lit_sql(cents[j]))} AS dp, "
+        f"{-j} AS negcell)"
+        for j in range(len(cents))
     )
-    with_cents = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        *[
-            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
-            for j in range(len(cents))
-        ],
-    )
+    arr = f"array_sort(array({structs}))"
     if margin is None:
-        cells = F.transform(
-            F.slice(arr, -n, n), lambda t: (-t["negcell"]).cast("int")
-        )
+        cells = f"transform(slice({arr}, -{n}, {n}), __t -> CAST(-__t.negcell AS INT))"
     else:
-        best = F.element_at(arr, -1)
-        budget = F.lit(float(margin)) * _norm_fold("__v")
-        cells = F.concat(
-            F.array((-best["negcell"]).cast("int")),
-            F.transform(
-                F.filter(
-                    F.slice(arr, -n, n - 1),  # ranks n..2, best excluded
-                    lambda t: (best["dp"] - t["dp"]) < budget,
-                ),
-                lambda t: (-t["negcell"]).cast("int"),
-            ),
+        best = f"element_at({arr}, -1)"
+        budget = f"{repr(float(margin))}D * {_norm_fold_sql('`__v`')}"
+        cells = (
+            f"concat(array(CAST(-({best}.negcell) AS INT)), "
+            # ranks n..2, best excluded
+            f"transform(filter(slice({arr}, -{n}, {n - 1}), "
+            f"__t -> ({best}.dp - __t.dp) < {budget}), "
+            "__t -> CAST(-__t.negcell AS INT)))"
         )
-    return with_cents.select(
+    return df.select(F.col(id_col), F.col(vec_col).alias("__v")).select(
         id_col,
-        F.explode(cells).alias("cell"),
+        F.explode(F.expr(cells)).alias("cell"),
     )
 
 
@@ -896,27 +917,14 @@ def _assign_cells_inplan(
     than by "BLAS rounds like the SQL fold" (code-review r8 #8).  Also
     map-only: no Arrow hop, no per-row normalization.  Returns
     ``(id_col, __v, cell)``."""
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _dot_fold("__v", f"__c{j}").alias("dp"),
-                    F.lit(-j).alias("negcell"),
-                )
-                for j in range(len(cents))
-            ]
-        )
+    structs = ", ".join(
+        f"struct({_dot_fold_sql('`__v`', _vec_lit_sql(cents[j]))} AS dp, "
+        f"{-j} AS negcell)"
+        for j in range(len(cents))
     )
-    with_cents = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        *[
-            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
-            for j in range(len(cents))
-        ],
-    )
-    return with_cents.select(
-        id_col, "__v", (-best["negcell"]).cast("int").alias("cell")
+    cell = F.expr(f"CAST(-(array_max(array({structs})).negcell) AS INT)")
+    return df.select(F.col(id_col), F.col(vec_col).alias("__v")).select(
+        id_col, "__v", cell.alias("cell")
     )
 
 
@@ -2041,17 +2049,6 @@ def train_pq_codebooks(
     )
 
 
-def _pq_lit_expr(cb: np.ndarray) -> "F.Column":
-    """(m_sub, ksub, dsub) codebook as a Spark nested-array double literal."""
-
-    def fmt(x) -> str:
-        if isinstance(x, np.ndarray):
-            return "array(" + ", ".join(fmt(e) for e in x) + ")"
-        return repr(float(x)) + "D"
-
-    return F.expr(fmt(cb))
-
-
 def ann_ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -2137,39 +2134,50 @@ def ann_ivfpq_topk(
         F.col(id_col).alias("q_id"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    # carry the PQ codes THROUGH the candidate join instead of joining the
+    # encoded corpus a second time afterwards: codes are functionally
+    # dependent on c_id (one enc row per vector), so distinct over
+    # (q_id, neighbor_id, codes) is the same pair set — and the corpus-side
+    # encode UDF (a full corpus pass at scale) runs ONCE, not twice
+    # (guide §4: one decode/encode pass, attach decisions to it).
     cand = (
-        qcells.join(enc.select("c_id", "cell"), "cell")
+        qcells.join(enc, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", F.col("c_id").alias("neighbor_id"))
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "codes")
         .distinct()
     )
-    qnorm = norm_expr(vec_col, dim)
     vq = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / qnorm
+            F.expr(
+                f"transform({_bt(vec_col)}, __x -> CAST(__x AS DOUBLE) / "
+                f"{norm_sql(_bt(vec_col), dim)})"
             ).alias("qn"),
         )
     )
-    pq_lit = _pq_lit_expr(cb)
+    # flat (m_sub*ksub*dsub) codebook as ONE array<double> Literal node: the
+    # nested array(...) literal tree was ~m_sub*ksub*dsub Catalyst nodes
+    # COPIED into every ADC term (~131k nodes at dim 1024), so plan
+    # construction/analysis dominated the query (guide §7.3 planning time).
+    # A 1-D numpy literal crosses py4j once and is opaque to tree walks; the
+    # terms index it with a computed slice, reading the identical doubles:
+    # cb[j-1][code][i] == flat[((j-1)*ksub + code)*dsub + i].
+    flat_cb = F.lit(np.ascontiguousarray(cb, dtype=np.float64).reshape(-1))
 
-    def term(j: int) -> "F.Column":
-        sub_q = F.slice(F.col("qn"), (j - 1) * dsub + 1, dsub)
-        cbk = F.element_at(
-            F.element_at(pq_lit, j), F.element_at(F.col("codes"), j) + 1
-        )
-        return F.aggregate(
-            F.zip_with(sub_q, cbk, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def term_sql(j: int) -> str:
+        off = f"(({(j - 1) * ksub} + element_at(`codes`, {j})) * {dsub}) + 1"
+        return (
+            f"aggregate(zip_with(slice(`qn`, {(j - 1) * dsub + 1}, {dsub}), "
+            f"slice(`__cb`, {off}, {dsub}), (__x, __y) -> __x * __y), "
+            "0.0D, (__acc, __e) -> __acc + __e)"
         )
 
-    adc = reduce(lambda acc, j: acc + term(j), range(2, m_sub + 1), F.lit(0.0) + term(1))
+    adc = F.expr("0.0D + " + " + ".join(term_sql(j) for j in range(1, m_sub + 1)))
     scored = (
         cand.join(vq, "q_id")
-        .join(enc.select(F.col("c_id").alias("neighbor_id"), "codes"), "neighbor_id")
+        .withColumn("__cb", flat_cb)
         .withColumn("adc", adc)
+        .drop("__cb")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
     topped = (
@@ -2261,11 +2269,11 @@ def pca_project(
     dim, out_dim = components.shape
     cols = [F.col(id_col)]
     for j in range(out_dim):
-        cs = F.array(*[F.lit(float(components[i, j])) for i in range(dim)])
-        expr = F.aggregate(
-            F.zip_with(F.col(vec_col), cs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        cs = _vec_lit_sql(components[:, j])
+        expr = F.expr(
+            f"aggregate(zip_with({_bt(vec_col)}, {cs}, "
+            "(__x, __c) -> CAST(__x AS DOUBLE) * __c), "
+            "0.0D, (__acc, __e) -> __acc + __e)"
         )
         cols.append(expr.alias(f"{out_prefix}{j}"))
     return embeddings.select(*cols)
@@ -2309,17 +2317,17 @@ def ann_pca_lsh_topk(
         proj = pca_project(df, comps, id_col, vec_col, out_prefix="__y")
         tb = []
         for t in range(n_tables):
-            bucket = None
+            bits = []
             for j in range(n_planes):
-                d = None
-                for x in range(out_dim):
-                    term = F.col(f"__y{x}") * float(planes[t, j, x])
-                    d = term if d is None else d + term
-                bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-                bucket = bit if bucket is None else bucket + bit
+                d = " + ".join(
+                    f"`__y{x}` * {repr(float(planes[t, j, x]))}D"
+                    for x in range(out_dim)
+                )
+                bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)")
+            bucket = " + ".join(bits)
             tb.append(
-                F.struct(
-                    F.lit(t).alias("table_idx"), bucket.cast("long").alias("bucket")
+                F.expr(
+                    f"struct({t} AS table_idx, CAST({bucket} AS BIGINT) AS bucket)"
                 )
             )
         return proj.select(
@@ -2455,7 +2463,12 @@ def kcenter_select(
             id_col,
             "__v",
             "__n",
-            *[F.lit(sel_vecs[j]).alias(f"__s{j}") for j in range(len(sel_vecs))],
+            # 1-D ndarray literals cross py4j as ONE Literal node each (a
+            # plain list would build a CreateArray of dim children)
+            *[
+                F.lit(np.asarray(sel_vecs[j], dtype=np.float64)).alias(f"__s{j}")
+                for j in range(len(sel_vecs))
+            ],
         ).select(
             id_col,
             "__v",
@@ -2510,10 +2523,12 @@ def sq8_normalize(
     as the SQL twin, so the normalized coordinates and every downstream
     level are bit-identical cross-engine.  One ``transform`` expression,
     not per-element chains (see :func:`sq8_quantize` on why)."""
-    nrm = norm_expr(vec_col, dim)
     return drop_zero_norm(embeddings, dim, vec_col).select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("nvec"),
+        F.expr(
+            f"transform({_bt(vec_col)}, __x -> CAST(__x AS DOUBLE) / "
+            f"{norm_sql(_bt(vec_col), dim)})"
+        ).alias("nvec"),
     )
 
 
@@ -2535,14 +2550,13 @@ def sq8_quantize(
     not ``dim`` per-element chains (the chain form re-substitutes the
     full normalization tree into each element after Catalyst project
     collapse: an O(dim^2)-node plan that OOM'd codegen at 64 dims)."""
-    level = lambda x: F.greatest(  # noqa: E731
-        F.lit(0).cast("long"),
-        F.least(F.lit(255).cast("long"), F.floor((x + F.lit(1.0)) * F.lit(127.5))),
+    qvec = F.expr(
+        f"transform({_bt(vec_col)}, __x -> greatest(CAST(0 AS BIGINT), "
+        "least(CAST(255 AS BIGINT), FLOOR((__x + 1.0D) * 127.5D))))"
     )
-    qvec = F.transform(F.col(vec_col), level)
     return normalized.select(F.col(id_col), qvec.alias("qvec")).withColumn(
         "qsum",
-        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v),
+        F.expr("aggregate(`qvec`, CAST(0 AS BIGINT), (__acc, __e) -> __acc + __e)"),
     )
 
 
@@ -2583,10 +2597,9 @@ def sq8_topk(
     pairs = qq.join(cq, F.col("q_id") != F.col("neighbor_id"))
     # integer sums — associativity-free, so the fold (one higher-order
     # expression) equals the SQL twin's explicit 64-term chain exactly
-    qq_dot = F.aggregate(
-        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    qq_dot = F.expr(
+        "aggregate(zip_with(`q_q`, `c_q`, (__x, __y) -> __x * __y), "
+        "CAST(0 AS BIGINT), (__acc, __e) -> __acc + __e)"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("qscore"), F.col("neighbor_id"))
     return (
@@ -2636,29 +2649,16 @@ def prototypicality_prune(
         if centroids is not None
         else train_ivf_centroids(emb, dim, n_centroids, seed, id_col, vec_col)
     )
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _dot_fold("__v", f"__c{j}").alias("dp"),
-                    F.lit(-j).alias("negcell"),
-                )
-                for j in range(len(cents))
-            ]
-        )
+    structs = ", ".join(
+        f"struct({_dot_fold_sql('`__v`', _vec_lit_sql(cents[j]))} AS dp, "
+        f"{-j} AS negcell)"
+        for j in range(len(cents))
     )
-    with_cents = emb.select(
+    best = f"array_max(array({structs}))"
+    scored = emb.select(F.col(id_col), F.col(vec_col).alias("__v")).select(
         F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        *[
-            F.lit([float(x) for x in cents[j]]).alias(f"__c{j}")
-            for j in range(len(cents))
-        ],
-    )
-    scored = with_cents.select(
-        F.col(id_col),
-        (-best["negcell"]).cast("int").alias("cell"),
-        (best["dp"] / _norm_fold("__v")).alias("proto_cos"),
+        F.expr(f"CAST(-(({best}).negcell) AS INT)").alias("cell"),
+        F.expr(f"({best}).dp / {_norm_fold_sql('`__v`')}").alias("proto_cos"),
     )
     wo = Window.partitionBy("cell").orderBy(F.desc("proto_cos"), id_col)
     wn = Window.partitionBy("cell")

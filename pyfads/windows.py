@@ -745,7 +745,7 @@ def session_window_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyfads.curation_queries import _events_ts_chunks
     from pyfads.llm_queries import _scratch_dir
 
-    d, schema = _events_ts_chunks(spark, sf_dir)
+    d, schema, _n_rows = _events_ts_chunks(spark, sf_dir)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -765,6 +765,12 @@ def session_window_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     name = "session_window_streamed_sink"
+    # deliberately NOT wrapped in stream_shuffle_scope: the merging session
+    # agg is sort/merge COMPUTE per batch (complete mode re-emits all
+    # sessions each trigger), so it wants the session's full parallelism —
+    # measured 4.4 s at 32 state partitions vs 7.5 s at the volume-derived
+    # 2 (OPTIMIZATION_r12.md); the store-I/O saving is dwarfed by the lost
+    # sort parallelism here, unlike the key-bounded FADS/packing streams
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

@@ -617,8 +617,19 @@ def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-vs-cost dial for the probabilistic dedup path (the ann_recall_*
     precedent, applied to lexical dedup).  Integer basis points."""
     docs = _docs(spark, sf_dir)
-    exact = D.prefix_jaccard_pairs(docs).select("a_id", "b_id")
-    lsh = D.minhash_near_dup_pairs(docs).select("a_id", "b_id")
+    # each pair set feeds its own count AND the hit join — localCheckpoint
+    # so the expensive pair pipelines run once per call, not twice (r12;
+    # the CC edge-list rationale: pair-set-sized, never corpus-sized)
+    exact = (
+        D.prefix_jaccard_pairs(docs)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        D.minhash_near_dup_pairs(docs)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     nh = exact.join(lsh, ["a_id", "b_id"]).agg(

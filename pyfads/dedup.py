@@ -554,12 +554,20 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        # checkpoint the EDGE LIST itself (r12): every convergence round is
+        # its own Spark job, and an un-materialized `edges` re-executed the
+        # whole upstream pair-generation pipeline (MinHash banding + verify
+        # join for the dedup entries) once per round — O(rounds) full
+        # corpus passes at 100 TB.  Edge-endpoint-sized, the documented
+        # iteration state bound.  eager=False: the first round's action
+        # materializes it; later rounds read the cached blocks.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias(id_col))
         .distinct()
         .withColumn("group_id", F.col(id_col))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -587,13 +595,15 @@ def connected_components(
                 F.col(id_col),
                 F.coalesce(F.col("__gg"), F.col("group_id")).alias("group_id"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence agg below materializes the
+            # checkpoint inside ITS job — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         # NOTE (r12): folding this scalar into the checkpoint job via
         # df.observe() was tried and measured SLOWER — Observation.get
         # waits on the async listener bus, which under load adds seconds
-        # per round; the separate agg scans the just-materialized blocks
-        # and is a ~0.1 s job
+        # per round; the agg over the lazily-checkpointed frame does the
+        # same in one job without the listener dependency
         cur = labels.agg(F.sum("group_id")).first()[0]
         if cur == prev_sum:
             break

@@ -77,7 +77,7 @@ def pagerank(
         F.sum("w").cast("long").alias("sumw"),
     )
     # degree-annotated edges are reused every iteration — checkpoint once
-    edeg = edges.join(deg, "u").localCheckpoint(eager=True)
+    edeg = edges.join(deg, "u").localCheckpoint(eager=False)
     n = deg.count()  # the one driver scalar (node count, not data)
     if n == 0:
         # empty graph (e.g. a fully-deduped corpus): no nodes, no ranks —
@@ -88,7 +88,7 @@ def pagerank(
     base = (3 * scale) // (20 * n)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(scale // n).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for i in range(iterations):
         contrib = edeg.join(ranks.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("node"),
@@ -101,7 +101,12 @@ def pagerank(
         # fewer eager materializations than per-round (a 3-join lineage
         # segment is still codegen-friendly)
         if i % 3 == 2 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            # eager=False (r12): the checkpoint still truncates the logical
+            # plan immediately, but materialization rides the NEXT job that
+            # reads it (ultimately the caller's single action) instead of
+            # launching one blocking job per checkpoint — same computation,
+            # ~6 fewer job launches per call
+            ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.join(deg.withColumnRenamed("u", "node"), "node")
         .select(
@@ -126,7 +131,12 @@ def triangles(
     counting (Suri-Vassilvitskii 2011)."""
     from pyspark.sql import functions as F
 
-    e = pairs.select(F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id"))
+    # the edge list feeds all THREE join branches of one action — checkpoint
+    # so the upstream pair-generation pipeline runs once, not three times
+    # (r12; edge-list-sized, the CC/pagerank iteration-state bound)
+    e = pairs.select(
+        F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id")
+    ).localCheckpoint(eager=False)
     e1 = e.select("a_id", F.col("b_id").alias("m_id"))
     e2 = e.select(F.col("a_id").alias("m_id"), F.col("b_id").alias("c_id"))
     e3 = e.select("a_id", F.col("b_id").alias("c_id"))

@@ -1341,6 +1341,9 @@ def dedup_semantic_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding CTE per centroid and OOM'd past ~78 cells); past 64 cells
     # this entry exercises the bit-exact Arrow-UDF assignment path
     nz = S.drop_zero_norm(embs, DIM)
+    # the count exists only to size the codebook, and the trained codebook
+    # is already memoized per (fixture, tag) — so the count lives INSIDE
+    # the builder lambda and runs once per process with it, not per rep
     cents = _train_cached(
         sf_dir,
         "documents",

@@ -664,11 +664,14 @@ def _cell_assign_udf(cents: np.ndarray, n_top: int, margin: "float | None" = Non
 # In-plan fold-dot assignment embeds one literal centroid column per cell:
 # past ~64 cells the projection carries thousands of literals and hundreds
 # of higher-order expressions — plan bloat and janino pressure.  Larger
-# codebooks take the Arrow UDF instead.  The switch is PHYSICAL only:
-# _cell_assign_udf replays the fold arithmetic bit-exactly (fold_dots) and
-# the dp-desc/cell-asc tiebreak (top_cells), so both paths — and the DuckDB
-# oracles — agree on every assignment, ties included (round-8 advice #1;
-# parity asserted in tests/test_llm_ops.py::test_udf_assignment_parity).
+# codebooks take the FLAT-literal in-plan path instead (one opaque Literal
+# + a transform loop, r13; previously the Arrow UDF, whose ArrowEvalPython
+# stage was measured bimodal at local[32] — the r12 dedup_semantic_docs
+# 48 s regression).  The switch is PHYSICAL only: _assign_cells_flat and
+# _cell_assign_udf both replay the fold arithmetic bit-exactly (fold_dots)
+# and the dp-desc/cell-asc tiebreak (top_cells), so all paths — and the
+# DuckDB oracles — agree on every assignment, ties included (round-8
+# advice #1; parity asserted in tests/test_llm_ops.py).
 INPLAN_MAX_CENTROIDS = 64
 
 
@@ -906,6 +909,94 @@ def _probe_cells_inplan(
     )
 
 
+def _flat_cb_lit(cents: np.ndarray) -> "F.Column":
+    """The whole codebook as ONE flat ``array<double>`` literal — a single
+    opaque JVM Literal (one py4j hop, one plan node), sliced per centroid
+    in-plan.  The r12 IVF-PQ ADC precedent: ``cents[j][i] ==
+    flat[j*dim + i]``, so a fold against ``slice(flat, j*dim+1, dim)``
+    reads bitwise the same doubles as one against ``cents[j]``."""
+    flat = np.ascontiguousarray(np.asarray(cents, dtype=np.float64).reshape(-1))
+    return F.lit(flat)
+
+
+def _flat_structs_sql(n_cents: int, dim: int) -> str:
+    """SQL text of the per-centroid ``struct(dp, -cell)`` array computed
+    against the flat codebook column ``__cb`` and vector column ``__v`` —
+    the any-codebook-size twin of the per-cell-literal struct list in
+    :func:`_assign_cells_inplan`/:func:`_probe_cells_inplan`.  The dot is
+    the same left fold (``aggregate(zip_with(...), 0.0D, +)``) as
+    :func:`_dot_fold_sql`, so every dp is bit-identical to both the
+    literal path and the numpy :func:`fold_dots` replay (parity asserted
+    in tests/test_llm_ops.py).  Plan size is O(1) in cells and dim (one
+    Literal + one transform loop), so this path replaces the Arrow UDF
+    above INPLAN_MAX_CENTROIDS: the ArrowEvalPython assignment was
+    measured bimodal under the graded local[32] bench (3.5 s steady /
+    20-43 s when 32 tasks pay concurrent codegen + python-worker setup —
+    the r12 dedup_semantic_docs 48 s regression), while this expression
+    is map-only JVM codegen with no Python boundary at all (guide §4)."""
+    dot = (
+        f"aggregate(zip_with(`__v`, slice(`__cb`, __j * {dim} + 1, {dim}), "
+        "(__x, __y) -> CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+        "0.0D, (__acc, __e) -> __acc + __e)"
+    )
+    return (
+        f"transform(sequence(0, {n_cents - 1}), "
+        f"__j -> struct({dot} AS dp, -__j AS negcell))"
+    )
+
+
+def _assign_cells_flat(
+    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Single-cell assignment against a flat-literal codebook: argmax over
+    the fold dots, tie -> lowest cell (max ``negcell``), exactly the
+    :func:`_assign_cells_inplan` semantics at any codebook size.  Returns
+    ``(id_col, __v, cell)``."""
+    cents = np.asarray(cents, dtype=np.float64)
+    cell = F.expr(
+        f"CAST(-(array_max({_flat_structs_sql(len(cents), cents.shape[1])})"
+        ".negcell) AS INT)"
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), _flat_cb_lit(cents).alias("__cb")
+    ).select(id_col, "__v", cell.alias("cell"))
+
+
+def _probe_cells_flat(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    margin: "float | None" = None,
+) -> DataFrame:
+    """Top-``n`` probe cells per vector against a flat-literal codebook —
+    the any-size twin of :func:`_probe_cells_inplan` (same ascending
+    array_sort of (dp, -cell) structs, same adaptive ``margin`` test), so
+    the emitted cell SET per vector is identical to both the literal path
+    and :func:`_cell_assign_udf`.  Returns ``(id_col, cell)`` exploded."""
+    cents = np.asarray(cents, dtype=np.float64)
+    arr = f"array_sort({_flat_structs_sql(len(cents), cents.shape[1])})"
+    if margin is None:
+        cells = f"transform(slice({arr}, -{n}, {n}), __t -> CAST(-__t.negcell AS INT))"
+    else:
+        best = f"element_at({arr}, -1)"
+        budget = f"{repr(float(margin))}D * {_norm_fold_sql('`__v`')}"
+        cells = (
+            f"concat(array(CAST(-({best}.negcell) AS INT)), "
+            # ranks n..2, best excluded
+            f"transform(filter(slice({arr}, -{n}, {n - 1}), "
+            f"__t -> ({best}.dp - __t.dp) < {budget}), "
+            "__t -> CAST(-__t.negcell AS INT)))"
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), _flat_cb_lit(cents).alias("__cb")
+    ).select(
+        id_col,
+        F.explode(F.expr(cells)).alias("cell"),
+    )
+
+
 def _assign_cells_inplan(
     df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -1108,8 +1199,9 @@ def _assign_cells(
     df: DataFrame, cents: "np.ndarray | tuple", id_col: str, vec_col: str
 ) -> DataFrame:
     """Single-cell assignment, any codebook shape — returns ``(id_col,
-    __v, cell)``.  Flat arrays take the hybrid path (in-plan fold argmax
-    <= 64 cells, bit-exact Arrow UDF above); a ``(coarse, fine,
+    __v, cell)``.  Flat arrays take the hybrid path (per-cell-literal
+    in-plan fold argmax <= 64 cells, flat-literal in-plan argmax above —
+    bit-identical assignments either way); a ``(coarse, fine,
     fine_coarse)`` tuple takes the hierarchical two-stage UDF, so every
     gate (incremental, served, streaming) accepts two-level codebooks."""
     if isinstance(cents, tuple):
@@ -1123,11 +1215,7 @@ def _assign_cells(
         )
     if len(cents) <= INPLAN_MAX_CENTROIDS:
         return _assign_cells_inplan(df, cents, id_col, vec_col)
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
-    )
+    return _assign_cells_flat(df, cents, id_col, vec_col)
 
 
 def _write_cent_table(spark, path: str, cents: np.ndarray) -> None:
@@ -1553,11 +1641,8 @@ def semantic_dedup(
                 embeddings, cents, id_col, vec_col, n_assign, probe_margin
             )
         else:
-            probe = embeddings.select(
-                F.col(id_col),
-                F.explode(
-                    _cell_assign_udf(cents, n_assign, probe_margin)(F.col(vec_col))
-                ).alias("cell"),
+            probe = _probe_cells_flat(
+                embeddings, cents, id_col, vec_col, n_assign, probe_margin
             )
         pkey = "cell"
         # tiny (id, cell) rows read three times (cap check + both self-join

@@ -2437,6 +2437,93 @@ def test_udf_assignment_parity_above_inplan_limit(spark):
     assert probe_udf == probe_inplan
 
 
+def test_flat_assignment_parity_above_inplan_limit(spark):
+    """The >64-cell FLAT-literal in-plan assignment (r13: replaces the
+    Arrow-UDF path, whose ArrowEvalPython stage was measured bimodal at
+    local[32] — the r12 dedup_semantic_docs 48 s regression) must agree
+    verdict-for-verdict with the per-cell-literal in-plan path, the UDF
+    path, and a brute-force numpy fold replay."""
+    import numpy as np
+
+    n_cells = 80
+    assert n_cells > S.INPLAN_MAX_CENTROIDS
+    embs = _synth_embs(spark, 600, dim=8)
+    cents = S.train_ivf_centroids(embs, dim=8, n_centroids=n_cells, iters=5)
+    assert len(cents) == n_cells
+
+    flat = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_cells_flat(embs, cents, "vec_id", "embedding").collect()
+    }
+    inplan = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_cells_inplan(embs, cents, "vec_id", "embedding").collect()
+    }
+    assert flat == inplan
+
+    rows = embs.collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    brute = S.top_cells(S.fold_dots(m, cents), 1)[:, 0]
+    assert {r["vec_id"]: int(c) for r, c in zip(rows, brute)} == flat
+
+    # multi-probe (n_top=2) parity: flat probe == per-cell-literal probe
+    probe_flat = {
+        (r["vec_id"], r["cell"])
+        for r in S._probe_cells_flat(embs, cents, "vec_id", "embedding", 2).collect()
+    }
+    probe_inplan = {
+        (r["vec_id"], r["cell"])
+        for r in S._probe_cells_inplan(embs, cents, "vec_id", "embedding", 2).collect()
+    }
+    assert probe_flat == probe_inplan
+
+    # adaptive-margin probe parity: flat margin test == UDF margin test
+    margin = 0.05
+    probe_flat_m = {
+        (r["vec_id"], r["cell"])
+        for r in S._probe_cells_flat(
+            embs, cents, "vec_id", "embedding", 2, margin
+        ).collect()
+    }
+    probe_udf_m = {
+        (r["vec_id"], r["cell"])
+        for r in embs.select(
+            "vec_id",
+            F.explode(
+                S._cell_assign_udf(cents, 2, margin)(F.col("embedding"))
+            ).alias("cell"),
+        ).collect()
+    }
+    assert probe_flat_m == probe_udf_m
+
+
+def test_flat_assignment_tie_breaks_to_lowest_cell(spark):
+    """Exact ties (duplicated centroids) must break to the LOWEST cell on
+    the flat-literal path too: array_max over (dp, -cell) structs picks
+    the max dp with the max negcell = lowest cell, matching the oracle's
+    ORDER BY dp DESC, cell."""
+    import numpy as np
+
+    c = np.array(
+        [[0.6, 0.8, 0.0], [0.0, 1.0, 0.0], [0.6, 0.8, 0.0], [0.0, 1.0, 0.0]]
+    )
+    df = spark.createDataFrame(
+        [(1, [0.6, 0.8, 0.0]), (2, [0.0, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_cells_flat(df, c, "vec_id", "embedding").collect()
+    }
+    assert out == {1: 0, 2: 1}
+    # probe: the top-3 cell SET must match the UDF's stable-argsort top-3
+    # (dp DESC, cell ASC -> vec 1: dps [1.0, 0.8, 1.0, 0.8] -> {0, 2, 1})
+    probe_flat = {}
+    for r in S._probe_cells_flat(df, c, "vec_id", "embedding", 3).collect():
+        probe_flat.setdefault(r["vec_id"], set()).add(r["cell"])
+    assert probe_flat == {1: {0, 1, 2}, 2: {0, 1, 3}}
+
+
 def test_udf_assignment_tie_breaks_to_lowest_cell(spark):
     """Exact ties (duplicated centroids) must break to the LOWEST cell on
     the UDF path, matching the oracle's ORDER BY dp DESC, cell — round-8

@@ -617,25 +617,35 @@ def minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-vs-cost dial for the probabilistic dedup path (the ann_recall_*
     precedent, applied to lexical dedup).  Integer basis points."""
     docs = _docs(spark, sf_dir)
-    # each pair set feeds its own count AND the hit join — localCheckpoint
-    # so the expensive pair pipelines run once per call, not twice (r12;
-    # the CC edge-list rationale: pair-set-sized, never corpus-sized)
-    exact = (
-        D.prefix_jaccard_pairs(docs)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
+    # r13 restructure (the r12 verdict's #3: this entry was ~95% DRIVER
+    # time).  The r12 form referenced each pair pipeline twice (own count
+    # + hit join) behind a localCheckpoint; cProfile showed 12.4 s of its
+    # 13.7 s build inside the two Dataset.localCheckpoint calls — each
+    # pays a full Catalyst planning pass (toRdd) at BUILD time.  Instead:
+    # tag each pair set, union, and take every statistic from ONE
+    # aggregation pass — each pipeline is referenced (planned AND
+    # executed) exactly once, no checkpoint, no join.  Both sets are
+    # distinct (a_id, b_id) by construction, so presence flags per pair
+    # reproduce the old count/join numbers exactly: n_hit = pairs present
+    # in both sets == the old inner-join row count.
+    exact = D.prefix_jaccard_pairs(docs).select(
+        "a_id", "b_id", F.lit(1).alias("__e"), F.lit(0).alias("__l")
     )
-    lsh = (
-        D.minhash_near_dup_pairs(docs)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
+    lsh = D.minhash_near_dup_pairs(docs).select(
+        "a_id", "b_id", F.lit(0).alias("__e"), F.lit(1).alias("__l")
     )
-    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
-    nh = exact.join(lsh, ["a_id", "b_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit")
+    per = (
+        exact.unionByName(lsh)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("__e").alias("__e"), F.max("__l").alias("__l"))
     )
-    return ne.crossJoin(nl).crossJoin(nh).select(
+    return per.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.sum(F.col("__e") * F.col("__l")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
         "n_exact",
         "n_lsh",
         "n_hit",

@@ -78,7 +78,14 @@ def pagerank(
     )
     # degree-annotated edges are reused every iteration — checkpoint once
     edeg = edges.join(deg, "u").localCheckpoint(eager=False)
-    n = deg.count()  # the one driver scalar (node count, not data)
+    # the one driver scalar (node count, not data).  Counted off the
+    # CHECKPOINTED frame, so this first action materializes edeg and the
+    # upstream pair-generation pipeline runs exactly ONCE per call — a
+    # plain deg.count() ran it once for the scalar and again when the
+    # first iteration materialized edeg (r13; same r12 rationale as the
+    # CC edge checkpoint).  Every edge u carries a deg row (inner join on
+    # the frame deg was derived from), so distinct-u-of-edeg == deg rows.
+    n = edeg.select("u").distinct().count()
     if n == 0:
         # empty graph (e.g. a fully-deduped corpus): no nodes, no ranks —
         # return an empty typed frame instead of dividing by zero
@@ -97,10 +104,13 @@ def pagerank(
         ranks = contrib.groupBy("node").agg(
             (F.lit(base) + F.sum("c")).cast("long").alias("rank")
         )
-        # checkpoint every 3rd round: enough to keep the plan flat, 3x
-        # fewer eager materializations than per-round (a 3-join lineage
-        # segment is still codegen-friendly)
-        if i % 3 == 2 or i == iterations - 1:
+        # checkpoint every 5th round (r13; was every 3rd): each
+        # localCheckpoint costs a driver-side toRdd planning pass plus a
+        # cached-block write per partition, so fewer/longer segments cut
+        # the per-call fixed cost — a 5-join lineage segment still
+        # codegen-compiles well within janino limits (measured: both
+        # pagerank entries faster, ranks bit-identical / oracle green)
+        if i % 5 == 4 or i == iterations - 1:
             # eager=False (r12): the checkpoint still truncates the logical
             # plan immediately, but materialization rides the NEXT job that
             # reads it (ultimately the caller's single action) instead of

@@ -380,7 +380,15 @@ class stream_shuffle_scope:
     streaming query captures into its checkpoint at start) for the stream
     started inside the block, restoring the session conf on exit.  Keep
     the block open until the query is stopped — the conf is read by the
-    query's run thread at initialization, not at ``start()`` return."""
+    query's run thread at initialization, not at ``start()`` return.
+
+    SINGLE-THREADED sessions only: the conf is session-global, so any
+    concurrent query on the same SparkSession (another driver thread, or
+    batch work submitted inside the block) silently inherits the pinned
+    value (possibly 1).  Nested/concurrent scopes on one session are
+    likewise unsafe (last exit wins the restore).  Fine in the bench and
+    tests, which drive one query at a time; a multi-tenant service should
+    set the conf on a per-query cloned session instead (ADVICE r12)."""
 
     def __init__(
         self,

@@ -501,9 +501,22 @@ def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(rows)
             try:
                 deadline = _time.time() + 240
+                # each _count() is a full parquet read+count JOB competing
+                # with the stream's own micro-batches — run it only when a
+                # new batch has committed (batchId advance), with a 1 s
+                # periodic fallback, instead of every 0.15 s (r12 verdict
+                # #5: the poll cadence was part of the entry's fixed tax)
+                seen_bid = -2
+                next_fallback = 0.0
                 while _time.time() < deadline:
-                    if _count() >= n:
-                        break
+                    lp = q.lastProgress
+                    bid = lp["batchId"] if lp else -1
+                    now = _time.time()
+                    if bid != seen_bid or now >= next_fallback:
+                        seen_bid = bid
+                        next_fallback = now + 1.0
+                        if _count() >= n:
+                            break
                     if not q.isActive:
                         # died, not stalled: surface the query's own
                         # exception (code-review r12)
@@ -516,10 +529,23 @@ def taxi_job_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # stopping — stopping mid-commit aborts its state-store
                 # write with a noisy (but harmless: the parquet sink's
                 # metadata log is already committed for every counted row)
-                # error
+                # error.  Bounded by ONE batch boundary, not a fixed wait:
+                # with the default ProcessingTime(0) trigger the cleanup
+                # batches run back-to-back, so `isTriggerActive` is ~always
+                # true and the old `while isTriggerActive` form burned the
+                # full 5 s cap on every rep (r12 verdict #5 — 5 s of the
+                # entry's 11.6 s was this fixed tax).  A batchId advance
+                # means the batch in flight at decision time has committed.
+                lp = q.lastProgress
+                start_bid = lp["batchId"] if lp else -1
                 settle = _time.time() + 5
-                while q.status.get("isTriggerActive") and _time.time() < settle:
-                    _time.sleep(0.1)
+                while _time.time() < settle:
+                    if not q.status.get("isTriggerActive"):
+                        break
+                    lp = q.lastProgress
+                    if lp and lp["batchId"] > start_bid:
+                        break
+                    _time.sleep(0.05)
             finally:
                 q.stop()
         got = _count()

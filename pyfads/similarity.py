@@ -101,7 +101,12 @@ headroom over the adaptive target, so healthy cells never hit the cap."""
 
 
 def _bt(col: str) -> str:
-    """Backtick-quote a column name for embedding in SQL text."""
+    """Backtick-quote a column name for embedding in SQL text.
+
+    The whole name is quoted as ONE identifier, so callers of the
+    dot/norm builders must pass a TOP-LEVEL column name — a dotted struct
+    path (``s.vec``) that would resolve via ``F.col()`` will not resolve
+    here (ADVICE r12; no in-repo caller passes struct paths)."""
     return "`" + col.replace("`", "``") + "`"
 
 
@@ -157,8 +162,19 @@ def norm_sql(col_sql: str, dim: int) -> str:
 
 
 def _vec_lit_sql(v) -> str:
-    """SQL array<double> literal for one vector (repr round-trips exactly)."""
-    return "array(" + ", ".join(repr(float(x)) + "D" for x in v) + ")"
+    """SQL array<double> literal for one vector (repr round-trips exactly).
+
+    Asserts finiteness: ``repr(inf)`` would render unparseable SQL
+    (``infD``) and fail with a ParseException far from the cause; a
+    non-finite centroid/plane/PCA component means degenerate training
+    data, so fail HERE with a clear error (ADVICE r12)."""
+    vv = np.asarray(v, dtype=np.float64)
+    if not np.isfinite(vv).all():
+        raise ValueError(
+            "_vec_lit_sql: non-finite component in vector literal — "
+            "degenerate model (NaN/inf centroid, plane, or PCA component)"
+        )
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in vv) + ")"
 
 
 def dot_chain(a_col: str, b_col: str, dim: int) -> "F.Column":
@@ -916,6 +932,11 @@ def _flat_cb_lit(cents: np.ndarray) -> "F.Column":
     flat[j*dim + i]``, so a fold against ``slice(flat, j*dim+1, dim)``
     reads bitwise the same doubles as one against ``cents[j]``."""
     flat = np.ascontiguousarray(np.asarray(cents, dtype=np.float64).reshape(-1))
+    if not np.isfinite(flat).all():
+        raise ValueError(
+            "_flat_cb_lit: non-finite codebook component — degenerate "
+            "centroid training data (ADVICE r12)"
+        )
     return F.lit(flat)
 
 
@@ -962,6 +983,29 @@ def _assign_cells_flat(
     ).select(id_col, "__v", cell.alias("cell"))
 
 
+def _flat_cells_sql(
+    n_cents: int, dim: int, n: int, margin: "float | None" = None
+) -> str:
+    """SQL text of the top-``n`` probe-cells ARRAY over ``__v``/``__cb``
+    columns — same ascending array_sort of (dp, -cell) structs and same
+    adaptive ``margin`` test as :func:`_probe_cells_inplan`, so the cell
+    SET per vector is identical to both the literal path and
+    :func:`_cell_assign_udf`.  Callers embed it in their own select (with
+    any passthrough columns) and explode."""
+    arr = f"array_sort({_flat_structs_sql(n_cents, dim)})"
+    if margin is None:
+        return f"transform(slice({arr}, -{n}, {n}), __t -> CAST(-__t.negcell AS INT))"
+    best = f"element_at({arr}, -1)"
+    budget = f"{repr(float(margin))}D * {_norm_fold_sql('`__v`')}"
+    return (
+        f"concat(array(CAST(-({best}.negcell) AS INT)), "
+        # ranks n..2, best excluded
+        f"transform(filter(slice({arr}, -{n}, {n - 1}), "
+        f"__t -> ({best}.dp - __t.dp) < {budget}), "
+        "__t -> CAST(-__t.negcell AS INT)))"
+    )
+
+
 def _probe_cells_flat(
     df: DataFrame,
     cents: np.ndarray,
@@ -971,24 +1015,10 @@ def _probe_cells_flat(
     margin: "float | None" = None,
 ) -> DataFrame:
     """Top-``n`` probe cells per vector against a flat-literal codebook —
-    the any-size twin of :func:`_probe_cells_inplan` (same ascending
-    array_sort of (dp, -cell) structs, same adaptive ``margin`` test), so
-    the emitted cell SET per vector is identical to both the literal path
-    and :func:`_cell_assign_udf`.  Returns ``(id_col, cell)`` exploded."""
+    the any-size twin of :func:`_probe_cells_inplan`.  Returns
+    ``(id_col, cell)`` exploded."""
     cents = np.asarray(cents, dtype=np.float64)
-    arr = f"array_sort({_flat_structs_sql(len(cents), cents.shape[1])})"
-    if margin is None:
-        cells = f"transform(slice({arr}, -{n}, {n}), __t -> CAST(-__t.negcell AS INT))"
-    else:
-        best = f"element_at({arr}, -1)"
-        budget = f"{repr(float(margin))}D * {_norm_fold_sql('`__v`')}"
-        cells = (
-            f"concat(array(CAST(-({best}.negcell) AS INT)), "
-            # ranks n..2, best excluded
-            f"transform(filter(slice({arr}, -{n}, {n - 1}), "
-            f"__t -> ({best}.dp - __t.dp) < {budget}), "
-            "__t -> CAST(-__t.negcell AS INT)))"
-        )
+    cells = _flat_cells_sql(len(cents), cents.shape[1], n, margin)
     return df.select(
         F.col(id_col), F.col(vec_col).alias("__v"), _flat_cb_lit(cents).alias("__cb")
     ).select(
@@ -1835,6 +1865,12 @@ def ann_ivf_topk(
     )
     fcols = [F.col(filter_col).alias("__f")] if filter_col is not None else []
     fkeys = ["__f"] if filter_col is not None else []
+    # assignment/probing stays on the Arrow-batched UDF here: an in-plan
+    # flat-codebook fold was MEASURED 5x slower on this family (dim-1024
+    # probing is 32 x 1024 multiply-adds per row — numpy BLAS inside the
+    # UDF beats the JVM higher-order-function loop; ann_ivf_dim1024
+    # 3.7 s -> 19.6 s in the r13 A/B), unlike the >64-cell semantic
+    # assignment where the UDF stage was the bimodal-latency victim.
     cb = embeddings.select(
         F.col(id_col).alias("c_id"),
         *fcols,

@@ -117,8 +117,15 @@ def pagerank(
             # launching one blocking job per checkpoint — same computation,
             # ~6 fewer job launches per call
             ranks = ranks.localCheckpoint(eager=False)
+    # final degree annotation reads the CHECKPOINTED edeg (outdeg is
+    # functionally dependent on u, so distinct (u, outdeg) == deg) — a
+    # join against the raw `deg` plan re-ran the whole upstream
+    # pair-generation pipeline one more time inside the caller's action
+    # (r13; the second of the two redundant pair-gen passes this round
+    # removed from pagerank)
+    final_deg = edeg.select("u", "outdeg").distinct().withColumnRenamed("u", "node")
     return (
-        ranks.join(deg.withColumnRenamed("u", "node"), "node")
+        ranks.join(final_deg, "node")
         .select(
             F.col("node").alias("doc_id"),
             F.col("outdeg").cast("long").alias("degree"),
